@@ -1,0 +1,59 @@
+"""Per-chunk column statistics feeding the codec auto-selector.
+
+The Spark-scale generalization of the reference's metadata probe — it decides
+per column from row-group-0 metadata whether to preserve dictionary encoding
+(reference: src/parquet-to-arrow.cc:25-33). Here the decision inputs are
+measured chunk statistics: value range, run structure, cardinality estimate,
+and a deterministic byte sample for FSST size extrapolation.
+
+All passes are vectorized numpy; cardinality is estimated on a fixed-size
+prefix sample (deterministic) because the exact unique pass is only needed if
+DICT actually wins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_CARD_SAMPLE = 1 << 16
+_BYTE_SAMPLE = 1 << 16
+
+
+def int_stats(values: np.ndarray) -> dict:
+    n = len(values)
+    stats: dict = {
+        "n": n,
+        "dtype": values.dtype.name,
+        "itemsize": values.dtype.itemsize,
+    }
+    if n == 0:
+        stats.update(vmin=0, vmax=0, n_runs=0, max_run=0, card=0, byte_sample=b"")
+        return stats
+    stats["vmin"] = int(values.min())
+    stats["vmax"] = int(values.max())
+    change = np.flatnonzero(values[1:] != values[:-1])
+    starts = np.concatenate((np.zeros(1, dtype=np.int64), change + 1))
+    bounds = np.concatenate((starts, np.array([n], dtype=np.int64)))
+    run_lengths = np.diff(bounds)
+    stats["n_runs"] = int(len(starts))
+    stats["max_run"] = int(run_lengths.max())
+    sample = values[:_CARD_SAMPLE]
+    card = len(np.unique(sample))
+    if n > len(sample):
+        # Deterministic upward projection: unseen values may appear later;
+        # clamp by both n and the value range.
+        card = min(int(card * min(n / len(sample), 4.0)), n, stats["vmax"] - stats["vmin"] + 1)
+    stats["card"] = max(card, 1)
+    stats["byte_sample"] = values[: _BYTE_SAMPLE // values.dtype.itemsize].tobytes()
+    return stats
+
+
+def bytes_stats(blob: bytes, n_values: int) -> dict:
+    """Stats for a UTF-8 blob (string column payload)."""
+    return {
+        "n": len(blob),
+        "dtype": "uint8",
+        "itemsize": 1,
+        "n_values": n_values,
+        "byte_sample": blob[:_BYTE_SAMPLE],
+    }

@@ -1,0 +1,112 @@
+"""End-to-end Spark round-trip: synth -> encode -> decode -> bit-identical.
+
+The flagship contract (SURVEY.md §7.5): every row's token array decodes
+bit-identical (join on doc_id, null-safe equality) and the encoded size is
+at most the Parquet(SNAPPY) size of the same data — the reference's own
+fixture compression (reference tests/util.py:73).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parquet_to_arrow_spark import checkpoint, manifest
+from parquet_to_arrow_spark.decode import decode_chunks_df
+from parquet_to_arrow_spark.encode import encode_tokens_df
+from parquet_to_arrow_spark.sources.synth import synth_tokens_df
+from parquet_to_arrow_spark.verify import assert_roundtrip, diff_report
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    return synth_tokens_df(spark, N_ROWS, avg_tokens=64, n_partitions=8).cache()
+
+
+def test_synth_is_deterministic(spark):
+    a = synth_tokens_df(spark, 500, n_partitions=4)
+    b = synth_tokens_df(spark, 500, n_partitions=2)  # different partitioning
+    assert diff_report(a, b)["equal"]
+
+
+def test_fast_path_roundtrip(spark, tokens):
+    encoded = encode_tokens_df(tokens).cache()
+    decoded = decode_chunks_df(encoded)
+    report = assert_roundtrip(tokens, decoded)
+    assert report["ok"] == N_ROWS
+    encoded.unpersist()
+
+
+def test_keyed_path_roundtrip(spark, tokens):
+    encoded = encode_tokens_df(tokens, by_key=True, n_buckets=16, chunk_rows=512).cache()
+    decoded = decode_chunks_df(encoded)
+    assert_roundtrip(tokens, decoded)
+    pkeys = [r["pkey"] for r in encoded.select("pkey").distinct().collect()]
+    assert all(0 <= k < 16 for k in pkeys)
+    encoded.unpersist()
+
+
+def test_compression_beats_parquet_snappy(spark, tokens, tmp_path):
+    pq_dir = str(tmp_path / "ref_parquet")
+    tokens.write.mode("overwrite").option("compression", "snappy").parquet(pq_dir)
+    parquet_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(pq_dir, "*.parquet"))
+    )
+
+    enc_dir = str(tmp_path / "encoded")
+    encoded = encode_tokens_df(tokens)
+    encoded.write.mode("overwrite").option("compression", "snappy").parquet(enc_dir)
+    encoded_file_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(enc_dir, "*.parquet"))
+    )
+
+    m = manifest.totals(manifest.manifest_from_encoded(spark.read.parquet(enc_dir)))
+    assert m["n_rows"] == N_ROWS
+    # codec-level bytes beat the raw (plain int32) representation
+    assert m["enc_bytes"] < m["raw_bytes"]
+    # on-disk encoded file beats Parquet-SNAPPY of the same rows
+    assert encoded_file_bytes <= parquet_bytes, (
+        f"encoded {encoded_file_bytes} > parquet {parquet_bytes}"
+    )
+
+
+def test_checkpoint_resume(spark, tokens, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    n_buckets = 8
+    keyed = checkpoint.with_pkey(tokens, n_buckets)
+
+    # first run: pretend it dies after writing only buckets {0,1,2}
+    part1 = encode_tokens_df(
+        keyed.filter(F.col("pkey") < 3).drop("pkey"), by_key=True, n_buckets=n_buckets
+    )
+    part1.write.mode("append").parquet(out)
+    checkpoint.mark_done(spark.read.parquet(out), ckpt)
+
+    done = checkpoint.read_done(spark, ckpt)
+    assert sorted(r["pkey"] for r in done.collect()) == [0, 1, 2]
+
+    # resume: encode only pending buckets
+    todo = checkpoint.pending(keyed, done)
+    assert todo.select("pkey").distinct().count() == n_buckets - 3
+    part2 = encode_tokens_df(todo.drop("pkey"), by_key=True, n_buckets=n_buckets)
+    part2.write.mode("append").parquet(out)
+    checkpoint.mark_done(part2, ckpt)
+
+    # after resume: everything decodes, nothing missing or duplicated
+    decoded = decode_chunks_df(spark.read.parquet(out))
+    assert_roundtrip(tokens, decoded)
+    assert checkpoint.pending(keyed, checkpoint.read_done(spark, ckpt)).count() == 0
+
+
+def test_empty_input(spark):
+    empty = synth_tokens_df(spark, 0, n_partitions=2)
+    encoded = encode_tokens_df(empty)
+    assert encoded.count() == 0
+    assert decode_chunks_df(encoded).count() == 0
