@@ -1,38 +1,249 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship encode/decode/verify pipeline on sf0.001.
+queries()      -> one (spark, sf_dir) -> DataFrame per implemented operator
+                  (SURVEY.md §2 inventory + training-data pipeline ops).
+oracle_sql()   -> the DuckDB-runnable ANSI SQL twin of each query. Omitted
+                  keys (custom hashes: minhash/simhash/LSH, codec metrics)
+                  get the driver's weaker rows-only check.
+
+Column names are aliased identically on both sides — the driver sorts
+columns by name before value-hashing.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship (SURVEY.md §7.5): tokenize sf0.001 documents into the
+    (doc_id, tokens, n_tok, source) shape, encode with per-chunk codec
+    auto-selection, decode, verify bit-identity, and return per-codec
+    metrics with the verification verdict attached."""
+    from parquet_to_arrow_spark.decode import decode_chunks_df
+    from parquet_to_arrow_spark.encode import encode_tokens_df
+    from parquet_to_arrow_spark.manifest import codec_metrics, manifest_from_encoded
+    from parquet_to_arrow_spark.operators.engine_queries import tokenize_documents
+    from parquet_to_arrow_spark.verify import diff_report
+
+    tokens = tokenize_documents(spark, SF_SMOKE).cache()
+    encoded = encode_tokens_df(tokens).cache()
+    decoded = decode_chunks_df(encoded)
+    report = diff_report(tokens, decoded)
+    metrics = codec_metrics(manifest_from_encoded(encoded))
+    return metrics.withColumn("roundtrip_equal", F.lit(bool(report["equal"]))).withColumn(
+        "rows_verified", F.lit(int(report.get("ok", 0)))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from parquet_to_arrow_spark.operators import (
+        dedup,
+        engine_queries as eq,
+        multimodal,
+        relational as rel,
+        similarity as sim,
+        textstats as ts,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- SURVEY.md §2 operator inventory ---
+        "scan_full": rel.scan_full,
+        "projection_column_range": rel.projection_column_range,
+        "row_range_slice": rel.row_range_slice,
+        "diff_self_compare": rel.diff_self_compare,
+        "agg_stats_by_source": rel.agg_stats_by_source,
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "window_top3_per_supplier": rel.window_top3_per_supplier,
+        "topk_orders": rel.topk_orders,
+        "customers_without_orders": rel.customers_without_orders,
+        "revenue_by_nation": rel.revenue_by_nation,
+        "events_hourly_rollup": rel.events_hourly_rollup,
+        # --- engine codec pipeline on real data (identity oracles) ---
+        "roundtrip_documents_text": eq.roundtrip_documents_text,
+        "roundtrip_lineitem_ints": eq.roundtrip_lineitem_ints,
+        "roundtrip_tokenized_documents": eq.roundtrip_tokenized_documents,
+        "codec_metrics_tokenized": eq.codec_metrics_tokenized,  # rows-only
+        # --- deduplication ---
+        "exact_dedup_groups": dedup.exact_dedup_groups,
+        "exact_dedup_kept": dedup.exact_dedup_kept,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # rows-only
+        "simhash64": dedup.simhash64,  # rows-only
+        # --- similarity search ---
+        "ann_bruteforce_topk": sim.brute_force_topk,
+        "ann_lsh_topk": sim.ann_lsh_topk,  # rows-only
+        "embedding_near_dup_pairs": sim.embedding_near_dup_pairs,  # rows-only
+        # --- text analysis ---
+        "lang_id": ts.lang_id,
+        "text_quality": ts.text_quality,
+        "token_counts": ts.token_counts,
+        "fingerprints": ts.fingerprints,
+        # --- multimodal plumbing ---
+        "media_meta": multimodal.media_meta,
+    }
+
+
+def _occ(needle: str) -> str:
+    """SQL occurrence count via length arithmetic (dialect-safe)."""
+    return f"(length(text) - length(replace(text, '{needle}', ''))) / {len(needle)}"
+
+
+def _lang_sql() -> str:
+    markers = {
+        "en": [" the ", " and ", " of "],
+        "de": [" der ", " und ", " die "],
+        "fr": [" le ", " et ", " les "],
+        "es": [" el ", " y ", " los "],
+    }
+    score = {
+        lang: "CAST((" + " + ".join(_occ(m) for m in ms) + ") AS BIGINT)"
+        for lang, ms in markers.items()
+    }
+    best, best_score = "'unknown'", "CAST(0 AS BIGINT)"
+    for lang in ("en", "de", "fr", "es"):
+        cond = f"{score[lang]} > {best_score}"
+        best = f"CASE WHEN {cond} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {cond} THEN {score[lang]} ELSE {best_score} END"
+    return f"SELECT doc_id, {best} AS lang_guess, {best_score} AS lang_score FROM documents"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dec = "DECIMAL(18,4)"
+    return {
+        "scan_full": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+                   count(l_shipdate) AS n_shipdate,
+                   min(l_linenumber) AS min_line,
+                   max(l_linenumber) AS max_line
+            FROM lineitem""",
+        "projection_column_range": "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem",
+        "row_range_slice": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey, l_linenumber LIMIT 50 OFFSET 100""",
+        "diff_self_compare": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CASE WHEN (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                                   OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+            FROM orders a FULL OUTER JOIN orders b ON a.o_orderkey = b.o_orderkey""",
+        "agg_stats_by_source": """
+            SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source""",
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS {dec})) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS {dec}) *
+                            (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))) AS DOUBLE)
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "window_top3_per_supplier": """
+            SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (
+                SELECT l_suppkey, l_orderkey, l_linenumber,
+                       row_number() OVER (PARTITION BY l_suppkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+                FROM lineitem) WHERE rn <= 3""",
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "customers_without_orders": """
+            SELECT DISTINCT c_custkey AS custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+        "revenue_by_nation": f"""
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS {dec}) *
+                            (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "events_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        # --- engine round-trips: identity oracles ---
+        "roundtrip_documents_text": "SELECT doc_id, text FROM documents",
+        "roundtrip_lineitem_ints": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem"
+        ),
+        "roundtrip_tokenized_documents": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(length(text) AS BIGINT) AS n_tok,
+                   CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+                        list_sum(list_transform(string_split(text, ''),
+                                                c -> unicode(c))) END AS BIGINT)
+                       AS tok_checksum
+            FROM documents""",
+        # --- dedup ---
+        "exact_dedup_groups": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"
+        ),
+        "exact_dedup_kept": """
+            SELECT doc_id, lang, source, n_chars FROM documents d
+            WHERE doc_id = (SELECT min(doc_id) FROM documents i WHERE i.text = d.text)""",
+        # --- similarity ---
+        "ann_bruteforce_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_sum(list_transform(list_zip(q.qe, e.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(q.qe,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            SELECT query_id, vec_id AS neighbor_id, rank FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+                FROM scored) WHERE rank <= 10""",
+        # --- text analysis ---
+        "lang_id": _lang_sql(),
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                        AS BIGINT) AS n_punct,
+                   CAST({_occ(' the ')} + {_occ(' and ')} + {_occ(' a ')} AS BIGINT)
+                       AS n_stopwords,
+                   (length(text) = n_chars) AS len_matches_meta
+            FROM documents""",
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_ws,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_runs,
+                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_symbols
+            FROM documents""",
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fp_md5, substring(text, 1, 16) AS prefix16
+            FROM documents""",
+        # --- multimodal ---
+        "media_meta": """
+            SELECT doc_id, 'text/plain;lang=' || lang AS media_type,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents""",
+    }

@@ -28,8 +28,11 @@ def bit_width(max_value: int) -> int:
 def pack_bits(values: np.ndarray, width: int) -> bytes:
     """Pack non-negative integers into ``width``-bit little-endian codes.
 
-    ``values`` may be any unsigned (or non-negative signed) integer dtype.
-    ``width == 0`` encodes an all-zero column as zero bytes.
+    Value ``i`` occupies bit range [i*width, (i+1)*width), LSB-first.
+    Non-byte widths use a phase-strided word packer: values whose bit
+    offset modulo 64 coincides (there are at most 64 such phases) are OR-ed
+    into the output words with two strided vector ops — O(n) memory-bound,
+    no per-value Python and no n×width bit matrix.
     """
     n = len(values)
     if width == 0 or n == 0:
@@ -37,11 +40,25 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     if width in _BYTE_WIDTHS:
         return values.astype(_BYTE_WIDTHS[width], copy=False).tobytes()
     vals = values.astype(np.uint64, copy=False)
-    shifts = np.arange(width, dtype=np.uint64)
-    # (n, width) bit matrix, row-major ravel => value i occupies bits
-    # [i*width, (i+1)*width) of the stream; packed LSB-first.
-    bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    import math
+
+    p = 64 // math.gcd(width, 64)  # phases per period
+    q = p * width // 64  # words per period
+    periods = (n + p - 1) // p
+    words = np.zeros(periods * q + 1, dtype=np.uint64)
+    for k in range(p):
+        elems = vals[k::p]
+        if len(elems) == 0:
+            break
+        bitpos = k * width
+        lo, w0 = bitpos % 64, bitpos // 64
+        tgt = words[w0::q][: len(elems)]
+        tgt |= elems << np.uint64(lo)
+        if lo + width > 64:
+            tgt2 = words[w0 + 1 :: q][: len(elems)]
+            tgt2 |= elems >> np.uint64(64 - lo)
+    nbytes = (n * width + 7) // 8
+    return words.tobytes()[:nbytes]
 
 
 def unpack_bits(payload: bytes, width: int, n: int) -> np.ndarray:
@@ -53,12 +70,25 @@ def unpack_bits(payload: bytes, width: int, n: int) -> np.ndarray:
     if width in _BYTE_WIDTHS:
         out = np.frombuffer(payload, dtype=_BYTE_WIDTHS[width], count=n)
         return out.astype(np.uint64, copy=False)
-    bits = np.unpackbits(
-        np.frombuffer(payload, dtype=np.uint8), count=n * width, bitorder="little"
-    ).reshape(n, width)
-    out = np.zeros(n, dtype=np.uint64)
-    for b in range(width):
-        out |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    import math
+
+    p = 64 // math.gcd(width, 64)
+    q = p * width // 64
+    periods = (n + p - 1) // p
+    buf = payload.ljust((periods * q + 1) * 8, b"\x00")
+    words = np.frombuffer(buf, dtype=np.uint64, count=periods * q + 1)
+    out = np.empty(n, dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    for k in range(p):
+        m = len(range(k, n, p))
+        if m == 0:
+            break
+        bitpos = k * width
+        lo, w0 = bitpos % 64, bitpos // 64
+        elems = words[w0::q][:m] >> np.uint64(lo)
+        if lo + width > 64:
+            elems = elems | (words[w0 + 1 :: q][:m] << np.uint64(64 - lo))
+        out[k::p] = elems & mask
     return out
 
 

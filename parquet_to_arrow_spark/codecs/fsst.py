@@ -29,7 +29,8 @@ NAME = "fsst"
 ESCAPE = 255
 MAX_SYMBOLS = 255  # codes 0..254; 255 is the escape
 MAX_SYMBOL_LEN = 8
-_SAMPLE_BYTES = 1 << 16
+_SAMPLE_BYTES = 1 << 14
+_GRAM_LENGTHS = (2, 3, 4, 6, 8)
 
 
 def build_symbol_table(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
@@ -41,7 +42,7 @@ def build_symbol_table(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[by
     a = np.frombuffer(sample, dtype=np.uint8)
     seen: set[bytes] = set()
     cands: list[tuple[int, bytes]] = []
-    for n in range(2, MAX_SYMBOL_LEN + 1):
+    for n in _GRAM_LENGTHS:
         if len(a) < n * 2:
             break
         win = np.lib.stride_tricks.sliding_window_view(a, n)

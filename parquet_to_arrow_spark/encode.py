@@ -113,13 +113,28 @@ def encode_batch(batch: pa.RecordBatch, chunk_id: str, pkey: int = -1) -> pa.Rec
     """Encode one Arrow batch of tokens rows into a single encoded-chunk row."""
     values, lengths = _tokens_parts(batch)
     order, labels = _cluster_order(values, lengths)
-    if not np.array_equal(order, np.arange(len(order))):
-        batch = batch.take(pa.array(order))
-        values, lengths = _tokens_parts(batch)
     doc_id = batch.column(batch.schema.get_field_index("doc_id"))
     source = batch.column(batch.schema.get_field_index("source"))
     if isinstance(doc_id, pa.ChunkedArray):  # pragma: no cover
         doc_id, source = doc_id.combine_chunks(), source.combine_chunks()
+    if not np.array_equal(order, np.arange(len(order))):
+        # segment gather of the flat token stream (numpy, no ListArray take)
+        old_offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=old_offsets[1:])
+        new_lengths = lengths[order]
+        new_offsets = np.zeros(len(new_lengths) + 1, dtype=np.int64)
+        np.cumsum(new_lengths, out=new_offsets[1:])
+        total = int(new_offsets[-1])
+        if total:
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                new_offsets[:-1], new_lengths
+            )
+            gather = np.repeat(old_offsets[:-1][order], new_lengths) + within
+            values = values[gather]
+        lengths = new_lengths
+        order_pa = pa.array(order)
+        doc_id = doc_id.take(order_pa)
+        source = source.take(order_pa)
 
     parts = {
         "lengths": encode_int_array(lengths),

@@ -1,0 +1,163 @@
+"""Deduplication operators over the documents table.
+
+Scale design notes (100 TB):
+- exact: one hash-shuffle on the content fingerprint (md5), min-key wins.
+- MinHash+LSH: shingle -> K minhashes via K seeded xxhash64 aggregations
+  (single explode + single groupBy, no per-permutation passes), band into
+  B buckets, self-join per bucket (bounded by band width), verify candidate
+  pairs. All JVM-side; the shuffle key is the band signature, so skewed
+  popular shingles never form a hot key.
+- SimHash: vectorized bit-majority in a single pandas-free pipeline using
+  explode + bitwise aggs.
+- n-gram Jaccard: exact verification on LSH candidates (or small inputs),
+  with stop-shingle removal (document frequency cap) to bound the join.
+- embedding near-dup: see similarity.py (cosine over the embeddings table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+SHINGLE = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def exact_dedup_groups(spark, sf_dir) -> DataFrame:
+    """Exact duplicate groups by content: keeper id + group size per text."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def exact_dedup_kept(spark, sf_dir) -> DataFrame:
+    """The deduplicated corpus: one row per distinct text (min doc_id wins)."""
+    df = _docs(spark, sf_dir)
+    keep = df.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return df.join(keep, ["doc_id", "text"], "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def doc_shingles(df: DataFrame, k: int = SHINGLE) -> DataFrame:
+    """Distinct char k-gram shingles per doc, derived JVM-side."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1)))
+    sh = F.array_distinct(F.transform(idx, lambda i: F.substr("text", i, F.lit(k))))
+    return df.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(spark, sf_dir) -> DataFrame:
+    """K min-hashes per doc in ONE aggregation pass (K seeded xxhash64 mins)."""
+    docs = _docs(spark, sf_dir)
+    sh = doc_shingles(docs)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i:02d}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH + exact MinHash-similarity
+    verification; returns (doc_a, doc_b, est_jaccard)."""
+    sig = minhash_signatures(spark, sf_dir).cache()
+    rows_per_band = N_MINHASH // N_BANDS
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r:02d}") for r in range(rows_per_band)], F.lit(b)).alias(
+            f"band{b}"
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *[F.col(f"mh{i:02d}") for i in range(N_MINHASH)], *band_cols)
+    bands = banded.select(
+        "doc_id",
+        *[F.col(f"mh{i:02d}") for i in range(N_MINHASH)],
+        F.explode(F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("h")) for b in range(N_BANDS)])).alias(
+            "band"
+        ),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            *[F.col(f"l.mh{i:02d}").alias(f"a{i}") for i in range(N_MINHASH)],
+            *[F.col(f"r.mh{i:02d}").alias(f"b{i}") for i in range(N_MINHASH)],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    )
+    return (
+        cand.withColumn("est_jaccard", matches / F.lit(float(N_MINHASH)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.3, max_df: int = 64) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing a rare shingle.
+
+    Stop-shingle removal (document frequency > max_df dropped) bounds the
+    self-join fan-out — the skew guard that matters at scale.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = doc_shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = sh.join(
+        sh.groupBy("shingle").count().filter(F.col("count") <= max_df).select("shingle"),
+        "shingle",
+        "left_semi",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def simhash64(spark, sf_dir) -> DataFrame:
+    """64-bit SimHash per doc: word-level hashes, per-bit majority vote,
+    computed with shiftright/bitwise aggs — no Python in the loop."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    words = words.filter(F.length("w") > 0).withColumn("h", F.xxhash64("w"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i:02d}")
+        for i in range(64)
+    ]
+    per_doc = words.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"s{i:02d}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return per_doc.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,125 @@
+"""Engine-level queries over the driver's oracle tables: the codec pipeline
+exercised on REAL data, with SQL-identity oracles.
+
+A round-trip query (encode -> decode inside one Arrow batch, return decoded
+values) has the identity SELECT as its DuckDB oracle — if any codec bit
+breaks, the driver's value-hash catches it. This is the reference's
+round-trip fixture strategy (reference tests/test_parquet_to_arrow.py:40-177)
+promoted to the correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..column import (
+    decode_int_array,
+    decode_string_array,
+    encode_int_array,
+    encode_string_array,
+)
+
+
+def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> the engine's input shape
+    (doc_id string, tokens array<int32>, n_tok int32, source string)
+    via deterministic byte-level tokenization (UTF-8 code units), fully
+    vectorized on Arrow buffers."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "source"
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            text = batch.column(1).cast(pa.large_utf8())
+            buf = text.buffers()
+            offsets = np.frombuffer(
+                buf[1], dtype=np.int64, count=len(text) + 1, offset=text.offset * 8
+            )
+            data = buf[2].to_pybytes() if buf[2] is not None else b""
+            blob = data[offsets[0] : offsets[-1]]
+            # codepoint tokenizer: one whole-blob UTF-8 -> UTF-32 decode
+            # (C-speed, no per-row Python); token = Unicode codepoint
+            flat = np.frombuffer(blob.decode("utf-8").encode("utf-32-le"), dtype=np.int32)
+            lengths = pa.compute.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+            local = np.zeros(len(text) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=local[1:])
+            tokens = pa.ListArray.from_arrays(
+                pa.array(local.astype(np.int32)), pa.array(flat, type=pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), tokens, pa.array(lengths.astype(np.int32)), batch.column(2)],
+                names=["doc_id", "tokens", "n_tok", "source"],
+            )
+
+    return docs.mapInArrow(run, "doc_id string, tokens array<int>, n_tok int, source string")
+
+
+def roundtrip_documents_text(spark, sf_dir) -> DataFrame:
+    """text column through the string codec stack (dict/FSST/flat) and back;
+    oracle = identity SELECT."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            text = batch.column(1)
+            enc = encode_string_array(text)
+            out = decode_string_array(enc["meta"], enc["payload"])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), out.cast(pa.string())], names=["doc_id", "text"]
+            )
+
+    return docs.mapInArrow(run, "doc_id long, text string")
+
+
+def roundtrip_lineitem_ints(spark, sf_dir) -> DataFrame:
+    """Four int64/int32 lineitem columns through the int codec stack
+    (selector chooses per chunk) and back; oracle = identity SELECT."""
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*cols)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            arrays = []
+            for i in range(batch.num_columns):
+                col = batch.column(i)
+                vals = col.to_numpy(zero_copy_only=False)
+                enc = encode_int_array(vals)
+                out = decode_int_array(enc["codec"], enc["meta"], enc["payload"], len(vals))
+                arrays.append(pa.array(out, type=col.type))
+            yield pa.RecordBatch.from_arrays(arrays, names=cols)
+
+    return li.mapInArrow(run, "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int")
+
+
+def roundtrip_tokenized_documents(spark, sf_dir) -> DataFrame:
+    """The flagship path on real data: tokenize -> full chunk encode ->
+    decode -> return (doc_id, n_tok, tok_checksum); oracle = the same
+    checksum computed directly in SQL (sum of UTF-8 code units)."""
+    from ..decode import decode_chunks_df
+    from ..encode import encode_tokens_df
+
+    tokens = tokenize_documents(spark, sf_dir)
+    decoded = decode_chunks_df(encode_tokens_df(tokens))
+    return decoded.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.aggregate(
+            F.col("tokens"), F.lit(0).cast("long"), lambda acc, t: acc + t.cast("long")
+        ).alias("tok_checksum"),
+    )
+
+
+def codec_metrics_tokenized(spark, sf_dir) -> DataFrame:
+    """Per-codec metrics of encoding the tokenized documents table
+    (rows-only check: codec choice isn't SQL-expressible)."""
+    from ..encode import encode_tokens_df
+    from ..manifest import codec_metrics, manifest_from_encoded
+
+    tokens = tokenize_documents(spark, sf_dir)
+    return codec_metrics(manifest_from_encoded(encode_tokens_df(tokens)))

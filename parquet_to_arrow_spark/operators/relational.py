@@ -1,0 +1,198 @@
+"""SURVEY.md §2 operator inventory over the TPC-H-ish oracle tables.
+
+Every function takes (spark, sf_dir) and returns a DataFrame whose column
+names match the DuckDB oracle SQL in __spark_entry__.py exactly (the driver
+sorts columns by name before value-hashing). Declarative DataFrame API
+throughout — Catalyst does the pruning/pushdown the reference hand-rolled
+(reference: src/parquet-to-text-stream.cc:777-783 column pruning,
+:146-159 row skip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- S1: full scan -----------------------------------------------------------
+
+
+def scan_full(spark, sf_dir) -> DataFrame:
+    """Whole-file scan with integrity totals (the parquet-to-arrow role)."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_orderkey"),
+        F.count("l_shipdate").alias("n_shipdate"),
+        F.min("l_linenumber").alias("min_line"),
+        F.max("l_linenumber").alias("max_line"),
+    )
+
+
+# --- P1: column-range projection ---------------------------------------------
+
+
+def projection_column_range(spark, sf_dir) -> DataFrame:
+    """Keep an ordinal column range [0, 3) of lineitem — Catalyst prunes the
+    scan to exactly these columns (ReadSchema), like --column-range."""
+    df = _t(spark, sf_dir, "lineitem")
+    return df.select(df.columns[0:3])
+
+
+# --- P2: row-range slice (offset + limit over a stable order) ----------------
+
+
+def row_range_slice(spark, sf_dir) -> DataFrame:
+    """Rows [100, 150) of lineitem under a total order — the reference's
+    --row-range=100-150 with deterministic order instead of file order."""
+    df = _t(spark, sf_dir, "lineitem")
+    return (
+        df.select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .offset(100)
+        .limit(50)
+    )
+
+
+# --- §2.3: diff / zip-compare ------------------------------------------------
+
+
+def diff_self_compare(spark, sf_dir) -> DataFrame:
+    """parquet-diff role: null-safe compare of two sides keyed by row id;
+    equal inputs -> zero mismatches (reference: src/parquet-diff.cc:197-207)."""
+    a = _t(spark, sf_dir, "orders").alias("a")
+    b = _t(spark, sf_dir, "orders").alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    mismatch = (
+        ~F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice"))
+        | ~F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
+    )
+    return joined.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(mismatch, 1).otherwise(0)).cast("long").alias("n_mismatch"),
+    )
+
+
+# --- §2.4: aggregation stats (the codec-selector shape) ----------------------
+
+
+def agg_stats_by_source(spark, sf_dir) -> DataFrame:
+    """Per-source chunk statistics: exactly what the codec selector samples
+    (cardinality, range, counts) — over the documents table."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def q1_pricing_summary(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1 shape over lineitem; decimal-exact sums cast to double so the
+    value-hash is engine-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- §2.5: window ------------------------------------------------------------
+
+
+def window_top3_per_supplier(spark, sf_dir) -> DataFrame:
+    """row_number over (supplier, shipdate) with a unique tiebreak — the
+    stable intra-partition ordinal the reference gets from file order."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rn")
+    )
+
+
+# --- §2.6: sort / limit / top-k ----------------------------------------------
+
+
+def topk_orders(spark, sf_dir) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# --- §2.7: set operations ----------------------------------------------------
+
+
+def customers_without_orders(spark, sf_dir) -> DataFrame:
+    """EXCEPT-style: customer keys minus order custkeys (anti join — the
+    checkpoint/resume primitive, SURVEY.md §2.3)."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    ords = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.join(ords, "custkey", "left_anti").distinct()
+
+
+# --- joins (broadcast dimension) ---------------------------------------------
+
+
+def revenue_by_nation(spark, sf_dir) -> DataFrame:
+    """Star join with explicitly broadcast dimensions — the 100 TB plan:
+    fact table streams, dims broadcast, single shuffle for the final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- events: batch shape of the streaming hourly rollup ----------------------
+
+
+def events_hourly_rollup(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )

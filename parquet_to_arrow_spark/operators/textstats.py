@@ -1,0 +1,103 @@
+"""Text analysis over the documents table: language-ID heuristic, quality
+scoring, token counting, fingerprinting.
+
+Everything stays JVM-side (built-in string functions inside whole-stage
+codegen) — no Python in the hot path — and every output is either integer,
+string, or a deterministically-rounded double so the DuckDB oracle hashes
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _occurrences(col, needle: str):
+    """Occurrence count via length arithmetic — identical semantics in Spark
+    and DuckDB (no regex dialect risk)."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle)))) / len(needle)
+
+
+# language marker words; ASCII-safe, shared verbatim with the oracle SQL
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+
+def lang_scores(col):
+    return {
+        lang: sum(_occurrences(col, m) for m in markers).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(spark, sf_dir) -> DataFrame:
+    """N-gram/stopword-count language guess with a fixed tie-break order."""
+    df = _docs(spark, sf_dir)
+    scores = lang_scores(F.col("text"))
+    best = F.lit("unknown")
+    best_score = F.lit(0).cast("long")
+    # fixed iteration order => deterministic argmax (strictly-greater wins)
+    for lang in ("en", "de", "fr", "es"):
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return df.select(
+        F.col("doc_id"),
+        best.alias("lang_guess"),
+        best_score.alias("lang_score"),
+    )
+
+
+def text_quality(spark, sf_dir) -> DataFrame:
+    """Length / word / punctuation / stopword counts — the quality-scoring
+    signals of a training-data pipeline, all integer-valued."""
+    df = _docs(spark, sf_dir)
+    text = F.col("text")
+    n_words = (F.length(text) - F.length(F.replace(text, F.lit(" ")))) + 1
+    n_punct = (
+        F.length(text) - F.length(F.regexp_replace(text, F.lit(r"[.,!?;:]"), F.lit("")))
+    ).cast("long")
+    n_stop = (
+        _occurrences(text, " the ") + _occurrences(text, " and ") + _occurrences(text, " a ")
+    ).cast("long")
+    return df.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars_measured"),
+        n_words.cast("long").alias("n_words"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        (F.length(text) == F.col("n_chars")).alias("len_matches_meta"),
+    )
+
+
+def token_counts(spark, sf_dir) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letter runs / digit runs /
+    single non-space symbol) — counted JVM-side with regexp_count."""
+    df = _docs(spark, sf_dir)
+    text = F.col("text")
+    return df.select(
+        "doc_id",
+        (F.length(text) - F.length(F.replace(text, F.lit(" ")))).cast("long").alias("n_ws"),
+        F.regexp_count(text, F.lit("[A-Za-z]+")).cast("long").alias("n_alpha_runs"),
+        F.regexp_count(text, F.lit("[0-9]+")).cast("long").alias("n_digit_runs"),
+        F.regexp_count(text, F.lit("[^A-Za-z0-9 ]")).cast("long").alias("n_symbols"),
+    )
+
+
+def fingerprints(spark, sf_dir) -> DataFrame:
+    """Content fingerprints: md5 of the raw UTF-8 (engine-independent) plus a
+    16-char prefix bucket — the exact-dedup key."""
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp_md5"),
+        F.substring(F.col("text"), 1, 16).alias("prefix16"),
+    )

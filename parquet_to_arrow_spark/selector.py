@@ -27,11 +27,22 @@ _PRIORITY = [plain.NAME, bitpack.NAME, for_.NAME, rle.NAME, dictionary.NAME, fss
 
 
 def rank_int_codecs(stats: dict) -> list[tuple[int, str]]:
-    """Ranked (estimated_bytes, codec_name), best first; deterministic."""
+    """Ranked (estimated_bytes, codec_name), best first; deterministic.
+
+    FSST's estimate is the only *measured* one (sample compression — two
+    orders of magnitude costlier than the analytic models), so it only runs
+    when every analytic codec leaves >45% of PLAIN on the table; on token
+    data dict/bitpack/FoR almost always win and FSST never gets probed.
+    """
     ranked = []
     for name in _PRIORITY:
+        if name == fsst.NAME:
+            continue
         est = INT_CODECS[name].estimate(stats)
         ranked.append((est, name))
+    plain_size = stats["n"] * stats["itemsize"]
+    if stats["n"] > 0 and min(e for e, _ in ranked) > 0.55 * plain_size:
+        ranked.append((INT_CODECS[fsst.NAME].estimate(stats), fsst.NAME))
     ranked.sort(key=lambda t: (t[0], _PRIORITY.index(t[1])))
     return ranked
 

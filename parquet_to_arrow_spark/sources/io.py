@@ -1,0 +1,180 @@
+"""Arrow-native distributed parquet scan: the engine's fast data path.
+
+Spark's row<->Arrow bridge converts array columns element-at-a-time (boxing),
+which caps list<int32> throughput far below kernel speed. A 100 TB encode
+job therefore distributes FILE SPLITS, not rows: tasks receive parquet file
+paths and scan them directly with pyarrow (zero-copy to the codec kernels),
+exactly like the reference opens the Parquet footer itself
+(reference: src/parquet-to-arrow.cc:19). Only the encoded chunk rows —
+compact binary blobs — cross the JVM boundary.
+
+On a real cluster the same pattern works against HDFS/S3 via pyarrow.fs;
+here paths are local. Iceberg integration would hand us these file lists
+from a snapshot's manifests (jars not in this image — see checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..encode import ENCODED_SCHEMA_DDL, encode_batch
+from ..session import DEFAULT_CHUNK_ROWS
+
+
+def list_parquet_files(path: str) -> list[str]:
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files and os.path.isfile(path):
+        files = [path]
+    return files
+
+
+def files_df(spark: SparkSession, path: str) -> DataFrame:
+    """One row per parquet file, one file per partition (exact round-robin —
+    hash repartition would give some tasks 2-3 files and others none, and the
+    straggler tail caps scaling)."""
+    files = list_parquet_files(path)
+    rdd = spark.sparkContext.parallelize([(f,) for f in files], max(len(files), 1))
+    return spark.createDataFrame(rdd, "path string")
+
+
+def encode_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source"),
+) -> DataFrame:
+    """Scan+encode a tokens parquet directory Arrow-natively.
+
+    Each task streams its files in ``chunk_rows`` batches (bounded memory,
+    like the reference's 30-row pull batches, src/parquet-to-text-stream.cc:74)
+    and emits one encoded-chunk row per batch. Chunk ids are content-stable:
+    (file basename, batch ordinal) — reruns produce identical chunks
+    regardless of task placement.
+    """
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for pdf in batches:
+            for fpath in pdf.column(0).to_pylist():
+                pf = pq.ParquetFile(fpath)
+                base = os.path.splitext(os.path.basename(fpath))[0]
+                for seq, batch in enumerate(
+                    pf.iter_batches(batch_size=chunk_rows, columns=list(columns))
+                ):
+                    if batch.num_rows:
+                        yield encode_batch(batch, chunk_id=f"{base}.{seq:05d}")
+
+    return files_df(spark, path).mapInArrow(run, ENCODED_SCHEMA_DDL)
+
+
+# --- scalar-only verification path (token arrays never cross the JVM) -------
+
+
+HASH_SCHEMA_DDL = "doc_id string, n_tok int, tok_hash long"
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _row_token_hashes(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Order-sensitive per-row hash of each token array (vectorized FNV-ish
+    mix over position-salted tokens, reduced per row with reduceat)."""
+    n = len(lengths)
+    lengths = lengths.astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    if total:
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        within = np.arange(total, dtype=np.int64) - offsets[:-1][row_of]
+        x = values.astype(np.int64).view(np.uint64) if values.dtype == np.int64 else values.astype(np.uint64)
+        z = (x + np.uint64(0x9E3779B97F4A7C15) * (within.astype(np.uint64) + np.uint64(1)))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        sums = np.zeros(n, dtype=np.uint64)
+        nonempty = lengths > 0
+        if nonempty.any():
+            sums[nonempty] = np.add.reduceat(z, offsets[:-1][nonempty])
+    else:
+        sums = np.zeros(n, dtype=np.uint64)
+    h = (sums ^ (lengths.astype(np.uint64) * _FNV_PRIME)) * _FNV_PRIME
+    return h.view(np.int64)
+
+
+def _hash_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    from ..encode import _tokens_parts
+
+    values, lengths = _tokens_parts(batch)
+    h = _row_token_hashes(values, lengths)
+    doc = batch.column(batch.schema.get_field_index("doc_id"))
+    return pa.RecordBatch.from_arrays(
+        [doc, pa.array(lengths.astype(np.int32)), pa.array(h, type=pa.int64())],
+        names=["doc_id", "n_tok", "tok_hash"],
+    )
+
+
+def token_hashes_from_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, n_tok, tok_hash) per row, scanning parquet Arrow-natively."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for pdf in batches:
+            for fpath in pdf.column(0).to_pylist():
+                pf = pq.ParquetFile(fpath)
+                for batch in pf.iter_batches(
+                    batch_size=DEFAULT_CHUNK_ROWS, columns=["doc_id", "tokens"]
+                ):
+                    if batch.num_rows:
+                        yield _hash_batch(batch)
+
+    return files_df(spark, path).mapInArrow(run, HASH_SCHEMA_DDL)
+
+
+def token_hashes_from_encoded(encoded: DataFrame) -> DataFrame:
+    """Decode chunks and emit per-row hashes — token arrays stay in Python."""
+    from ..encode import decode_chunk_row
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            metas = batch.column(batch.schema.get_field_index("meta"))
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            n_rows = batch.column(batch.schema.get_field_index("n_rows"))
+            for i in range(batch.num_rows):
+                decoded = decode_chunk_row(
+                    metas[i].as_py(), payloads[i].as_py(), n_rows[i].as_py()
+                )
+                yield _hash_batch(decoded)
+
+    return encoded.mapInArrow(run, HASH_SCHEMA_DDL)
+
+
+def verify_hashes(left: DataFrame, right: DataFrame) -> dict:
+    """Distributed scalar-only round-trip verdict: full outer join on doc_id,
+    compare (n_tok, tok_hash)."""
+    l_, r_ = left.alias("l"), right.alias("r")
+    joined = l_.join(r_, F.col("l.doc_id") == F.col("r.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("l.doc_id").isNull(), "extra")
+        .when(F.col("r.doc_id").isNull(), "missing")
+        .when(
+            ~(
+                F.col("l.n_tok").eqNullSafe(F.col("r.n_tok"))
+                & F.col("l.tok_hash").eqNullSafe(F.col("r.tok_hash"))
+            ),
+            "mismatch",
+        )
+        .otherwise("ok")
+    )
+    counts = {
+        row["status"]: row["count"]
+        for row in joined.select(status.alias("status")).groupBy("status").count().collect()
+    }
+    bad = {k: counts.get(k, 0) for k in ("missing", "extra", "mismatch")}
+    return {"equal": not any(bad.values()), "ok": counts.get("ok", 0), **bad}

@@ -40,9 +40,15 @@ def int_stats(values: np.ndarray) -> dict:
     sample = values[:_CARD_SAMPLE]
     card = len(np.unique(sample))
     if n > len(sample):
-        # Deterministic upward projection: unseen values may appear later;
-        # clamp by both n and the value range.
-        card = min(int(card * min(n / len(sample), 4.0)), n, stats["vmax"] - stats["vmin"] + 1)
+        # Deterministic projection from the sample's distinct ratio:
+        # near-all-distinct sample => cardinality grows ~linearly with n
+        # (dict would be useless); saturated sample => vocab already seen.
+        ratio = card / len(sample)
+        if ratio >= 0.5:
+            card = int(n * ratio)
+        elif ratio >= 0.1:
+            card = int(card * min((n / len(sample)) ** 0.5, 8.0))
+        card = min(card, n, stats["vmax"] - stats["vmin"] + 1)
     stats["card"] = max(card, 1)
     stats["byte_sample"] = values[: _BYTE_SAMPLE // values.dtype.itemsize].tobytes()
     return stats
