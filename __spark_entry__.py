@@ -73,6 +73,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem_ints": eq.roundtrip_lineitem_ints,
         "roundtrip_tokenized_documents": eq.roundtrip_tokenized_documents,
         "codec_metrics_tokenized": eq.codec_metrics_tokenized,  # rows-only
+        # --- scalar render functions (SURVEY.md §2.8) ---
+        "render_iso_timestamps": eq.render_iso_timestamps,
+        "render_dates": eq.render_dates,
+        "render_csv_documents": eq.render_csv_documents,
+        "render_ecma_doubles": eq.render_ecma_doubles,
         # --- deduplication ---
         "exact_dedup_groups": dedup.exact_dedup_groups,
         "exact_dedup_kept": dedup.exact_dedup_kept,
@@ -195,6 +200,30 @@ def oracle_sql() -> dict[str, str]:
                                                 c -> unicode(c))) END AS BIGINT)
                        AS tok_checksum
             FROM documents""",
+        "render_iso_timestamps": r"""
+            SELECT event_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
+                       '(\.\d{3})000$', '\1'), '\.000$', ''),
+                       ':00$', ''), ':00$', '') || 'Z' AS ts_iso
+            FROM events""",
+        "render_dates": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+            FROM orders""",
+        "render_csv_documents": r"""
+            SELECT CAST(doc_id AS VARCHAR) || ',' ||
+                   CASE WHEN regexp_matches(text, '[",\r\n]')
+                        THEN '"' || replace(text, '"', '""') || '"'
+                        ELSE text END AS line
+            FROM documents""",
+        "render_ecma_doubles": """
+            -- DuckDB's DOUBLE->VARCHAR is shortest-round-trip; on this
+            -- domain (positive, < 1e7, 2 decimals) it matches ECMAScript
+            -- (except whole numbers: DuckDB prints 42.0, ECMA prints 42)
+            SELECT o_orderkey,
+                   regexp_replace(CAST(o_totalprice AS VARCHAR), '\.0$', '')
+                       AS price_str
+            FROM orders""",
         # --- dedup ---
         "exact_dedup_groups": (
             "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"

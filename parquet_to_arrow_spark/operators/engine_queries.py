@@ -115,6 +115,40 @@ def roundtrip_tokenized_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+def render_iso_timestamps(spark, sf_dir) -> DataFrame:
+    """F3: shortest ISO-8601 UTC rendering of event timestamps (JVM-side)."""
+    from ..functions.render import iso8601_shortest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select("event_id", iso8601_shortest(F.col("ts")).alias("ts_iso"))
+
+
+def render_dates(spark, sf_dir) -> DataFrame:
+    """F4: yyyy-MM-dd date rendering of order dates."""
+    from ..functions.render import date_ymd
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select("o_orderkey", date_ymd(F.col("o_orderdate")).alias("o_date"))
+
+
+def render_csv_documents(spark, sf_dir) -> DataFrame:
+    """F6/S6: RFC-4180 record rendering of (doc_id, text) — quote iff needed,
+    double-quote escaping."""
+    from ..functions.render import csv_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return csv_lines(docs, ["doc_id", "text"])
+
+
+def render_ecma_doubles(spark, sf_dir) -> DataFrame:
+    """F1: ECMAScript shortest round-trip rendering of o_totalprice
+    (vectorized pandas UDF)."""
+    from ..functions.render import ecma_double_str
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select("o_orderkey", ecma_double_str(F.col("o_totalprice")).alias("price_str"))
+
+
 def codec_metrics_tokenized(spark, sf_dir) -> DataFrame:
     """Per-codec metrics of encoding the tokenized documents table
     (rows-only check: codec choice isn't SQL-expressible)."""

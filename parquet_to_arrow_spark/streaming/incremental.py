@@ -1,0 +1,55 @@
+"""Incremental encode via Structured Streaming.
+
+The reference's "streaming" is incremental pull over one file for
+time-to-first-byte (src/parquet-to-text-stream.cc:69-73); the engine-scale
+analogue is a continuously-landing tokens directory. Structured Streaming's
+file source gives exactly-once *file-granular* incremental processing for
+free (processed files tracked in the stream checkpoint) — complementary to
+the bucket-granular resume in checkpoint.py:
+
+- new parquet files land in ``input_dir``
+- each micro-batch is chunk-encoded (same encode_tokens_df kernels)
+- encoded chunks append to ``output_dir``; re-running after a crash skips
+  files already committed to the stream checkpoint.
+
+``trigger(availableNow=True)`` drains everything pending then stops — the
+batch-job-with-streaming-bookkeeping pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..encode import TOKENS_SCHEMA_DDL, encode_tokens_df
+
+
+def incremental_encode(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    chunk_rows: int | None = None,
+) -> StreamingQuery:
+    """Start an availableNow incremental encode over a landing directory."""
+    stream = (
+        spark.readStream.schema(TOKENS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df, epoch_id: int) -> None:
+        kw = {"chunk_rows": chunk_rows} if chunk_rows else {}
+        encode_tokens_df(batch_df, **kw).write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_incremental_encode(spark, input_dir, output_dir, checkpoint_dir) -> None:
+    q = incremental_encode(spark, input_dir, output_dir, checkpoint_dir)
+    q.awaitTermination()

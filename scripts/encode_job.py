@@ -1,0 +1,94 @@
+"""spark-submit entry point for the resumable encode pipeline.
+
+Usage (local or cluster — the script itself is cluster-agnostic):
+
+    scripts/make_pyfiles.sh   # builds build/parquet_to_arrow_spark.zip
+    spark-submit --py-files build/parquet_to_arrow_spark.zip \
+        scripts/encode_job.py \
+        --input /data/tokens --output /data/encoded \
+        --manifest /data/manifest --checkpoint /data/ckpt \
+        --buckets 512 --mode keyed
+
+Modes:
+  fast   zero-shuffle: chunk = input split, direct Arrow-native scan
+         (sources/io.encode_parquet_dir) — maximum throughput, resume at
+         file granularity is the caller's concern.
+  keyed  deterministic bucket per row (xxhash64(doc_id) % buckets), one
+         shuffle, resumable: rerun after a crash and only pending buckets
+         are encoded (checkpoint.pending anti-join).
+
+Verification (--verify) compares per-row token hashes of input vs decoded
+output without ever shipping token arrays through the JVM (sources/io).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--buckets", type=int, default=256)
+    p.add_argument("--mode", choices=["fast", "keyed"], default="fast")
+    p.add_argument("--chunk-rows", type=int, default=8192)
+    p.add_argument("--verify", action="store_true")
+    p.add_argument("--cores", default=None, help="local[N] cores (default: env/all)")
+    args = p.parse_args(argv)
+
+    from parquet_to_arrow_spark import checkpoint as ckpt
+    from parquet_to_arrow_spark import manifest as mf
+    from parquet_to_arrow_spark.encode import encode_tokens_df
+    from parquet_to_arrow_spark.session import get_spark
+    from parquet_to_arrow_spark.sources import io as pio
+
+    spark = get_spark(app="encode_job", cores=args.cores, chunk_rows=args.chunk_rows)
+    t0 = time.time()
+
+    if args.mode == "fast":
+        encoded = pio.encode_parquet_dir(spark, args.input, chunk_rows=args.chunk_rows)
+        encoded.write.mode("append").parquet(args.output)
+    else:
+        tokens = spark.read.parquet(args.input)
+        keyed = ckpt.with_pkey(tokens, args.buckets)
+        if args.checkpoint:
+            done = ckpt.read_done(spark, args.checkpoint)
+            n_done = done.count()
+            keyed = ckpt.pending(keyed, done)
+            print(f"resume: {n_done} buckets already done", file=sys.stderr)
+        encoded = encode_tokens_df(
+            keyed.drop("pkey"), by_key=True, n_buckets=args.buckets, chunk_rows=args.chunk_rows
+        )
+        encoded.write.mode("append").parquet(args.output)
+        if args.checkpoint:
+            ckpt.mark_done(spark.read.parquet(args.output), args.checkpoint)
+
+    written = spark.read.parquet(args.output)
+    mf.write_manifest(mf.manifest_from_encoded(written), args.manifest, mode="overwrite")
+    stats = mf.totals(spark.read.parquet(args.manifest))
+    stats["wall_seconds"] = round(time.time() - t0, 2)
+
+    if args.verify:
+        report = pio.verify_hashes(
+            pio.token_hashes_from_parquet(spark, args.input),
+            pio.token_hashes_from_encoded(written),
+        )
+        stats["verify"] = report
+        if not report["equal"]:
+            print(json.dumps(stats, default=int))
+            spark.stop()
+            return 1
+
+    print(json.dumps(stats, default=int))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
