@@ -102,6 +102,34 @@ def _measure_encode(cores: int, n_rows: int) -> dict:
     }
 
 
+def _measure_decode(cores: int, n_rows: int) -> dict:
+    """Decode throughput: encoded chunks -> token arrays -> per-row hashes
+    (the scalar verification path; token arrays stay in Python workers)."""
+    from parquet_to_arrow_spark.session import get_spark
+    from parquet_to_arrow_spark.sources.io import encode_parquet_dir, token_hashes_from_encoded
+
+    path = _input_dir(n_rows)
+    enc_path = f"{path}_encoded"
+    spark = get_spark(app=f"bench_decode_{cores}", cores=cores)
+    if not os.path.exists(os.path.join(enc_path, "_SUCCESS")):
+        encode_parquet_dir(spark, path).write.mode("overwrite").parquet(enc_path)
+    encoded = spark.read.parquet(enc_path)
+    raw = encoded.agg(F.sum("raw_bytes")).collect()[0][0]
+    token_hashes_from_encoded(encoded.limit(1)).count()  # warm workers
+    t0 = time.time()
+    n = token_hashes_from_encoded(encoded).count()
+    dt = time.time() - t0
+    spark.stop()
+    raw_gib = raw / (1 << 30)
+    return {
+        "cores": cores,
+        "rows": n,
+        "raw_gib": round(raw_gib, 4),
+        "seconds": round(dt, 3),
+        "gib_per_s": round(raw_gib / dt, 4),
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from parquet_to_arrow_spark.session import get_spark
@@ -131,9 +159,11 @@ def main() -> None:
         _ = n
     spark.stop()
 
-    # encode throughput at full parallelism (the engine's headline metric)
+    # encode/decode throughput at full parallelism (the headline metrics)
     encode = _measure_encode(CPUS, BENCH_ROWS)
     timings["encode_tokens"] = encode["seconds"]
+    decode = _measure_decode(CPUS, BENCH_ROWS)
+    timings["decode_tokens"] = decode["seconds"]
 
     result = {
         "metric": "headline_seconds",
@@ -142,6 +172,7 @@ def main() -> None:
         "queries": timings,
         "sf": SF,
         "encode": encode,
+        "decode": decode,
     }
 
     if SCALING:

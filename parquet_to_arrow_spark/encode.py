@@ -38,12 +38,13 @@ from .column import (
     encode_int_array,
     encode_string_array,
 )
+from .hashing import chunk_checksum
 from .session import DEFAULT_CHUNK_ROWS
 
 ENCODED_SCHEMA_DDL = (
     "chunk_id string, pkey int, n_rows long, n_values long, "
     "raw_bytes long, enc_bytes long, tokens_codec string, "
-    "meta string, payload binary"
+    "checksum long, meta string, payload binary"
 )
 
 TOKENS_SCHEMA_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
@@ -175,6 +176,7 @@ def encode_batch(batch: pa.RecordBatch, chunk_id: str, pkey: int = -1) -> pa.Rec
             pa.array([raw_bytes], type=pa.int64()),
             pa.array([len(payload) + len(meta)], type=pa.int64()),
             pa.array([parts["tokens"]["codec"]], type=pa.string()),
+            pa.array([chunk_checksum(values, lengths)], type=pa.int64()),
             pa.array([meta], type=pa.string()),
             pa.array([payload], type=pa.binary()),
         ],
@@ -186,14 +188,21 @@ def encode_batch(batch: pa.RecordBatch, chunk_id: str, pkey: int = -1) -> pa.Rec
             "raw_bytes",
             "enc_bytes",
             "tokens_codec",
+            "checksum",
             "meta",
             "payload",
         ],
     )
 
 
-def decode_chunk_row(meta_json: str, payload: bytes, n_rows: int) -> pa.RecordBatch:
-    """Inverse of :func:`encode_batch`: one encoded row -> a tokens batch."""
+def decode_chunk_row(
+    meta_json: str, payload: bytes, n_rows: int, expected_checksum: int | None = None
+) -> pa.RecordBatch:
+    """Inverse of :func:`encode_batch`: one encoded row -> a tokens batch.
+
+    With ``expected_checksum`` the decoded token content is integrity-checked
+    against the checksum stamped at encode time (storage corruption surfaces
+    here, not at the differ)."""
     parts = _unpack_parts(json.loads(meta_json)["parts"], payload)
     lengths = decode_int_array(
         parts["lengths"]["codec"], parts["lengths"]["meta"], parts["lengths"]["payload"], n_rows
@@ -204,6 +213,12 @@ def decode_chunk_row(meta_json: str, payload: bytes, n_rows: int) -> pa.RecordBa
         p = parts[f"tokens_g{gi}"]
         pieces.append(decode_int_array(p["codec"], p["meta"], p["payload"], p["n"]))
     values = pieces[0] if n_groups == 1 else np.concatenate(pieces)
+    if expected_checksum is not None:
+        got = chunk_checksum(values, lengths)
+        if got != expected_checksum:
+            raise ValueError(
+                f"chunk checksum mismatch: stored {expected_checksum}, decoded {got}"
+            )
     doc_id = decode_string_array(parts["doc_id"]["meta"], parts["doc_id"]["payload"])
     source = decode_string_array(parts["source"]["meta"], parts["source"]["payload"])
     offsets = np.zeros(n_rows + 1, dtype=np.int64)
@@ -243,9 +258,12 @@ def encode_tokens_df(
 
         return df.mapInArrow(encode_partition, ENCODED_SCHEMA_DDL)
 
-    keyed = df.withColumn(
-        "pkey", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
-    )
+    if "pkey" in df.columns:  # caller-planned buckets (e.g. chunker salting)
+        keyed = df
+    else:
+        keyed = df.withColumn(
+            "pkey", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+        )
 
     def encode_bucket(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # Rows arrive sorted by pkey within the partition; an Arrow batch may
@@ -270,17 +288,21 @@ def encode_tokens_df(
     return grouped.mapInArrow(encode_bucket, ENCODED_SCHEMA_DDL)
 
 
-def decode_chunks_df(encoded: DataFrame) -> DataFrame:
-    """Decode encoded chunks back to the tokens schema (zero shuffles)."""
+def decode_chunks_df(encoded: DataFrame, verify_checksum: bool = True) -> DataFrame:
+    """Decode encoded chunks back to the tokens schema (zero shuffles),
+    integrity-checking each chunk against its stored checksum by default."""
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             metas = batch.column(batch.schema.get_field_index("meta"))
             payloads = batch.column(batch.schema.get_field_index("payload"))
             n_rows = batch.column(batch.schema.get_field_index("n_rows"))
+            has_ck = batch.schema.get_field_index("checksum") >= 0
+            checks = batch.column(batch.schema.get_field_index("checksum")) if has_ck else None
             for i in range(batch.num_rows):
+                expected = checks[i].as_py() if (verify_checksum and checks is not None) else None
                 yield decode_chunk_row(
-                    metas[i].as_py(), payloads[i].as_py(), n_rows[i].as_py()
+                    metas[i].as_py(), payloads[i].as_py(), n_rows[i].as_py(), expected
                 )
 
     return encoded.mapInArrow(decode_partition, TOKENS_SCHEMA_DDL)

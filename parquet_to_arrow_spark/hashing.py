@@ -1,0 +1,49 @@
+"""Vectorized content hashing shared by verification and chunk checksums.
+
+Order-sensitive within a row (position-salted splitmix64 per token),
+order-insensitive across rows (wrap-around sum), so a chunk checksum is
+invariant under the encoder's content-clustering row reorder but any token
+value/position damage changes it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def row_token_hashes(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """int64 hash per row of its token array (vectorized, no per-row Python)."""
+    n = len(lengths)
+    lengths = lengths.astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    if total:
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        within = np.arange(total, dtype=np.int64) - offsets[:-1][row_of]
+        x = (
+            values.view(np.uint64)
+            if values.dtype == np.int64
+            else values.astype(np.uint64)
+        )
+        z = x + np.uint64(0x9E3779B97F4A7C15) * (within.astype(np.uint64) + np.uint64(1))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        sums = np.zeros(n, dtype=np.uint64)
+        nonempty = lengths > 0
+        if nonempty.any():
+            sums[nonempty] = np.add.reduceat(z, offsets[:-1][nonempty])
+    else:
+        sums = np.zeros(n, dtype=np.uint64)
+    h = (sums ^ (lengths.astype(np.uint64) * _FNV_PRIME)) * _FNV_PRIME
+    return h.view(np.int64)
+
+
+def chunk_checksum(values: np.ndarray, lengths: np.ndarray) -> int:
+    """Row-order-insensitive int64 checksum of a whole chunk's token content."""
+    h = row_token_hashes(values, lengths).view(np.uint64)
+    v = int(h.sum(dtype=np.uint64))
+    return v - (1 << 64) if v >= (1 << 63) else v

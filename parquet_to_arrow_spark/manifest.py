@@ -21,6 +21,7 @@ MANIFEST_COLUMNS = [
     "raw_bytes",
     "enc_bytes",
     "tokens_codec",
+    "checksum",
 ]
 
 

@@ -79,41 +79,13 @@ def encode_parquet_dir(
 
 HASH_SCHEMA_DDL = "doc_id string, n_tok int, tok_hash long"
 
-_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
-
-
-def _row_token_hashes(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-    """Order-sensitive per-row hash of each token array (vectorized FNV-ish
-    mix over position-salted tokens, reduced per row with reduceat)."""
-    n = len(lengths)
-    lengths = lengths.astype(np.int64)
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
-    total = int(offsets[-1])
-    if total:
-        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
-        within = np.arange(total, dtype=np.int64) - offsets[:-1][row_of]
-        x = values.astype(np.int64).view(np.uint64) if values.dtype == np.int64 else values.astype(np.uint64)
-        z = (x + np.uint64(0x9E3779B97F4A7C15) * (within.astype(np.uint64) + np.uint64(1)))
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        z ^= z >> np.uint64(31)
-        sums = np.zeros(n, dtype=np.uint64)
-        nonempty = lengths > 0
-        if nonempty.any():
-            sums[nonempty] = np.add.reduceat(z, offsets[:-1][nonempty])
-    else:
-        sums = np.zeros(n, dtype=np.uint64)
-    h = (sums ^ (lengths.astype(np.uint64) * _FNV_PRIME)) * _FNV_PRIME
-    return h.view(np.int64)
-
 
 def _hash_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     from ..encode import _tokens_parts
+    from ..hashing import row_token_hashes
 
     values, lengths = _tokens_parts(batch)
-    h = _row_token_hashes(values, lengths)
+    h = row_token_hashes(values, lengths)
     doc = batch.column(batch.schema.get_field_index("doc_id"))
     return pa.RecordBatch.from_arrays(
         [doc, pa.array(lengths.astype(np.int32)), pa.array(h, type=pa.int64())],

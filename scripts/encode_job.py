@@ -25,8 +25,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# allow `python scripts/encode_job.py` from a repo checkout (spark-submit
+# users get the package from --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -53,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.mode == "fast":
         encoded = pio.encode_parquet_dir(spark, args.input, chunk_rows=args.chunk_rows)
-        encoded.write.mode("append").parquet(args.output)
+        encoded.write.mode("append").option("compression", "zstd").parquet(args.output)
     else:
         tokens = spark.read.parquet(args.input)
         keyed = ckpt.with_pkey(tokens, args.buckets)
@@ -65,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         encoded = encode_tokens_df(
             keyed.drop("pkey"), by_key=True, n_buckets=args.buckets, chunk_rows=args.chunk_rows
         )
-        encoded.write.mode("append").parquet(args.output)
+        encoded.write.mode("append").option("compression", "zstd").parquet(args.output)
         if args.checkpoint:
             ckpt.mark_done(spark.read.parquet(args.output), args.checkpoint)
 
