@@ -1,0 +1,186 @@
+"""Golden parity tests for the three reference-binary analogues.
+
+Mirrors the reference's harness pattern (tests/util.py:57-77: build with
+pyarrow -> write temp Parquet -> run tool -> byte-exact compare) and its
+truth tables (tests/test_parquet_to_text_stream.py, tests/test_parquet_diff.py,
+tests/test_parquet_to_arrow.py).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "tools")
+
+from parquet_to_text import convert as to_text  # noqa: E402
+from spark_diff import diff as spark_diff  # noqa: E402
+from parquet_to_arrow import convert as to_arrow  # noqa: E402
+
+
+def _write(tmp_path, table: pa.Table, name="t.parquet", **kw) -> str:
+    path = str(tmp_path / name)
+    pq.write_table(table, path, compression="snappy", version="2.6", **kw)
+    return path
+
+
+# --- parquet-to-text parity ---------------------------------------------------
+
+
+def test_text_basic_int_string(spark, tmp_path):
+    path = _write(tmp_path, pa.table({"A": [1, 2, 3], "B": ["a", None, "c"]}))
+    assert to_text(spark, path, "csv") == "A,B\r\n1,a\r\n2,\r\n3,c"
+    assert (
+        to_text(spark, path, "json")
+        == '[{"A":1,"B":"a"},{"A":2,"B":null},{"A":3,"B":"c"}]'
+    )
+
+
+def test_text_floats_nonfinite(spark, tmp_path):
+    # reference test_convert_f32_f64 (:138-173)
+    path = _write(
+        tmp_path,
+        pa.table(
+            {
+                "f64": pa.array(
+                    [0.12314, 1e52, float("inf"), float("-inf"), float("nan"), None],
+                    type=pa.float64(),
+                )
+            }
+        ),
+    )
+    assert to_text(spark, path, "csv") == "f64\r\n0.12314\r\n1e+52\r\n\r\n\r\n\r\n"
+    assert (
+        to_text(spark, path, "json")
+        == '[{"f64":0.12314},{"f64":1e+52},{"f64":null},{"f64":null},{"f64":null},{"f64":null}]'
+    )
+
+
+def test_text_escaping(spark, tmp_path):
+    # reference test_convert_text (:176-194)
+    path = _write(tmp_path, pa.table({"A": ["a,b", 'say "hi"', "line\nbreak", ""]}))
+    assert (
+        to_text(spark, path, "csv")
+        == 'A\r\n"a,b"\r\n"say ""hi"""\r\n"line\nbreak"\r\n'
+    )
+    assert (
+        to_text(spark, path, "json")
+        == '[{"A":"a,b"},{"A":"say \\"hi\\""},{"A":"line\\nbreak"},{"A":""}]'
+    )
+
+
+def test_text_timestamps_shortest_iso(spark, tmp_path):
+    # reference test_convert_datetime_us (:394-401)
+    vals = [
+        dt.datetime(2019, 3, 4),
+        dt.datetime(2019, 3, 4, 5),
+        dt.datetime(2019, 3, 4, 5, 6),
+        dt.datetime(2019, 3, 4, 5, 6, 7),
+        dt.datetime(2019, 3, 4, 5, 6, 7, 8000),
+        dt.datetime(1960, 3, 4, 5, 6, 7, 8),
+    ]
+    path = _write(tmp_path, pa.table({"us": pa.array(vals, type=pa.timestamp("us"))}))
+    assert to_text(spark, path, "csv") == (
+        "us\r\n2019-03-04T00Z\r\n2019-03-04T05Z\r\n2019-03-04T05:06Z\r\n"
+        "2019-03-04T05:06:07Z\r\n2019-03-04T05:06:07.008Z\r\n1960-03-04T05:06:07.000008Z"
+    )
+
+
+def test_text_row_and_column_range_with_clipping(spark, tmp_path):
+    # reference :281-338
+    table = pa.table({c: [f"{c}{i}" for i in range(5)] for c in "ABCDE"})
+    path = _write(tmp_path, table)
+    assert (
+        to_text(spark, path, "csv", column_range=(1, 3))
+        == "B,C\r\nB0,C0\r\nB1,C1\r\nB2,C2\r\nB3,C3\r\nB4,C4"
+    )
+    assert to_text(spark, path, "csv", row_range=(2, 4)) == (
+        "A,B,C,D,E\r\nA2,B2,C2,D2,E2\r\nA3,B3,C3,D3,E3"
+    )
+    # ranges past the table clip (reference Range.clip)
+    assert to_text(spark, path, "csv", row_range=(4, 99), column_range=(3, 99)) == (
+        "D,E\r\nD4,E4"
+    )
+
+
+# --- parquet-diff parity --------------------------------------------------------
+
+
+def test_diff_truth_table(spark, tmp_path):
+    base = pa.table({"A": [1, 2, 3], "B": ["x", None, "z"]})
+    p1 = _write(tmp_path, base, "a.parquet")
+
+    # identical content, separately written file -> equal
+    p2 = _write(tmp_path, pa.table({"A": [1, 2, 3], "B": ["x", None, "z"]}), "b.parquet")
+    assert spark_diff(spark, p1, p2)[0] == 0
+
+    # value difference -> 1, first-diff report
+    p3 = _write(tmp_path, pa.table({"A": [1, 2, 3], "B": ["x", "y", "z"]}), "c.parquet")
+    code, msgs = spark_diff(spark, p1, p3)
+    assert code == 1
+    assert msgs[0].startswith("Column B, Row 1")
+    assert msgs[1] == "-None" and msgs[2] == "+y"
+
+    # column name difference -> 1
+    p4 = _write(tmp_path, pa.table({"A": [1, 2, 3], "C": ["x", None, "z"]}), "d.parquet")
+    assert spark_diff(spark, p1, p4)[0] == 1
+
+    # physical type difference (int32 vs int64, reference :33-39) -> 1
+    p5 = _write(
+        tmp_path,
+        pa.table({"A": pa.array([1, 2, 3], type=pa.int32()), "B": ["x", None, "z"]}),
+        "e.parquet",
+    )
+    assert spark_diff(spark, p1, p5)[0] == 1
+
+    # row count difference -> 1
+    p6 = _write(tmp_path, pa.table({"A": [1, 2], "B": ["x", None]}), "f.parquet")
+    assert spark_diff(spark, p1, p6)[0] == 1
+
+    # dictionary-encoded vs plain but equal values -> equal (reference :210-214)
+    p7 = _write(
+        tmp_path,
+        pa.table({"A": [1, 2, 3], "B": ["x", None, "z"]}),
+        "g.parquet",
+        use_dictionary=True,
+    )
+    p8 = _write(
+        tmp_path,
+        pa.table({"A": [1, 2, 3], "B": ["x", None, "z"]}),
+        "h.parquet",
+        use_dictionary=False,
+    )
+    assert spark_diff(spark, p7, p8)[0] == 0
+
+    # nested -> 2 (reference exit 2, :53-61)
+    p9 = _write(tmp_path, pa.table({"A": [[1, 2], [3]]}), "i.parquet")
+    assert spark_diff(spark, p9, p9)[0] == 2
+
+
+# --- parquet-to-arrow parity -----------------------------------------------------
+
+
+def test_to_arrow_roundtrip_and_dictionary_preservation(spark, tmp_path):
+    table = pa.table(
+        {
+            "num": pa.array([1, 2**62, 3], type=pa.int64()),
+            "txt": pa.array(["x", "x", "y"]),
+            "f": pa.array([1.0, 2.2, float("nan")], type=pa.float64()),
+        }
+    )
+    src = _write(tmp_path, table, "src.parquet", use_dictionary=["txt"])
+    out = str(tmp_path / "out.arrow")
+    to_arrow(spark, src, out)
+    with pa.ipc.open_file(out) as reader:
+        got = reader.read_all()
+    assert got.schema.metadata is None or len(got.schema.metadata) == 0
+    assert pa.types.is_dictionary(got.schema.field("txt").type)
+    assert got.column("txt").to_pylist() == ["x", "x", "y"]
+    assert got.column("num").to_pylist() == [1, 2**62, 3]
+    f = got.column("f").to_pylist()
+    assert f[0] == 1.0 and f[1] == 2.2 and np.isnan(f[2])
