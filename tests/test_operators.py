@@ -1,0 +1,90 @@
+"""Ground-truth tests for the training-data operators: planted duplicates
+must be found, ANN must agree with brute force on easy cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark, tmp_path_factory):
+    """documents table with planted exact + near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    rows = [
+        Row(doc_id=1, text=base * 8, lang="en", source="web", n_chars=len(base * 8)),
+        Row(doc_id=2, text=base * 8, lang="en", source="web", n_chars=len(base * 8)),  # exact dup
+        Row(doc_id=3, text=(base * 8)[:-10] + "different!", lang="en", source="web",
+            n_chars=len(base * 8)),  # near dup
+        Row(doc_id=4, text="completely unrelated content about spaceships and stars "
+            "orbit gravity mission " * 6, lang="en", source="books", n_chars=10),
+        Row(doc_id=5, text="short one", lang="en", source="forum", n_chars=9),
+    ]
+    d = tmp_path_factory.mktemp("planted")
+    spark.createDataFrame(rows).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_finds_planted_dup(spark, planted_docs):
+    from parquet_to_arrow_spark.operators.dedup import exact_dedup_groups, exact_dedup_kept
+
+    groups = {r["keep_id"]: r["n_copies"] for r in exact_dedup_groups(spark, planted_docs).collect()}
+    assert groups[1] == 2  # doc 2 collapsed into doc 1
+    kept = {r["doc_id"] for r in exact_dedup_kept(spark, planted_docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, planted_docs):
+    from parquet_to_arrow_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(spark, planted_docs, threshold=0.5).collect()}
+    assert pairs.get((1, 2)) == 1.0  # exact dup -> identical signatures
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup caught by banding
+    assert (1, 4) not in pairs and (1, 5) not in pairs  # unrelated not paired
+
+
+def test_ngram_jaccard_scores_planted_pair(spark, planted_docs):
+    from parquet_to_arrow_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(spark, planted_docs, threshold=0.5, max_df=10).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert pairs.get((1, 3), 0) > 0.5
+
+
+def test_simhash_near_dup_has_small_hamming(spark, planted_docs):
+    from parquet_to_arrow_spark.operators.dedup import simhash64
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(spark, planted_docs).collect()}
+    assert h[1] == h[2]
+    near = bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1")
+    far = bin((h[1] ^ h[4]) & ((1 << 64) - 1)).count("1")
+    assert near < far, (near, far)
+
+
+def test_ann_lsh_subset_of_bruteforce_order(spark):
+    from parquet_to_arrow_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+
+    bf = brute_force_topk(spark, SF, n_queries=3, k=10).collect()
+    bf_rank = {(r["query_id"], r["neighbor_id"]): r["rank"] for r in bf}
+    lsh = ann_lsh_topk(spark, SF, n_queries=3, k=10).collect()
+    # every LSH hit that brute force also ranked must respect relative order
+    for q in {r["query_id"] for r in lsh}:
+        hits = [r for r in lsh if r["query_id"] == q]
+        common = [r for r in hits if (q, r["neighbor_id"]) in bf_rank]
+        bf_order = sorted(common, key=lambda r: bf_rank[(q, r["neighbor_id"])])
+        assert [r["neighbor_id"] for r in bf_order] == [
+            r["neighbor_id"] for r in sorted(common, key=lambda r: r["rank"])
+        ]
+
+
+def test_lang_id_marks_english(spark, planted_docs):
+    from parquet_to_arrow_spark.operators.textstats import lang_id
+
+    got = {r["doc_id"]: r["lang_guess"] for r in lang_id(spark, planted_docs).collect()}
+    assert got[1] == "en"
+    assert got[5] == "unknown"  # no markers in "short one"

@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the Catalyst properties the engine relies on.
+
+The reference hand-built these techniques (SURVEY.md §4); here they must
+come out of Catalyst — so the tests pin them: column pruning reaches the
+scan, filters push down, small dims broadcast, the encode fast path has no
+shuffle, and aggregations are partial (map-side combine).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_projection_prunes_scan(spark):
+    from parquet_to_arrow_spark.operators.relational import projection_column_range
+
+    plan = plan_of(projection_column_range(spark, SF))
+    # ReadSchema must contain exactly the 3 projected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_partkey" in read_schema and "l_suppkey" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_filter_pushes_down_to_parquet(spark):
+    from parquet_to_arrow_spark.operators.relational import q1_pricing_summary
+
+    plan = plan_of(q1_pricing_summary(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "l_shipdate" in pushed[0], pushed
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    from parquet_to_arrow_spark.operators.relational import revenue_by_nation
+
+    plan = plan_of(revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregation_is_partial(spark):
+    from parquet_to_arrow_spark.operators.relational import agg_stats_by_source
+
+    plan = plan_of(agg_stats_by_source(spark, SF))
+    # partial + final HashAggregate = map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_encode_fast_path_has_no_shuffle(spark, tmp_path):
+    from parquet_to_arrow_spark.sources.io import encode_parquet_dir
+    from parquet_to_arrow_spark.sources.synth import synth_tokens_df
+
+    path = str(tmp_path / "tok")
+    synth_tokens_df(spark, 200, n_partitions=2).write.parquet(path)
+    plan = plan_of(encode_parquet_dir(spark, path))
+    assert "Exchange" not in plan, plan
+
+
+def test_decode_path_has_no_shuffle(spark, tmp_path):
+    from parquet_to_arrow_spark.decode import decode_chunks_df
+    from parquet_to_arrow_spark.encode import encode_tokens_df
+    from parquet_to_arrow_spark.sources.synth import synth_tokens_df
+
+    plan = plan_of(decode_chunks_df(encode_tokens_df(synth_tokens_df(spark, 200))))
+    assert "Exchange" not in plan, plan
+
+
+def test_checkpoint_anti_join_broadcasts(spark):
+    from parquet_to_arrow_spark import checkpoint
+    from parquet_to_arrow_spark.sources.synth import synth_tokens_df
+
+    tokens = checkpoint.with_pkey(synth_tokens_df(spark, 200), 16)
+    done = spark.createDataFrame([(1,), (2,)], "pkey int")
+    plan = plan_of(checkpoint.pending(tokens, done))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
