@@ -25,7 +25,16 @@ def encode(values: np.ndarray) -> tuple[bytes, dict]:
     dtype = values.dtype.name
     if len(values) == 0:
         return b"", {"dtype": dtype, "card": 0}
-    uniq, inverse = np.unique(values, return_inverse=True)
+    vmin, vmax = int(values.min()), int(values.max())
+    if vmax - vmin < (1 << 16):
+        # O(n + range) bincount dictionary — no sort
+        offs = (values.astype(np.int64) - vmin).astype(np.intp)
+        hist = np.bincount(offs, minlength=vmax - vmin + 1)
+        mask = hist > 0
+        uniq = (np.flatnonzero(mask) + vmin).astype(values.dtype)
+        inverse = (np.cumsum(mask) - 1)[offs]
+    else:
+        uniq, inverse = np.unique(values, return_inverse=True)
     width = bit_width(len(uniq) - 1)
     val_payload, val_meta = for_.encode(uniq)
     idx_payload = pack_bits(inverse.astype(np.uint64), width)

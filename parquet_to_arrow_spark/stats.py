@@ -37,18 +37,26 @@ def int_stats(values: np.ndarray) -> dict:
     run_lengths = np.diff(bounds)
     stats["n_runs"] = int(len(starts))
     stats["max_run"] = int(run_lengths.max())
-    sample = values[:_CARD_SAMPLE]
-    card = len(np.unique(sample))
-    if n > len(sample):
-        # Deterministic projection from the sample's distinct ratio:
-        # near-all-distinct sample => cardinality grows ~linearly with n
-        # (dict would be useless); saturated sample => vocab already seen.
-        ratio = card / len(sample)
-        if ratio >= 0.5:
-            card = int(n * ratio)
-        elif ratio >= 0.1:
-            card = int(card * min((n / len(sample)) ** 0.5, 8.0))
-        card = min(card, n, stats["vmax"] - stats["vmin"] + 1)
+    vrange = stats["vmax"] - stats["vmin"]
+    if vrange < (1 << 16):
+        # exact cardinality via bincount — one O(n) pass, no sort
+        hist = np.bincount(
+            (values.astype(np.int64) - stats["vmin"]).astype(np.intp), minlength=vrange + 1
+        )
+        card = int(np.count_nonzero(hist))
+    else:
+        sample = values[:_CARD_SAMPLE]
+        card = len(np.unique(sample))
+        if n > len(sample):
+            # Deterministic projection from the sample's distinct ratio:
+            # near-all-distinct sample => cardinality grows ~linearly with n
+            # (dict would be useless); saturated sample => vocab already seen.
+            ratio = card / len(sample)
+            if ratio >= 0.5:
+                card = int(n * ratio)
+            elif ratio >= 0.1:
+                card = int(card * min((n / len(sample)) ** 0.5, 8.0))
+            card = min(card, n, vrange + 1)
     stats["card"] = max(card, 1)
     stats["byte_sample"] = values[: _BYTE_SAMPLE // values.dtype.itemsize].tobytes()
     return stats

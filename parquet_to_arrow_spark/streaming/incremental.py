@@ -53,3 +53,32 @@ def incremental_encode(
 def run_incremental_encode(spark, input_dir, output_dir, checkpoint_dir) -> None:
     q = incremental_encode(spark, input_dir, output_dir, checkpoint_dir)
     q.awaitTermination()
+
+
+def streaming_encode_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "encode_metrics",
+) -> StreamingQuery:
+    """Event-time windowed rollup of landing volume: the watermark +
+    windowed-aggregation shape (late rows beyond 10 minutes dropped), fed by
+    the same landing directory. Memory sink for inspection:
+    ``spark.sql(f"SELECT * FROM {queryName}")``."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(TOKENS_SCHEMA_DDL).parquet(input_dir)
+    agg = (
+        stream.withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", "10 minutes")
+        .groupBy(F.window("ingest_ts", "5 minutes"), F.col("source"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    return (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

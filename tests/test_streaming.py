@@ -32,3 +32,24 @@ def test_incremental_encode_picks_up_new_files(spark, tmp_path):
 
     decoded = decode_chunks_df(spark.read.parquet(out))
     assert_roundtrip(synth_tokens_df(spark, 800, n_partitions=2), decoded)
+
+
+def test_streaming_windowed_metrics(spark, tmp_path):
+    from parquet_to_arrow_spark.streaming.incremental import streaming_encode_metrics
+
+    land = str(tmp_path / "landing2")
+    synth_tokens_df(spark, 300, n_partitions=2).write.parquet(land)
+    q = streaming_encode_metrics(spark, land, str(tmp_path / "ck2"), queryName="m1")
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM m1").collect()
+    assert sum(r["n_docs"] for r in rows) == 300
+    assert {r["source"] for r in rows} <= {"web", "books", "code", "wiki", "forum"}
+
+
+def test_iceberg_fallback_roundtrip(spark, tmp_path):
+    from parquet_to_arrow_spark.sources.iceberg import append, iceberg_available, read_table
+
+    assert iceberg_available(spark) is False  # jars absent in this image
+    df = synth_tokens_df(spark, 100, n_partitions=1)
+    append(df, str(tmp_path / "tbl"))
+    assert read_table(spark, str(tmp_path / "tbl")).count() == 100
