@@ -55,6 +55,12 @@ def _tokens_parts(batch: pa.RecordBatch) -> tuple[np.ndarray, np.ndarray]:
     col = batch.column(batch.schema.get_field_index("tokens"))
     if isinstance(col, pa.ChunkedArray):  # pragma: no cover
         col = col.combine_chunks()
+    if col.null_count:
+        # input contract: tokens array<int32> with containsNull=false
+        raise ValueError(
+            f"tokens column contains {col.null_count} null rows; "
+            "the engine requires non-null token arrays (use [] for empty)"
+        )
     flat = col.flatten()
     if flat.type != pa.int32():
         flat = flat.cast(pa.int32())
@@ -88,8 +94,9 @@ def _cluster_order(values: np.ndarray, lengths: np.ndarray) -> tuple[np.ndarray,
     nonempty = lengths > 0
     if values.size and nonempty.any():
         starts = offsets[:-1][nonempty]
-        rmin[nonempty] = np.minimum.reduceat(values.astype(np.int64), starts)
-        rmax[nonempty] = np.maximum.reduceat(values.astype(np.int64), starts)
+        # reduceat on the native dtype (no full int64 copy); widen after
+        rmin[nonempty] = np.minimum.reduceat(values, starts).astype(np.int64)
+        rmax[nonempty] = np.maximum.reduceat(values, starts).astype(np.int64)
     width = np.zeros(n, dtype=np.int64)
     rng = rmax - rmin
     pos = rng > 0

@@ -43,7 +43,12 @@ def row_token_hashes(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 
 
 def chunk_checksum(values: np.ndarray, lengths: np.ndarray) -> int:
-    """Row-order-insensitive int64 checksum of a whole chunk's token content."""
-    h = row_token_hashes(values, lengths).view(np.uint64)
-    v = int(h.sum(dtype=np.uint64))
+    """int64 checksum of a chunk's stored token content (crc32 over the flat
+    value buffer and the lengths buffer — C speed; decode reproduces the
+    same arrays in the same stored order, so order sensitivity is fine)."""
+    import zlib
+
+    a = zlib.crc32(np.ascontiguousarray(values).data)
+    b = zlib.crc32(np.ascontiguousarray(lengths.astype(np.int64, copy=False)).data)
+    v = (a << 32) | b
     return v - (1 << 64) if v >= (1 << 63) else v
