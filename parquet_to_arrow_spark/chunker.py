@@ -72,6 +72,68 @@ def with_salted_pkey(df: DataFrame, plan: dict) -> DataFrame:
     return df.withColumn("pkey", expr)
 
 
+def compact_small_chunks(
+    encoded: DataFrame, min_rows: int = 2048, target_rows: int = 8192
+) -> DataFrame:
+    """Adaptive coalescing of undersized encoded chunks.
+
+    Chunks below ``min_rows`` (stragglers from small files / tail buckets /
+    incremental micro-batches) are decoded, concatenated to ``target_rows``
+    and re-encoded; full-size chunks pass through untouched. One narrow
+    filter + one small shuffle over only the undersized chunks — at scale the
+    pass-through majority never moves.
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    from pyspark import TaskContext
+
+    from .encode import ENCODED_SCHEMA_DDL, decode_chunk_row, encode_batch
+
+    big = encoded.filter(F.col("n_rows") >= min_rows)
+    small = encoded.filter(F.col("n_rows") < min_rows)
+
+    def recombine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pid = TaskContext.get().partitionId()
+        buffer: list[pa.RecordBatch] = []
+        buffered = 0
+        seq = 0
+
+        def flush():
+            nonlocal buffer, buffered, seq
+            if not buffer:
+                return None
+            merged = (
+                pa.Table.from_batches(buffer).combine_chunks().to_batches()[0]
+                if len(buffer) > 1
+                else buffer[0]
+            )
+            out = encode_batch(merged, chunk_id=f"compact-{pid:05d}.{seq:05d}")
+            buffer, buffered = [], 0
+            seq += 1
+            return out
+
+        for batch in batches:
+            metas = batch.column(batch.schema.get_field_index("meta"))
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            n_rows = batch.column(batch.schema.get_field_index("n_rows"))
+            for i in range(batch.num_rows):
+                buffer.append(
+                    decode_chunk_row(metas[i].as_py(), payloads[i].as_py(), n_rows[i].as_py())
+                )
+                buffered += n_rows[i].as_py()
+                if buffered >= target_rows:
+                    yield flush()
+        out = flush()
+        if out is not None:
+            yield out
+
+    n_small_parts = max(small.sparkSession.sparkContext.defaultParallelism // 2, 1)
+    recombined = small.repartition(n_small_parts).mapInArrow(recombine, ENCODED_SCHEMA_DDL)
+    return big.unionByName(recombined)
+
+
 def encode_skew_aware(df: DataFrame, n_buckets: int = 256, chunk_rows: int = 8192) -> DataFrame:
     """Source-aligned, skew-safe keyed encode: plan -> salt -> bucket encode."""
     from .encode import encode_tokens_df

@@ -60,3 +60,17 @@ def test_checksum_catches_payload_corruption(spark):
         batch = decode_chunk_row(row["meta"], bytes(tampered), row["n_rows"], row["checksum"])
         # if structure survived, the checksum must not
         raise AssertionError(f"tamper undetected: {batch.num_rows}")
+
+
+def test_compact_small_chunks(spark):
+    from parquet_to_arrow_spark.chunker import compact_small_chunks
+
+    tokens = synth_tokens_df(spark, 4000, avg_tokens=32, n_partitions=8).cache()
+    tiny = encode_tokens_df(tokens, by_key=True, n_buckets=8, chunk_rows=128).cache()
+    n_before = tiny.count()
+    compacted = compact_small_chunks(tiny, min_rows=1024, target_rows=2048).cache()
+    n_after = compacted.count()
+    assert n_after < n_before / 4, (n_before, n_after)
+    assert compacted.agg(F.sum("n_rows")).collect()[0][0] == 4000
+    assert_roundtrip(tokens, decode_chunks_df(compacted))
+    tiny.unpersist(); compacted.unpersist(); tokens.unpersist()

@@ -184,3 +184,38 @@ def test_to_arrow_roundtrip_and_dictionary_preservation(spark, tmp_path):
     assert got.column("num").to_pylist() == [1, 2**62, 3]
     f = got.column("f").to_pylist()
     assert f[0] == 1.0 and f[1] == 2.2 and np.isnan(f[2])
+
+
+def test_text_unsigned_and_narrow_ints(spark, tmp_path):
+    # reference test_convert_int_types (:84-135) incl. u64 > i64max
+    table = pa.table(
+        {
+            "i8": pa.array([-128, 127, None], type=pa.int8()),
+            "u32": pa.array([0, 4294967295, None], type=pa.uint32()),
+            "u64": pa.array([0, 9223372039002259456, None], type=pa.uint64()),
+        }
+    )
+    path = _write(tmp_path, table)
+    assert to_text(spark, path, "csv") == (
+        "i8,u32,u64\r\n-128,0,0\r\n127,4294967295,9223372039002259456\r\n,,"
+    )
+
+
+def test_text_date32_pre_epoch(spark, tmp_path):
+    # reference test_convert_date32 (:438-450)
+    path = _write(
+        tmp_path,
+        pa.table({"d": pa.array([18689, None, -123], type=pa.date32())}),
+    )
+    assert to_text(spark, path, "csv") == "d\r\n2021-03-03\r\n\r\n1969-08-31"
+    assert (
+        to_text(spark, path, "json")
+        == '[{"d":"2021-03-03"},{"d":null},{"d":"1969-08-31"}]'
+    )
+
+
+def test_text_zero_rows(spark, tmp_path):
+    # reference zero-row tests (:259-278)
+    path = _write(tmp_path, pa.table({"A": pa.array([], type=pa.string())}))
+    assert to_text(spark, path, "csv") == "A"
+    assert to_text(spark, path, "json") == "[]"
