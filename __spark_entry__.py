@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents_text": eq.roundtrip_documents_text,
         "roundtrip_lineitem_ints": eq.roundtrip_lineitem_ints,
         "roundtrip_tokenized_documents": eq.roundtrip_tokenized_documents,
+        "roundtrip_orders_table": eq.roundtrip_orders_table,
         "codec_metrics_tokenized": eq.codec_metrics_tokenized,  # rows-only
         # --- scalar render functions (SURVEY.md §2.8) ---
         "render_iso_timestamps": eq.render_iso_timestamps,
@@ -224,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(CAST(o_totalprice AS VARCHAR), '\.0$', '')
                        AS price_str
             FROM orders""",
+        "roundtrip_orders_table": "SELECT * FROM orders",
         # --- dedup ---
         "exact_dedup_groups": (
             "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"

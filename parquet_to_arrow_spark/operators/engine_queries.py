@@ -115,6 +115,16 @@ def roundtrip_tokenized_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+def roundtrip_orders_table(spark, sf_dir) -> DataFrame:
+    """The whole orders table (ints, strings, double, timestamp) through the
+    GENERIC table codec (values/validity model) and back; identity oracle."""
+    from ..table_codec import decode_table_df, encode_table_df
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in orders.schema.fields)
+    return decode_table_df(encode_table_df(orders), ddl)
+
+
 def render_iso_timestamps(spark, sf_dir) -> DataFrame:
     """F3: shortest ISO-8601 UTC rendering of event timestamps (JVM-side)."""
     from ..functions.render import iso8601_shortest
