@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": rel.customers_without_orders,
         "revenue_by_nation": rel.revenue_by_nation,
         "events_hourly_rollup": rel.events_hourly_rollup,
+        "sessionize_events": rel.sessionize_events,
+        "pivot_qty_by_status": rel.pivot_qty_by_status,
+        "rollup_counts": rel.rollup_counts,
         # --- engine codec pipeline on real data (identity oracles) ---
         "roundtrip_documents_text": eq.roundtrip_documents_text,
         "roundtrip_lineitem_ints": eq.roundtrip_lineitem_ints,
@@ -188,6 +191,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "sessionize_events": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, event_id,
+                       CAST(sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(event_id) AS first_event, max(event_id) AS last_event
+            FROM s GROUP BY user_id, session_id""",
+        "pivot_qty_by_status": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN l_linestatus = 'O'
+                            THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_O,
+                   CAST(sum(CASE WHEN l_linestatus = 'F'
+                            THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_F
+            FROM lineitem GROUP BY l_returnflag""",
+        "rollup_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
         # --- engine round-trips: identity oracles ---
         "roundtrip_documents_text": "SELECT doc_id, text FROM documents",
         "roundtrip_lineitem_ints": (

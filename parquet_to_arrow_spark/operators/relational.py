@@ -181,6 +181,45 @@ def revenue_by_nation(spark, sf_dir) -> DataFrame:
     )
 
 
+def sessionize_events(spark, sf_dir, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user session ids from event-time gaps (window lag
+    + cumulative gap count — the batch shape of session_window)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    with_sid = ev.withColumn(
+        "session_id", F.sum(new_session).over(w).cast("long")
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+def pivot_qty_by_status(spark, sf_dir) -> DataFrame:
+    """Pivot: quantity by returnflag x linestatus (decimal-exact sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_quantity").cast("decimal(18,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", dec)).cast("double").alias("qty_O"),
+        F.sum(F.when(F.col("l_linestatus") == "F", dec)).cast("double").alias("qty_F"),
+    )
+
+
+def rollup_counts(spark, sf_dir) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping sets, incl. totals."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
 # --- events: batch shape of the streaming hourly rollup ----------------------
 
 
