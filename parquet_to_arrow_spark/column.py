@@ -30,9 +30,9 @@ from .stats import int_stats
 # --- integer arrays ---------------------------------------------------------
 
 
-def encode_int_array(values: np.ndarray) -> dict:
+def encode_int_array(values: np.ndarray, vmin: int | None = None, vmax: int | None = None) -> dict:
     """Encode a flat int32/int64 array; returns {codec, meta, payload, ...}."""
-    stats = int_stats(values)
+    stats = int_stats(values, vmin=vmin, vmax=vmax)
     plain_bytes = stats["n"] * stats["itemsize"]
     ranked = rank_int_codecs(stats)
     best = ranked[0][1]

@@ -114,13 +114,13 @@ def _cluster_order(values: np.ndarray, lengths: np.ndarray) -> tuple[np.ndarray,
     misc = group_values < _MIN_GROUP_VALUES
     relabeled = np.where(misc[inv], np.int64(1 << 30), label)
     order = np.argsort(relabeled, kind="stable")
-    return order, relabeled[order]
+    return order, relabeled[order], rmin, rmax
 
 
 def encode_batch(batch: pa.RecordBatch, chunk_id: str, pkey: int = -1) -> pa.RecordBatch:
     """Encode one Arrow batch of tokens rows into a single encoded-chunk row."""
     values, lengths = _tokens_parts(batch)
-    order, labels = _cluster_order(values, lengths)
+    order, labels, rmin, rmax = _cluster_order(values, lengths)
     doc_id = batch.column(batch.schema.get_field_index("doc_id"))
     source = batch.column(batch.schema.get_field_index("source"))
     if isinstance(doc_id, pa.ChunkedArray):  # pragma: no cover
@@ -149,19 +149,29 @@ def encode_batch(batch: pa.RecordBatch, chunk_id: str, pkey: int = -1) -> pa.Rec
         "doc_id": encode_string_array(doc_id),
         "source": encode_string_array(source),
     }
-    # one encoded part per content group of the tokens stream
+    # one encoded part per content group of the tokens stream; group extrema
+    # come free from the clustering pass's per-row reduceat (no extra scan)
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
+    rmin_o, rmax_o = rmin[order], rmax[order]
+    nonempty_o = lengths > 0
+    row_bounds = [0]
     boundaries = [0]
     if len(labels):
         change = np.flatnonzero(labels[1:] != labels[:-1])
+        row_bounds += [int(i + 1) for i in change]
         boundaries += [int(offsets[i + 1]) for i in change]
+    row_bounds.append(len(labels))
     boundaries.append(int(offsets[-1]))
     n_groups = max(len(boundaries) - 1, 1)
     biggest, main_codec = -1, "plain"
     for gi in range(n_groups):
         lo, hi = boundaries[gi], boundaries[gi + 1]
-        enc = encode_int_array(values[lo:hi])
+        ra, rb = row_bounds[gi], row_bounds[gi + 1]
+        gmask = nonempty_o[ra:rb]
+        gmin = int(rmin_o[ra:rb][gmask].min()) if gmask.any() else None
+        gmax = int(rmax_o[ra:rb][gmask].max()) if gmask.any() else None
+        enc = encode_int_array(values[lo:hi], vmin=gmin, vmax=gmax)
         parts[f"tokens_g{gi}"] = enc
         if hi - lo > biggest:
             biggest, main_codec = hi - lo, enc["codec"]

@@ -19,7 +19,9 @@ _CARD_SAMPLE = 1 << 16
 _BYTE_SAMPLE = 1 << 16
 
 
-def int_stats(values: np.ndarray) -> dict:
+def int_stats(values: np.ndarray, vmin: int | None = None, vmax: int | None = None) -> dict:
+    """Chunk stats; pass ``vmin``/``vmax`` when already known (the encoder's
+    clustering pass computes per-row extrema, so group extrema are free)."""
     n = len(values)
     stats: dict = {
         "n": n,
@@ -29,14 +31,19 @@ def int_stats(values: np.ndarray) -> dict:
     if n == 0:
         stats.update(vmin=0, vmax=0, n_runs=0, max_run=0, card=0, byte_sample=b"")
         return stats
-    stats["vmin"] = int(values.min())
-    stats["vmax"] = int(values.max())
-    change = np.flatnonzero(values[1:] != values[:-1])
+    stats["vmin"] = int(values.min()) if vmin is None else int(vmin)
+    stats["vmax"] = int(values.max()) if vmax is None else int(vmax)
+    # run structure estimated on a prefix sample (deterministic); the RLE
+    # encoder recomputes exact runs if selected, and the PLAIN actual-size
+    # guard catches estimate misses
+    rs = values[: _CARD_SAMPLE]
+    change = np.flatnonzero(rs[1:] != rs[:-1])
     starts = np.concatenate((np.zeros(1, dtype=np.int64), change + 1))
-    bounds = np.concatenate((starts, np.array([n], dtype=np.int64)))
+    bounds = np.concatenate((starts, np.array([len(rs)], dtype=np.int64)))
     run_lengths = np.diff(bounds)
-    stats["n_runs"] = int(len(starts))
-    stats["max_run"] = int(run_lengths.max())
+    scale = n / len(rs)
+    stats["n_runs"] = max(int(len(starts) * scale), 1)
+    stats["max_run"] = max(int(run_lengths.max()), 1)
     vrange = stats["vmax"] - stats["vmin"]
     if vrange < (1 << 16):
         # exact cardinality via bincount — one O(n) pass, no sort
