@@ -3,7 +3,8 @@
 Usage (local or cluster — the script itself is cluster-agnostic):
 
     scripts/make_pyfiles.sh   # builds build/parquet_to_arrow_spark.zip
-    spark-submit --py-files build/parquet_to_arrow_spark.zip \
+    spark-submit --driver-memory 16g \
+        --py-files build/parquet_to_arrow_spark.zip \
         scripts/encode_job.py \
         --input /data/tokens --output /data/encoded \
         --manifest /data/manifest --checkpoint /data/ckpt \
