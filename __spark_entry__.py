@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": rel.sessionize_events,
         "pivot_qty_by_status": rel.pivot_qty_by_status,
         "rollup_counts": rel.rollup_counts,
+        "price_histogram": rel.price_histogram,
         # --- engine codec pipeline on real data (identity oracles) ---
         "roundtrip_documents_text": eq.roundtrip_documents_text,
         "roundtrip_lineitem_ints": eq.roundtrip_lineitem_ints,
@@ -218,6 +219,15 @@ def oracle_sql() -> dict[str, str]:
         "rollup_counts": """
             SELECT l_returnflag, l_linestatus, count(*) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+        "price_histogram": """
+            -- width_bucket spelled out (DuckDB 1.0 lacks the function);
+            -- width = (600000-0)/10 = 60000 exactly, same arithmetic as Spark
+            SELECT CASE WHEN o_totalprice < 0 THEN 0
+                        WHEN o_totalprice >= 600000.0 THEN 11
+                        ELSE CAST(floor(o_totalprice / 60000.0) AS BIGINT) + 1
+                   END AS bucket,
+                   count(*) AS n
+            FROM orders GROUP BY 1""",
         # --- engine round-trips: identity oracles ---
         "roundtrip_documents_text": "SELECT doc_id, text FROM documents",
         "roundtrip_lineitem_ints": (

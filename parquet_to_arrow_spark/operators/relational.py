@@ -214,6 +214,21 @@ def pivot_qty_by_status(spark, sf_dir) -> DataFrame:
     )
 
 
+def price_histogram(spark, sf_dir, buckets: int = 10) -> DataFrame:
+    """Value-distribution histogram via width_bucket — the shape of the
+    selector's run-length/value histograms as a relational query."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(buckets)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def rollup_counts(spark, sf_dir) -> DataFrame:
     """CUBE over (returnflag, linestatus): all grouping sets, incl. totals."""
     li = _t(spark, sf_dir, "lineitem")

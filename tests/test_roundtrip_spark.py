@@ -110,3 +110,16 @@ def test_empty_input(spark):
     encoded = encode_tokens_df(empty)
     assert encoded.count() == 0
     assert decode_chunks_df(encoded).count() == 0
+
+
+def test_null_tokens_rejected(spark):
+    from pyspark.sql import Row
+    import pyspark
+
+    bad = spark.createDataFrame(
+        [Row(doc_id="a", tokens=[1, 2], n_tok=2, source="web"),
+         Row(doc_id="b", tokens=None, n_tok=0, source="web")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(Exception, match="null"):
+        encode_tokens_df(bad).collect()
