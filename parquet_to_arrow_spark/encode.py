@@ -213,40 +213,54 @@ def encode_batch(batch: pa.RecordBatch, chunk_id: str, pkey: int = -1) -> pa.Rec
 
 
 def decode_chunk_row(
-    meta_json: str, payload: bytes, n_rows: int, expected_checksum: int | None = None
+    meta_json: str,
+    payload: bytes,
+    n_rows: int,
+    expected_checksum: int | None = None,
+    columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source"),
 ) -> pa.RecordBatch:
     """Inverse of :func:`encode_batch`: one encoded row -> a tokens batch.
 
     With ``expected_checksum`` the decoded token content is integrity-checked
     against the checksum stamped at encode time (storage corruption surfaces
-    here, not at the differ)."""
+    here, not at the differ).
+
+    ``columns`` prunes the decode to the requested columns — the engine's own
+    projection pushdown (reference P1 applied to our chunk format: unneeded
+    column parts are never decoded; their payload bytes are skipped)."""
     parts = _unpack_parts(json.loads(meta_json)["parts"], payload)
     lengths = decode_int_array(
         parts["lengths"]["codec"], parts["lengths"]["meta"], parts["lengths"]["payload"], n_rows
     )
-    n_groups = parts["tokens"]["meta"]["n_groups"]
-    pieces = []
-    for gi in range(n_groups):
-        p = parts[f"tokens_g{gi}"]
-        pieces.append(decode_int_array(p["codec"], p["meta"], p["payload"], p["n"]))
-    values = pieces[0] if n_groups == 1 else np.concatenate(pieces)
+    values = None
+    if "tokens" in columns or expected_checksum is not None:
+        n_groups = parts["tokens"]["meta"]["n_groups"]
+        pieces = []
+        for gi in range(n_groups):
+            p = parts[f"tokens_g{gi}"]
+            pieces.append(decode_int_array(p["codec"], p["meta"], p["payload"], p["n"]))
+        values = pieces[0] if n_groups == 1 else np.concatenate(pieces)
     if expected_checksum is not None:
         got = chunk_checksum(values, lengths)
         if got != expected_checksum:
             raise ValueError(
                 f"chunk checksum mismatch: stored {expected_checksum}, decoded {got}"
             )
-    doc_id = decode_string_array(parts["doc_id"]["meta"], parts["doc_id"]["payload"])
-    source = decode_string_array(parts["source"]["meta"], parts["source"]["payload"])
-    offsets = np.zeros(n_rows + 1, dtype=np.int64)
-    np.cumsum(lengths.astype(np.int64), out=offsets[1:])
-    tokens = pa.ListArray.from_arrays(
-        pa.array(offsets.astype(np.int32)), pa.array(values, type=pa.int32())
-    )
-    return pa.RecordBatch.from_arrays(
-        [doc_id, tokens, pa.array(lengths.astype(np.int32)), source],
-        names=["doc_id", "tokens", "n_tok", "source"],
-    )
+    out: dict[str, pa.Array] = {}
+    if "doc_id" in columns:
+        out["doc_id"] = decode_string_array(parts["doc_id"]["meta"], parts["doc_id"]["payload"])
+    if "tokens" in columns:
+        offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(lengths.astype(np.int64), out=offsets[1:])
+        out["tokens"] = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)), pa.array(values, type=pa.int32())
+        )
+    if "n_tok" in columns:
+        out["n_tok"] = pa.array(lengths.astype(np.int32))
+    if "source" in columns:
+        out["source"] = decode_string_array(parts["source"]["meta"], parts["source"]["payload"])
+    names = [c for c in columns if c in out]
+    return pa.RecordBatch.from_arrays([out[c] for c in names], names=names)
 
 
 # --- DataFrame-level pipelines ----------------------------------------------
@@ -305,9 +319,23 @@ def encode_tokens_df(
     return grouped.mapInArrow(encode_bucket, ENCODED_SCHEMA_DDL)
 
 
-def decode_chunks_df(encoded: DataFrame, verify_checksum: bool = True) -> DataFrame:
+_TOKENS_FIELD_DDL = {
+    "doc_id": "doc_id string",
+    "tokens": "tokens array<int>",
+    "n_tok": "n_tok int",
+    "source": "source string",
+}
+
+
+def decode_chunks_df(
+    encoded: DataFrame,
+    verify_checksum: bool = True,
+    columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source"),
+) -> DataFrame:
     """Decode encoded chunks back to the tokens schema (zero shuffles),
-    integrity-checking each chunk against its stored checksum by default."""
+    integrity-checking each chunk against its stored checksum by default.
+    ``columns`` prunes the decode (projection pushdown into the chunk
+    format — unrequested column parts are never decoded)."""
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -319,7 +347,8 @@ def decode_chunks_df(encoded: DataFrame, verify_checksum: bool = True) -> DataFr
             for i in range(batch.num_rows):
                 expected = checks[i].as_py() if (verify_checksum and checks is not None) else None
                 yield decode_chunk_row(
-                    metas[i].as_py(), payloads[i].as_py(), n_rows[i].as_py(), expected
+                    metas[i].as_py(), payloads[i].as_py(), n_rows[i].as_py(), expected, columns
                 )
 
-    return encoded.mapInArrow(decode_partition, TOKENS_SCHEMA_DDL)
+    ddl = ", ".join(_TOKENS_FIELD_DDL[c] for c in columns)
+    return encoded.mapInArrow(decode_partition, ddl)

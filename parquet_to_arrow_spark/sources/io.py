@@ -120,7 +120,10 @@ def token_hashes_from_encoded(encoded: DataFrame) -> DataFrame:
             n_rows = batch.column(batch.schema.get_field_index("n_rows"))
             for i in range(batch.num_rows):
                 decoded = decode_chunk_row(
-                    metas[i].as_py(), payloads[i].as_py(), n_rows[i].as_py()
+                    metas[i].as_py(),
+                    payloads[i].as_py(),
+                    n_rows[i].as_py(),
+                    columns=("doc_id", "tokens"),  # projection pushdown
                 )
                 yield _hash_batch(decoded)
 

@@ -123,3 +123,13 @@ def test_null_tokens_rejected(spark):
     )
     with pytest.raises(Exception, match="null"):
         encode_tokens_df(bad).collect()
+
+
+def test_decode_projection_pushdown(spark, tokens):
+    encoded = encode_tokens_df(tokens).cache()
+    pruned = decode_chunks_df(encoded, columns=("doc_id", "n_tok"))
+    assert pruned.columns == ["doc_id", "n_tok"]
+    assert pruned.count() == N_ROWS
+    full = decode_chunks_df(encoded).select("doc_id", "n_tok")
+    assert diff_report(full, pruned, columns=("n_tok",))["equal"]
+    encoded.unpersist()
