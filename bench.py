@@ -179,8 +179,10 @@ def main() -> None:
         # The sandbox box is memory-bandwidth-bound above ~8 concurrent
         # kernel processes (see BENCH/BASELINE.md for the full 1..32 curve),
         # so the N vs 4N pair sits where the hardware can still scale:
-        # N=2 -> 4N=8 by default (override with SPARK_GRAFT_SCALE_N).
-        n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        # N=1 -> 4N=4 by default (override with SPARK_GRAFT_SCALE_N); both points
+        # sit below the saturation knee, so the ratio reflects the engine,
+        # not the memory wall.
+        n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
         rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", str(max(BENCH_ROWS, 2_000_000))))
         lo = _measure_encode(n, rows)
         hi = _measure_encode(4 * n, rows)
