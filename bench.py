@@ -149,6 +149,9 @@ def main() -> None:
         "ann_bruteforce_topk",
         "lang_id",
         "token_counts",
+        "sessionize_events",
+        "pivot_qty_by_status",
+        "roundtrip_orders_table",
     ]
     spark = get_spark(app="bench", cores=CPUS)
     timings: dict[str, float] = {}

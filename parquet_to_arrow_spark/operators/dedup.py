@@ -66,43 +66,42 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
 
 def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.5) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + exact MinHash-similarity
-    verification; returns (doc_a, doc_b, est_jaccard)."""
+    verification; returns (doc_a, doc_b, est_jaccard).
+
+    Scale shape: the band self-join carries ONLY (band_hash, doc_id) — the
+    K signature columns rejoin on the (much smaller) candidate set
+    afterwards, so the banding shuffle stays narrow at 10^12 rows.
+    """
     sig = minhash_signatures(spark, sf_dir).cache()
     rows_per_band = N_MINHASH // N_BANDS
     band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r:02d}") for r in range(rows_per_band)], F.lit(b)).alias(
-            f"band{b}"
-        )
+        F.xxhash64(
+            *[F.col(f"mh{b * rows_per_band + r:02d}") for r in range(rows_per_band)], F.lit(b)
+        ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    banded = sig.select("doc_id", *[F.col(f"mh{i:02d}") for i in range(N_MINHASH)], *band_cols)
-    bands = banded.select(
+    bands = sig.select("doc_id", *band_cols).select(
         "doc_id",
-        *[F.col(f"mh{i:02d}") for i in range(N_MINHASH)],
-        F.explode(F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("h")) for b in range(N_BANDS)])).alias(
-            "band"
-        ),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias("band"),
     )
-    left = bands.alias("l")
-    right = bands.alias("r")
+    left, right = bands.alias("l"), bands.alias("r")
     cand = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band")) & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            *[F.col(f"l.mh{i:02d}").alias(f"a{i}") for i in range(N_MINHASH)],
-            *[F.col(f"r.mh{i:02d}").alias(f"b{i}") for i in range(N_MINHASH)],
-        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i:02d}").alias(f"a{i}") for i in range(N_MINHASH)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i:02d}").alias(f"b{i}") for i in range(N_MINHASH)])
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASH)
     )
     return (
-        cand.withColumn("est_jaccard", matches / F.lit(float(N_MINHASH)))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", matches / F.lit(float(N_MINHASH)))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )

@@ -44,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=256)
     p.add_argument("--mode", choices=["fast", "keyed"], default="fast")
     p.add_argument("--chunk-rows", type=int, default=8192)
+    p.add_argument(
+        "--wave-size",
+        type=int,
+        default=0,
+        help="keyed mode: commit data+checkpoint every N buckets (0 = single wave)",
+    )
     p.add_argument("--verify", action="store_true")
     p.add_argument("--cores", default=None, help="local[N] cores (default: env/all)")
     args = p.parse_args(argv)
@@ -61,19 +67,31 @@ def main(argv: list[str] | None = None) -> int:
         encoded = pio.encode_parquet_dir(spark, args.input, chunk_rows=args.chunk_rows)
         encoded.write.mode("append").option("compression", "zstd").parquet(args.output)
     else:
+        from pyspark.sql import functions as F
+
         tokens = spark.read.parquet(args.input)
-        keyed = ckpt.with_pkey(tokens, args.buckets)
+        keyed = ckpt.with_pkey(tokens, args.buckets).cache()
+        done_keys: set[int] = set()
         if args.checkpoint:
             done = ckpt.read_done(spark, args.checkpoint)
-            n_done = done.count()
-            keyed = ckpt.pending(keyed, done)
-            print(f"resume: {n_done} buckets already done", file=sys.stderr)
-        encoded = encode_tokens_df(
-            keyed.drop("pkey"), by_key=True, n_buckets=args.buckets, chunk_rows=args.chunk_rows
-        )
-        encoded.write.mode("append").option("compression", "zstd").parquet(args.output)
-        if args.checkpoint:
-            ckpt.mark_done(spark.read.parquet(args.output), args.checkpoint)
+            done_keys = {r["pkey"] for r in done.collect()}
+            print(f"resume: {len(done_keys)} buckets already done", file=sys.stderr)
+        pending_keys = sorted(set(range(args.buckets)) - done_keys)
+        # wave-granular durability: each wave of buckets commits (data +
+        # checkpoint) before the next starts, so a kill loses at most one wave
+        wave = args.wave_size or len(pending_keys) or 1
+        for w0 in range(0, len(pending_keys), wave):
+            keys = pending_keys[w0 : w0 + wave]
+            part = keyed.filter(F.col("pkey").isin(keys))
+            encoded = encode_tokens_df(
+                part, by_key=True, n_buckets=args.buckets, chunk_rows=args.chunk_rows
+            )
+            encoded.write.mode("append").option("compression", "zstd").parquet(args.output)
+            if args.checkpoint:
+                ckpt.mark_done(
+                    spark.createDataFrame([(k,) for k in keys], "pkey int"), args.checkpoint
+                )
+            print(f"wave committed: buckets {keys[0]}..{keys[-1]}", file=sys.stderr)
 
     written = spark.read.parquet(args.output)
     mf.write_manifest(mf.manifest_from_encoded(written), args.manifest, mode="overwrite")
