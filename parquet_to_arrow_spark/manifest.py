@@ -61,6 +61,22 @@ def totals(manifest: DataFrame) -> dict:
     return d
 
 
+def column_codecs(encoded: DataFrame) -> DataFrame:
+    """Per-chunk, per-column codec lineage extracted from the chunk meta
+    (queryable without decoding anything — the Parquet-footer role)."""
+    return encoded.select(
+        "chunk_id",
+        "n_rows",
+        F.col("tokens_codec").alias("tokens_main_codec"),
+        F.get_json_object("meta", "$.parts.tokens.meta.n_groups").cast("int").alias(
+            "token_groups"
+        ),
+        F.get_json_object("meta", "$.parts.lengths.codec").alias("lengths_codec"),
+        F.get_json_object("meta", "$.parts.doc_id.meta.mode").alias("doc_id_mode"),
+        F.get_json_object("meta", "$.parts.source.meta.mode").alias("source_mode"),
+    )
+
+
 def write_manifest(manifest: DataFrame, path: str, mode: str = "append") -> None:
     manifest.write.mode(mode).parquet(path)
 

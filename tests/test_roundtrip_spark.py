@@ -133,3 +133,14 @@ def test_decode_projection_pushdown(spark, tokens):
     full = decode_chunks_df(encoded).select("doc_id", "n_tok")
     assert diff_report(full, pruned, columns=("n_tok",))["equal"]
     encoded.unpersist()
+
+
+def test_column_codec_lineage(spark, tokens):
+    encoded = encode_tokens_df(tokens)
+    lineage = manifest.column_codecs(encoded).collect()
+    assert len(lineage) > 0
+    for r in lineage:
+        assert r["token_groups"] >= 1
+        assert r["lengths_codec"] in {"plain", "bitpack", "for", "rle", "dict", "fsst"}
+        assert r["doc_id_mode"] in {"dict", "flat"}
+        assert r["source_mode"] in {"dict", "flat"}
