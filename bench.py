@@ -61,7 +61,7 @@ def _input_dir(n_rows: int) -> str:
     return path
 
 
-def _measure_encode(cores: int, n_rows: int) -> dict:
+def _measure_encode(cores: int, n_rows: int, reps: int = 2) -> dict:
     """Scan -> encode -> aggregate throughput at a given parallelism over the
     SAME on-disk input (the two-cluster-size scaling evidence)."""
     from parquet_to_arrow_spark.encode import encode_tokens_df
@@ -75,7 +75,7 @@ def _measure_encode(cores: int, n_rows: int) -> dict:
     # cluster) — worker spawn + numpy import is a one-time cost per executor
     encode_parquet_dir(spark, path).limit(1).count()
     best = None
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.time()
         row = (
             encode_parquet_dir(spark, path)
@@ -187,8 +187,8 @@ def main() -> None:
         # not the memory wall.
         n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
         rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", str(max(BENCH_ROWS, 2_000_000))))
-        lo = _measure_encode(n, rows)
-        hi = _measure_encode(4 * n, rows)
+        lo = _measure_encode(n, rows, reps=3)
+        hi = _measure_encode(4 * n, rows, reps=3)
         eff = (hi["gib_per_s"] / lo["gib_per_s"]) / 4.0
         result["scaling"] = {
             "n_cores": lo["cores"],
