@@ -14,18 +14,22 @@ with Iceberg this becomes an ACID table — see sources/io.py).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.errors import AnalysisException
 
 
 def read_done(spark: SparkSession, path: str) -> DataFrame:
-    """DataFrame[pkey int] of completed buckets (empty if no checkpoint)."""
-    if not os.path.isdir(path) or not any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
+    """DataFrame[pkey int] of completed buckets (empty if no checkpoint).
+
+    Probes via ``spark.read`` rather than the driver's local filesystem so
+    resume works on any Hadoop-compatible path (HDFS/S3) — a missing or
+    empty checkpoint raises AnalysisException (PATH_NOT_FOUND /
+    UNABLE_TO_INFER_SCHEMA) and means "nothing done yet".
+    """
+    try:
+        return spark.read.parquet(path).select("pkey").distinct()
+    except AnalysisException:
         return spark.createDataFrame([], "pkey int")
-    return spark.read.parquet(path).select("pkey").distinct()
 
 
 def mark_done(encoded_written: DataFrame, path: str) -> None:

@@ -75,7 +75,9 @@ _MIN_GROUP_VALUES = 4096
 def _cluster_order(values: np.ndarray, lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Stable row order clustering rows by token-content signature.
 
-    Returns (row_order, group_label_per_row_in_new_order). The signature is
+    Returns (row_order, group_label_per_row_in_new_order, rmin, rmax) —
+    rmin/rmax are per-row token min/max in the ORIGINAL order, reused by the
+    caller for codec stats so the reduceat runs once. The signature is
     (bit-width class of the row's value range, magnitude class of its min):
     rows whose tokens live in similar numeric regimes become contiguous, so
     each group gets a codec that actually fits (constant rows -> RLE, small

@@ -132,8 +132,14 @@ def token_hashes_from_encoded(encoded: DataFrame) -> DataFrame:
 
 def verify_hashes(left: DataFrame, right: DataFrame) -> dict:
     """Distributed scalar-only round-trip verdict: full outer join on doc_id,
-    compare (n_tok, tok_hash)."""
+    compare (n_tok, tok_hash). Row counts are compared explicitly — a side
+    with duplicated doc_ids joins every duplicate as 'ok', so without the
+    count check duplicate-row corruption is silent (the reference
+    parquet-diff fails on row-count mismatch, src/parquet-diff.cc:238-245).
+    Returns {'equal', 'n_left', 'n_right', 'ok', 'missing', 'extra',
+    'mismatch'}."""
     l_, r_ = left.alias("l"), right.alias("r")
+    n_left, n_right = l_.count(), r_.count()
     joined = l_.join(r_, F.col("l.doc_id") == F.col("r.doc_id"), "full_outer")
     status = (
         F.when(F.col("l.doc_id").isNull(), "extra")
@@ -152,4 +158,10 @@ def verify_hashes(left: DataFrame, right: DataFrame) -> dict:
         for row in joined.select(status.alias("status")).groupBy("status").count().collect()
     }
     bad = {k: counts.get(k, 0) for k in ("missing", "extra", "mismatch")}
-    return {"equal": not any(bad.values()), "ok": counts.get("ok", 0), **bad}
+    return {
+        "equal": not any(bad.values()) and n_left == n_right,
+        "n_left": n_left,
+        "n_right": n_right,
+        "ok": counts.get("ok", 0),
+        **bad,
+    }

@@ -25,9 +25,13 @@ def diff_report(
 ) -> dict:
     """Full outer join on the key; count missing/extra/mismatching rows.
 
-    Returns {'equal': bool, 'n_left', 'n_right', 'missing', 'extra',
-    'mismatch', 'sample': [first few diffs]} — the distributed analogue of
-    the reference's "RowGroup i, Column j, Row k" first-difference report.
+    Returns {'equal': bool, 'n_left': int, 'n_right': int, 'ok', 'missing',
+    'extra', 'mismatch'} plus, when unequal, 'sample': up to 5 diff rows —
+    the distributed analogue of the reference's "RowGroup i, Column j,
+    Row k" first-difference report. Row counts are compared explicitly:
+    a side with duplicated keys joins every duplicate as 'ok', so without
+    the count check a duplicated-row corruption would be silent (reference
+    parquet-diff fails on row-count mismatch, src/parquet-diff.cc:238-245).
     """
     if original.schema != decoded.schema:
         # schema difference short-circuits, like parquet-diff exit 1 on
@@ -40,6 +44,7 @@ def diff_report(
         }
     left = original.select(key, *columns).alias("l")
     right = decoded.select(key, *columns).alias("r")
+    n_left, n_right = left.count(), right.count()
     joined = left.join(right, on=F.col(f"l.{key}") == F.col(f"r.{key}"), how="full_outer")
     match_expr = F.lit(True)
     for c in columns:
@@ -57,7 +62,9 @@ def diff_report(
     }
     bad = {k: counts.get(k, 0) for k in ("missing", "extra", "mismatch")}
     report = {
-        "equal": not any(bad.values()),
+        "equal": not any(bad.values()) and n_left == n_right,
+        "n_left": n_left,
+        "n_right": n_right,
         "ok": counts.get("ok", 0),
         **bad,
     }

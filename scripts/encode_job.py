@@ -77,8 +77,14 @@ def main(argv: list[str] | None = None) -> int:
             done_keys = {r["pkey"] for r in done.collect()}
             print(f"resume: {len(done_keys)} buckets already done", file=sys.stderr)
         pending_keys = sorted(set(range(args.buckets)) - done_keys)
-        # wave-granular durability: each wave of buckets commits (data +
-        # checkpoint) before the next starts, so a kill loses at most one wave
+        # wave-granular durability, exactly-once: each wave writes to a
+        # DETERMINISTIC subdirectory (wave=<first bucket>) with overwrite
+        # semantics, THEN checkpoints. A crash between the data commit and
+        # mark_done makes the rerun re-encode the same bucket set into the
+        # same subdirectory, replacing (not duplicating) the orphaned data.
+        # Wave grouping is stable across reruns for a fixed --wave-size
+        # because mark_done is wave-atomic, so pending_keys re-forms the
+        # identical wave.
         wave = args.wave_size or len(pending_keys) or 1
         for w0 in range(0, len(pending_keys), wave):
             keys = pending_keys[w0 : w0 + wave]
@@ -86,7 +92,8 @@ def main(argv: list[str] | None = None) -> int:
             encoded = encode_tokens_df(
                 part, by_key=True, n_buckets=args.buckets, chunk_rows=args.chunk_rows
             )
-            encoded.write.mode("append").option("compression", "zstd").parquet(args.output)
+            wave_dir = os.path.join(args.output, f"wave={keys[0]}")
+            encoded.write.mode("overwrite").option("compression", "zstd").parquet(wave_dir)
             if args.checkpoint:
                 ckpt.mark_done(
                     spark.createDataFrame([(k,) for k in keys], "pkey int"), args.checkpoint
@@ -94,6 +101,8 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wave committed: buckets {keys[0]}..{keys[-1]}", file=sys.stderr)
 
     written = spark.read.parquet(args.output)
+    if "wave" in written.columns:  # keyed mode: drop the partition-discovery column
+        written = written.drop("wave")
     mf.write_manifest(mf.manifest_from_encoded(written), args.manifest, mode="overwrite")
     stats = mf.totals(spark.read.parquet(args.manifest))
     stats["wall_seconds"] = round(time.time() - t0, 2)

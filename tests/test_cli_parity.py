@@ -89,6 +89,20 @@ def test_text_timestamps_shortest_iso(spark, tmp_path):
         "us\r\n2019-03-04T00Z\r\n2019-03-04T05Z\r\n2019-03-04T05:06Z\r\n"
         "2019-03-04T05:06:07Z\r\n2019-03-04T05:06:07.008Z\r\n1960-03-04T05:06:07.000008Z"
     )
+    # pyarrow's default timestamp is isAdjustedToUTC=false -> Spark reads
+    # TimestampNTZ; JSON must still quote the ISO token (reference renders
+    # timestamps as quoted JSON strings)
+    out = to_text(spark, path, "json")
+    import json as _json
+
+    assert _json.loads(out) == [
+        {"us": "2019-03-04T00Z"},
+        {"us": "2019-03-04T05Z"},
+        {"us": "2019-03-04T05:06Z"},
+        {"us": "2019-03-04T05:06:07Z"},
+        {"us": "2019-03-04T05:06:07.008Z"},
+        {"us": "1960-03-04T05:06:07.000008Z"},
+    ]
 
 
 def test_text_row_and_column_range_with_clipping(spark, tmp_path):

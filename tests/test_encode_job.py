@@ -1,0 +1,86 @@
+"""Exactly-once durability of the keyed encode job's wave commits.
+
+The crash window is between a wave's data write and its checkpoint
+mark_done. Waves write to deterministic ``wave=<first bucket>``
+subdirectories with overwrite semantics, so a replayed wave REPLACES the
+orphaned data instead of appending duplicates (ADVICE r01; the reference
+analogue is parquet-diff failing on any row-count drift,
+src/parquet-diff.cc:238-245).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir, "scripts"))
+
+import encode_job  # noqa: E402
+
+from parquet_to_arrow_spark.decode import decode_chunks_df
+from parquet_to_arrow_spark.sources.synth import synth_tokens_df
+from parquet_to_arrow_spark.verify import diff_report
+
+N_ROWS = 1500
+
+
+class _NoStop:
+    """Session proxy so encode_job.main's spark.stop() can't kill the
+    session-scoped pytest fixture."""
+
+    def __init__(self, real):
+        self._real = real
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+    def stop(self):  # noqa: D401
+        pass
+
+
+@pytest.fixture()
+def job_spark(spark, monkeypatch):
+    import parquet_to_arrow_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: _NoStop(spark))
+    return spark
+
+
+def test_keyed_wave_replay_is_exactly_once(job_spark, tmp_path):
+    spark = job_spark
+    tokens = synth_tokens_df(spark, N_ROWS, avg_tokens=32, n_partitions=4).cache()
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "man")
+    ckpt = str(tmp_path / "ckpt")
+    tokens.write.mode("overwrite").parquet(inp)
+
+    args = [
+        "--input", inp, "--output", out, "--manifest", man,
+        "--checkpoint", ckpt, "--buckets", "8", "--mode", "keyed",
+        "--wave-size", "4", "--chunk-rows", "256", "--verify",
+    ]
+    assert encode_job.main(args) == 0
+
+    # simulate a crash between the second wave's data commit and mark_done:
+    # the data for buckets 4..7 is on disk but the checkpoint says pending
+    done = [r["pkey"] for r in spark.read.parquet(ckpt).collect()]
+    assert sorted(done) == list(range(8))
+    survivors = spark.createDataFrame([(k,) for k in done if k < 4], "pkey int")
+    survivors_rows = survivors.collect()
+    shutil.rmtree(ckpt)
+    spark.createDataFrame(survivors_rows, "pkey int").write.parquet(ckpt)
+
+    # replay: wave {4..7} re-encodes into the SAME wave=4 subdir (overwrite);
+    # --verify row-count check proves nothing was duplicated
+    assert encode_job.main(args) == 0
+
+    written = spark.read.parquet(out).drop("wave")
+    decoded = decode_chunks_df(written)
+    rep = diff_report(tokens, decoded)
+    assert rep["equal"], rep
+    assert rep["n_left"] == rep["n_right"] == N_ROWS
+    tokens.unpersist()

@@ -105,6 +105,38 @@ def test_checkpoint_resume(spark, tokens, tmp_path):
     assert checkpoint.pending(keyed, checkpoint.read_done(spark, ckpt)).count() == 0
 
 
+def test_diff_report_detects_duplicate_rows(spark, tokens):
+    """A right side with duplicated keys joins every duplicate as 'ok';
+    only the explicit row-count compare catches it (the reference
+    parquet-diff fails on row-count mismatch, src/parquet-diff.cc:238-245)."""
+    dup = tokens.unionAll(tokens.limit(7))
+    rep = diff_report(tokens, dup)
+    assert not rep["equal"]
+    assert rep["n_left"] == N_ROWS and rep["n_right"] == N_ROWS + 7
+    assert rep["missing"] == rep["extra"] == rep["mismatch"] == 0
+
+
+def test_verify_hashes_detects_duplicates(spark):
+    from parquet_to_arrow_spark.sources.io import verify_hashes
+
+    ddl = "doc_id string, n_tok int, tok_hash long"
+    left = spark.createDataFrame([("a", 2, 11), ("b", 3, 22)], ddl)
+    ok = verify_hashes(left, spark.createDataFrame([("b", 3, 22), ("a", 2, 11)], ddl))
+    assert ok["equal"] and ok["n_left"] == ok["n_right"] == 2
+    dup = spark.createDataFrame([("a", 2, 11), ("a", 2, 11), ("b", 3, 22)], ddl)
+    bad = verify_hashes(left, dup)
+    assert not bad["equal"]
+    assert bad["n_left"] == 2 and bad["n_right"] == 3
+
+
+def test_read_done_missing_path(spark, tmp_path):
+    # spark.read probe (not driver-local os.listdir) so resume works on any
+    # Hadoop-compatible filesystem; missing path == nothing done
+    done = checkpoint.read_done(spark, str(tmp_path / "never_written"))
+    assert done.columns == ["pkey"]
+    assert done.count() == 0
+
+
 def test_empty_input(spark):
     empty = synth_tokens_df(spark, 0, n_partitions=2)
     encoded = encode_tokens_df(empty)

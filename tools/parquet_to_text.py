@@ -99,7 +99,10 @@ def text_lines(df: DataFrame, mode: str) -> DataFrame:
             pieces.append(csv_field(rendered if isinstance(f.dataType, T.StringType) else rendered))
         else:
             name_tok = json.dumps(f.name, ensure_ascii=False)
-            if isinstance(f.dataType, (T.StringType, T.TimestampType, T.DateType)):
+            if isinstance(
+                f.dataType,
+                (T.StringType, T.TimestampType, T.TimestampNTZType, T.DateType),
+            ):
                 tok = F.coalesce(
                     rendered if isinstance(f.dataType, T.StringType) else _json_escaped_str(rendered),
                     F.lit("null"),
