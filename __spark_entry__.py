@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_metrics_tokenized": eq.codec_metrics_tokenized,  # rows-only
         # --- scalar render functions (SURVEY.md §2.8) ---
         "render_iso_timestamps": eq.render_iso_timestamps,
+        "render_iso_ms": eq.render_iso_ms,
+        "render_iso_ns": eq.render_iso_ns,
+        "render_uints": eq.render_uints,
         "render_dates": eq.render_dates,
         "render_csv_documents": eq.render_csv_documents,
         "render_ecma_doubles": eq.render_ecma_doubles,
@@ -87,7 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": dedup.exact_dedup_groups,
         "exact_dedup_kept": dedup.exact_dedup_kept,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # rows-only
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash64": dedup.simhash64,  # rows-only
         # --- similarity search ---
         "ann_bruteforce_topk": sim.brute_force_topk,
@@ -248,6 +251,47 @@ def oracle_sql() -> dict[str, str]:
                        '(\.\d{3})000$', '\1'), '\.000$', ''),
                        ':00$', ''), ':00$', '') || 'Z' AS ts_iso
             FROM events""",
+        "render_iso_ms": r"""
+            SELECT event_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       strftime(date_trunc('milliseconds', ts), '%Y-%m-%dT%H:%M:%S.%f'),
+                       '(\.\d{3})000$', '\1'), '\.000$', ''),
+                       ':00$', ''), ':00$', '') || 'Z' AS ts_iso_ms
+            FROM events""",
+        "render_iso_ns": r"""
+            WITH v AS (
+                SELECT event_id,
+                       epoch_us(ts) * 1000 + (event_id % 1000) AS ns
+                FROM events
+            ), p AS (
+                SELECT event_id,
+                       ns % 1000000000 AS frac,
+                       ns // 1000000000 AS secs
+                FROM v
+            )
+            SELECT event_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                       strftime(make_timestamp(secs * 1000000), '%Y-%m-%dT%H:%M:%S')
+                           || '.' || lpad(CAST(frac AS VARCHAR), 9, '0'),
+                       '(\.\d{6})000$', '\1'), '(\.\d{3})000$', '\1'),
+                       '\.000$', ''), ':00$', ''), ':00$', '') || 'Z' AS ts_iso_ns
+            FROM p""",
+        "render_uints": """
+            WITH v AS (
+                SELECT l_orderkey, l_linenumber,
+                       (CAST(l_partkey AS BIGINT) - l_orderkey) * 2654435761 AS v64,
+                       CAST(((CAST(l_orderkey AS BIGINT) * 7919 + l_partkey)
+                             % 4294967296) - 2147483648 AS INTEGER) AS v32
+                FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN v64 < 0
+                        THEN CAST(CAST(v64 AS HUGEINT) + 18446744073709551616 AS VARCHAR)
+                        ELSE CAST(v64 AS VARCHAR) END AS u64_str,
+                   CASE WHEN v32 < 0
+                        THEN CAST(CAST(v32 AS BIGINT) + 4294967296 AS VARCHAR)
+                        ELSE CAST(v32 AS VARCHAR) END AS u32_str
+            FROM v""",
         "render_dates": """
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
             FROM orders""",
@@ -273,6 +317,32 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_kept": """
             SELECT doc_id, lang, source, n_chars FROM documents d
             WHERE doc_id = (SELECT min(doc_id) FROM documents i WHERE i.text = d.text)""",
+        "ngram_jaccard_pairs": """
+            -- exact char-5-gram Jaccard, stop-shingles (df > 64) removed:
+            -- pure set arithmetic, the DuckDB twin of dedup.ngram_jaccard_pairs
+            WITH sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(length(text) - 4, 1) + 1),
+                           i -> substring(text, CAST(i AS INTEGER), 5))) AS shingle
+                FROM documents
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), rare AS (
+                SELECT * FROM sh WHERE shingle IN (
+                    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64)
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM rare a JOIN rare b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3""",
         # --- similarity ---
         "ann_bruteforce_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -79,21 +79,37 @@ def _format_from_repr(s: str) -> str:
     return sign + out
 
 
+def _ecma_series(s: pd.Series) -> pd.Series:
+    """Vectorized ECMA formatting: Arrow's float->string cast (C++ shortest
+    round-trip, the double-conversion library — same engine the reference
+    links) does the hot path; only strings outside ECMA's positional band
+    styling (scientific with exponent <= 20, and "-0") are repaired, and
+    those are rare in real data. No per-element Python on the common path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = s.mask(np.isinf(s))  # F2: inf -> null (NaN becomes null in from_pandas)
+    out = pc.cast(pa.Array.from_pandas(s), pa.string()).to_pandas()
+    if len(out):
+        out = out.mask(out == "-0", "0")  # ECMA ToString(-0) is "0"
+        exp = pd.to_numeric(out.str.extract(r"e\+(\d+)$", expand=False))
+        fix = exp.notna() & (exp <= 20)
+        if fix.any():
+            out.loc[fix] = out[fix].map(_format_from_repr)
+    return out
+
+
 def ecma_double_str(c: Column) -> Column:
     """Column of float64 -> ECMAScript shortest strings (vectorized UDF;
     created lazily — pandas_udf registration needs an active session)."""
-
-    def _fmt(s: pd.Series) -> pd.Series:
-        return s.map(ecma_format_float, na_action="ignore")
-
-    return F.pandas_udf(_fmt, "string")(c)
+    return F.pandas_udf(_ecma_series, "string")(c)
 
 
 def ecma_float_str(c: Column) -> Column:
-    def _fmt(s: pd.Series) -> pd.Series:
-        return s.map(ecma_format_float32, na_action="ignore")
-
-    return F.pandas_udf(_fmt, "string")(c)
+    """float32: Arrow casts from the float32 array, so the shortest *single*
+    decimal is produced (reference ToShortestSingle, :756-757)."""
+    return F.pandas_udf(_ecma_series, "string")(c)
 
 
 # --- F3: shortest ISO-8601 UTC ------------------------------------------------
@@ -111,6 +127,54 @@ def iso8601_shortest(ts: Column) -> Column:
     s = F.regexp_replace(s, r":00$", "")  # :ss == 00 -> drop
     s = F.regexp_replace(s, r":00$", "")  # :mm == 00 -> drop
     return F.concat(s, F.lit("Z"))
+
+
+def iso8601_shortest_ns(c: Column) -> Column:
+    """int64 nanoseconds-since-epoch -> shortest ISO-8601 UTC, 3/6/9-digit
+    fraction groups (reference renders ms, us AND ns:
+    src/parquet-to-text-stream.cc:77-80, 372-440; ns golden
+    tests/test_parquet_to_text_stream.py:404-435).
+
+    Spark reads TIMESTAMP(NANOS) parquet as long under
+    spark.sql.legacy.parquet.nanosAsLong; this renders that long. Integer
+    arithmetic throughout — double division of ns-scale int64 loses
+    precision above 2^53. pmod gives the non-negative fraction, so negative
+    epochs floor-divide correctly (the reference's negative-epoch fix)."""
+    frac = F.pmod(c, F.lit(1_000_000_000))
+    secs = ((c - frac).cast("decimal(38,0)") / F.lit(1_000_000_000)).cast("long")
+    base = F.date_format(F.timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss")
+    s = F.concat(base, F.lit("."), F.lpad(frac.cast("string"), 9, "0"))
+    s = F.regexp_replace(s, r"(\.\d{6})000$", r"$1")  # ns group zero -> drop
+    s = F.regexp_replace(s, r"(\.\d{3})000$", r"$1")  # us group zero -> drop
+    s = F.regexp_replace(s, r"\.000$", "")  # ms group zero -> drop
+    s = F.regexp_replace(s, r":00$", "")  # :ss == 00 -> drop
+    s = F.regexp_replace(s, r":00$", "")  # :mm == 00 -> drop
+    return F.concat(s, F.lit("Z"))
+
+
+# --- F5: unsigned reinterpret of signed physical storage -----------------------
+
+_TWO_64 = "18446744073709551616"  # 2**64 — exceeds a JVM long, ship as string
+_TWO_32 = 4294967296  # 2**32
+
+
+def uint64_reinterpret_str(c: Column) -> Column:
+    """Render a signed int64 column as the uint64 sharing its bits —
+    the reference reinterprets signed physical storage as unsigned at print
+    time (src/parquet-to-text-stream.cc:203-204, 712-719; the
+    9223372039002259456 round-trip). Spark has no uint64; decimal(20,0)
+    holds the full range exactly."""
+    wide = c.cast("decimal(20,0)")
+    two64 = F.lit(_TWO_64).cast("decimal(21,0)")  # constant-folded
+    return (
+        F.when(c < 0, (wide + two64).cast("decimal(20,0)")).otherwise(wide).cast("string")
+    )
+
+
+def uint32_reinterpret_str(c: Column) -> Column:
+    """Signed int32 -> the uint32 sharing its bits, as a string (F5)."""
+    v = c.cast("long")
+    return F.when(c < 0, v + F.lit(_TWO_32)).otherwise(v).cast("string")
 
 
 def date_ymd(ts: Column) -> Column:

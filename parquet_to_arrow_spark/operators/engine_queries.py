@@ -133,6 +133,55 @@ def render_iso_timestamps(spark, sf_dir) -> DataFrame:
     return ev.select("event_id", iso8601_shortest(F.col("ts")).alias("ts_iso"))
 
 
+def render_iso_ms(spark, sf_dir) -> DataFrame:
+    """F3 at millisecond unit: the reference renders ms-precision parquet
+    timestamps with the same shortest-ISO truncation rules
+    (src/parquet-to-text-stream.cc:372-440; ms golden
+    tests/test_parquet_to_text_stream.py:345-372)."""
+    from ..functions.render import iso8601_shortest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ms = F.date_trunc("millisecond", F.col("ts"))
+    return ev.select("event_id", iso8601_shortest(ms).alias("ts_iso_ms"))
+
+
+def render_iso_ns(spark, sf_dir) -> DataFrame:
+    """F3 at nanosecond unit: int64 epoch-ns (the shape Spark reads
+    TIMESTAMP(NANOS) parquet as, under nanosAsLong) rendered with 9-digit
+    shortest fractions (reference src/parquet-to-text-stream.cc:404-435).
+    The sub-us digits are synthesized deterministically from event_id so the
+    3/6/9-digit truncation branches are all exercised."""
+    from ..functions.render import iso8601_shortest_ns
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # testdata parquet is isAdjustedToUTC=false -> TimestampNTZ; the cast to
+    # (UTC-session) timestamp is instant-preserving
+    ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000) + F.pmod(
+        F.col("event_id"), F.lit(1000)
+    )
+    return ev.select("event_id", iso8601_shortest_ns(ns).alias("ts_iso_ns"))
+
+
+def render_uints(spark, sf_dir) -> DataFrame:
+    """F5: unsigned reinterpret of signed physical storage at print time
+    (reference src/parquet-to-text-stream.cc:203-204, 712-719 — the
+    9223372039002259456 round-trip). Mixed-sign int64/int32 values derived
+    deterministically from lineitem keys render as the uint64/uint32
+    sharing their bits."""
+    from ..functions.render import uint32_reinterpret_str, uint64_reinterpret_str
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    v64 = (F.col("l_partkey").cast("long") - F.col("l_orderkey")) * F.lit(2654435761)
+    x = F.col("l_orderkey") * F.lit(7919) + F.col("l_partkey")
+    v32 = (F.pmod(x, F.lit(4294967296)) - F.lit(2147483648)).cast("int")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        uint64_reinterpret_str(v64).alias("u64_str"),
+        uint32_reinterpret_str(v32).alias("u32_str"),
+    )
+
+
 def render_dates(spark, sf_dir) -> DataFrame:
     """F4: yyyy-MM-dd date rendering of order dates."""
     from ..functions.render import date_ymd

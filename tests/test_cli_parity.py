@@ -105,6 +105,90 @@ def test_text_timestamps_shortest_iso(spark, tmp_path):
     ]
 
 
+def test_text_timestamps_ms(spark, tmp_path):
+    # reference test_convert_datetime_ms (:345-372)
+    vals = [
+        dt.datetime(2019, 3, 4),
+        dt.datetime(2019, 3, 4, 5),
+        dt.datetime(2019, 3, 4, 5, 6),
+        dt.datetime(2019, 3, 4, 5, 6, 7),
+        dt.datetime(1960, 3, 4, 0, 0, 0, 8000),
+        None,
+        None,
+    ]
+    path = _write(tmp_path, pa.table({"ms": pa.array(vals, type=pa.timestamp("ms"))}))
+    assert to_text(spark, path, "csv") == (
+        "ms\r\n2019-03-04T00Z\r\n2019-03-04T05Z\r\n2019-03-04T05:06Z\r\n"
+        "2019-03-04T05:06:07Z\r\n1960-03-04T00:00:00.008Z\r\n\r\n"
+    )
+    assert to_text(spark, path, "json") == (
+        '[{"ms":"2019-03-04T00Z"},{"ms":"2019-03-04T05Z"},{"ms":"2019-03-04T05:06Z"},'
+        '{"ms":"2019-03-04T05:06:07Z"},{"ms":"1960-03-04T00:00:00.008Z"},'
+        '{"ms":null},{"ms":null}]'
+    )
+
+
+def test_text_timestamps_ns(spark, tmp_path):
+    # reference test_convert_datetime_ns (:404-435): 9-digit fraction case
+    import pandas as pd
+
+    vals = [
+        pd.Timestamp(2019, 3, 4).value,
+        pd.Timestamp(2019, 3, 4, 5).value,
+        pd.Timestamp(2019, 3, 4, 5, 6).value,
+        pd.Timestamp(2019, 3, 4, 5, 6, 7).value,
+        pd.Timestamp(2019, 3, 4, 5, 6, 7, 8000).value,
+        pd.Timestamp(2019, 3, 4, 5, 6, 7, 8).value,
+        pd.Timestamp(1960, 3, 4, 5, 6, 7).value + 8,  # negative epoch + 8 ns
+    ]
+    path = _write(tmp_path, pa.table({"ns": pa.array(vals, type=pa.timestamp("ns"))}))
+    assert to_text(spark, path, "csv") == (
+        "ns\r\n2019-03-04T00Z\r\n2019-03-04T05Z\r\n2019-03-04T05:06Z\r\n"
+        "2019-03-04T05:06:07Z\r\n2019-03-04T05:06:07.008Z\r\n"
+        "2019-03-04T05:06:07.000008Z\r\n1960-03-04T05:06:07.000000008Z"
+    )
+    assert to_text(spark, path, "json") == (
+        '[{"ns":"2019-03-04T00Z"},{"ns":"2019-03-04T05Z"},{"ns":"2019-03-04T05:06Z"},'
+        '{"ns":"2019-03-04T05:06:07Z"},{"ns":"2019-03-04T05:06:07.008Z"},'
+        '{"ns":"2019-03-04T05:06:07.000008Z"},{"ns":"1960-03-04T05:06:07.000000008Z"}]'
+    )
+
+
+def test_text_uint64(spark, tmp_path):
+    # reference test_convert_uint64 (:104-115): signed physical storage
+    # reinterpreted as unsigned at print time; 9223372039002259456 > 2^63
+    path = _write(
+        tmp_path,
+        pa.table(
+            {"u64": pa.array([1, 9223372039002259456, None], type=pa.uint64())}
+        ),
+    )
+    assert to_text(spark, path, "csv") == "u64\r\n1\r\n9223372039002259456\r\n"
+    assert (
+        to_text(spark, path, "json")
+        == '[{"u64":1},{"u64":9223372039002259456},{"u64":null}]'
+    )
+
+
+def test_text_uint8_uint16_uint32(spark, tmp_path):
+    # reference test_convert_uint8_uint16_uint32 (:118-135)
+    path = _write(
+        tmp_path,
+        pa.table(
+            {
+                "u8": pa.array([1, 138, None], type=pa.uint8()),
+                "u16": pa.array([1, 38383, None], type=pa.uint16()),
+                "u32": pa.array([1, 4294967291, None], type=pa.uint32()),
+            }
+        ),
+    )
+    assert to_text(spark, path, "csv") == "u8,u16,u32\r\n1,1,1\r\n138,38383,4294967291\r\n,,"
+    assert to_text(spark, path, "json") == (
+        '[{"u8":1,"u16":1,"u32":1},{"u8":138,"u16":38383,"u32":4294967291},'
+        '{"u8":null,"u16":null,"u32":null}]'
+    )
+
+
 def test_text_row_and_column_range_with_clipping(spark, tmp_path):
     # reference :281-338
     table = pa.table({c: [f"{c}{i}" for i in range(5)] for c in "ABCDE"})
@@ -174,6 +258,39 @@ def test_diff_truth_table(spark, tmp_path):
     # nested -> 2 (reference exit 2, :53-61)
     p9 = _write(tmp_path, pa.table({"A": [[1, 2], [3]]}), "i.parquet")
     assert spark_diff(spark, p9, p9)[0] == 2
+
+
+def test_diff_strict_chunking(spark, tmp_path):
+    """Reference: files with different row-group boundaries are different by
+    definition (src/parquet-diff.cc:238-245, README.md:81-82) — opt-in here."""
+    data = pa.table({"A": list(range(10))})
+    one_group = _write(tmp_path, data, "one.parquet")
+    path = str(tmp_path / "many.parquet")
+    pq.write_table(data, path, compression="snappy", version="2.6", row_group_size=4)
+
+    # same data, different chunking: default compare equal...
+    assert spark_diff(spark, one_group, path)[0] == 0
+    # ...strict chunking -> different, both directions
+    code, msgs = spark_diff(spark, one_group, path, strict_chunking=True)
+    assert code == 1 and msgs[0] == "RowGroup count: -1 +3"
+    assert spark_diff(spark, path, one_group, strict_chunking=True)[0] == 1
+    # identical chunking passes strict mode
+    assert spark_diff(spark, path, path, strict_chunking=True)[0] == 0
+
+
+def test_diff_ordinal_plan_has_no_global_window(spark, tmp_path):
+    """The positional join must never funnel the table through one task:
+    no Window, no single-partition Exchange; the offsets join broadcasts."""
+    from spark_diff import _with_ordinal
+
+    path = _write(tmp_path, pa.table({"A": list(range(100))}), "plan.parquet")
+    df = _with_ordinal(spark.read.parquet(path))
+    jdf = df._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = jdf.queryExecution().explainString(mode)
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
 
 
 # --- parquet-to-arrow parity -----------------------------------------------------

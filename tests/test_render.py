@@ -53,6 +53,37 @@ def test_ecma_nonfinite_none():
         assert f(float("-inf")) is None
 
 
+def test_ecma_vectorized_matches_spec():
+    """The Arrow-cast fast path (_ecma_series) must agree with the
+    per-element spec formatter on adversarial magnitudes, band boundaries,
+    subnormals and signed zero."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet_to_arrow_spark.functions.render import _ecma_series
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.normal(0, 1, 20000),
+            rng.normal(0, 1, 20000) * 10.0 ** rng.integers(-320, 308, 20000),
+            rng.integers(-(10**18), 10**18, 10000).astype(np.float64),
+            np.array(
+                [0.0, -0.0, 1e-6, 9.999e-7, 1e21, 9.99e20, 1e16, 1e15,
+                 1234567890123456.7, 5e-324, -5e-324, 1.7976931348623157e308,
+                 float("nan"), float("inf"), float("-inf")]
+            ),
+        ]
+    )
+    got = _ecma_series(pd.Series(vals))
+    want = pd.Series(vals).map(ecma_format_float, na_action="ignore")
+    for v, w, g in zip(vals, want, got):
+        if w is None or (isinstance(w, float) and w != w):
+            assert g is None or g != g, f"{v!r}: expected null, got {g!r}"
+        else:
+            assert g == w, f"{v!r}: {g!r} != {w!r}"
+
+
 # reference test_convert_datetime_us (:394-401): shortest ISO-8601
 ISO_CASES = [
     (datetime(2019, 3, 4), "2019-03-04T00Z"),

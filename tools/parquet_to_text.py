@@ -53,17 +53,22 @@ def _json_escaped_str(c: Column) -> Column:
     return F.pandas_udf(esc, "string")(c)
 
 
-def render_column(c: Column, dtype: T.DataType, mode: str) -> Column:
+def render_column(c: Column, dtype: T.DataType, mode: str, is_ns: bool = False) -> Column:
     """The makeTranscriberForColumn analogue: type -> rendered string token
-    (reference src/parquet-to-text-stream.cc:746-765)."""
+    (reference src/parquet-to-text-stream.cc:746-765). ``is_ns`` marks int64
+    columns that are TIMESTAMP(NANOS) in the parquet footer (read as long
+    under spark.sql.legacy.parquet.nanosAsLong — Spark's timestamp is us)."""
     from parquet_to_arrow_spark.functions.render import (
         date_ymd,
         ecma_double_str,
         ecma_float_str,
         iso8601_shortest,
+        iso8601_shortest_ns,
     )
 
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+    if is_ns:
+        out = iso8601_shortest_ns(c)
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         # reference ignores is_adjusted_to_utc and always renders as UTC
         # (src/parquet-to-text-stream.cc:678-685)
         out = iso8601_shortest(c)
@@ -84,7 +89,7 @@ def render_column(c: Column, dtype: T.DataType, mode: str) -> Column:
     return out
 
 
-def text_lines(df: DataFrame, mode: str) -> DataFrame:
+def text_lines(df: DataFrame, mode: str, ns_cols: frozenset = frozenset()) -> DataFrame:
     """df -> one rendered record per row (column 'line'), in input order of
     the provided ordinal column '__ord'."""
     from parquet_to_arrow_spark.functions.render import csv_field
@@ -94,12 +99,13 @@ def text_lines(df: DataFrame, mode: str) -> DataFrame:
     for f in df.schema.fields:
         if f.name == "__ord":
             continue
-        rendered = render_column(F.col(f.name), f.dataType, mode)
+        is_ns = f.name in ns_cols
+        rendered = render_column(F.col(f.name), f.dataType, mode, is_ns=is_ns)
         if mode == "csv":
             pieces.append(csv_field(rendered if isinstance(f.dataType, T.StringType) else rendered))
         else:
             name_tok = json.dumps(f.name, ensure_ascii=False)
-            if isinstance(
+            if is_ns or isinstance(
                 f.dataType,
                 (T.StringType, T.TimestampType, T.TimestampNTZType, T.DateType),
             ):
@@ -118,6 +124,34 @@ def text_lines(df: DataFrame, mode: str) -> DataFrame:
 
 
 def convert(spark, path: str, mode: str, row_range=None, column_range=None) -> str:
+    lines_df, cols = prepare(spark, path, mode, row_range, column_range)
+    return "".join(iter_text(lines_df, cols, mode))
+
+
+def _ns_timestamp_columns(path: str) -> frozenset:
+    """Footer probe: columns whose parquet logical type is TIMESTAMP(NANOS)
+    (reference dispatches on the footer's logical type the same way,
+    src/parquet-to-text-stream.cc:673-696). Footers only, driver-side."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or [path]
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    return frozenset(
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def prepare(spark, path: str, mode: str, row_range=None, column_range=None):
+    ns_cols = _ns_timestamp_columns(path)
+    if ns_cols:
+        # TIMESTAMP(NANOS) parquet reads as int64 under this conf (Spark's
+        # timestamp type is us-precision); iso8601_shortest_ns renders it
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     # stable file-order ordinal from scan metadata (no data-column sort)
     df = df.withColumn(
@@ -133,11 +167,26 @@ def convert(spark, path: str, mode: str, row_range=None, column_range=None) -> s
         a, b = row_range
         w = df.orderBy("__ord")
         df = w.offset(a).limit(max(b - a, 0))
-    lines_df, cols = text_lines(df, mode)
-    rows = [r["line"] for r in lines_df.collect()]
+    return text_lines(df, mode, ns_cols=ns_cols)
+
+
+def iter_text(lines_df: DataFrame, cols: list[str], mode: str):
+    """Stream the rendered output. ``toLocalIterator`` pulls one partition
+    at a time from the (range-partitioned) sorted frame, so driver memory is
+    bounded by a partition, not the table — the Spark analogue of the
+    reference's pull-based time-to-first-byte design
+    (src/parquet-to-text-stream.cc:69-73)."""
     if mode == "csv":
-        return "\r\n".join([",".join(cols)] + rows)
-    return "[" + ",".join(rows) + "]"
+        yield ",".join(cols)
+        for r in lines_df.toLocalIterator():
+            yield "\r\n" + r["line"]
+    else:
+        yield "["
+        first = True
+        for r in lines_df.toLocalIterator():
+            yield r["line"] if first else "," + r["line"]
+            first = False
+        yield "]"
 
 
 def main(argv=None) -> int:
@@ -153,7 +202,11 @@ def main(argv=None) -> int:
 
     spark = get_spark(app="parquet_to_text", cores=args.cores)
     try:
-        sys.stdout.write(convert(spark, args.input, args.format, args.row_range, args.column_range))
+        lines_df, cols = prepare(
+            spark, args.input, args.format, args.row_range, args.column_range
+        )
+        for piece in iter_text(lines_df, cols, args.format):
+            sys.stdout.write(piece)
         sys.stdout.flush()
     except Exception as e:  # noqa: BLE001  (reference: stderr + exit 1)
         print(str(e), file=sys.stderr)

@@ -14,12 +14,20 @@ Strictness axes (reference README.md:83-97):
 
 Positional identity uses the scan's (file_path, row_index) metadata on each
 side independently, densified to a global ordinal, so two files with equal
-rows in equal order compare equal regardless of partitioning. Unlike the
-reference, row-group boundaries are NOT part of our equality (Spark's unit
-of chunking is not user-visible); that axis is documented rather than
-replicated.
+rows in equal order compare equal regardless of partitioning. The ordinal is
+computed WITHOUT a global window: per-file row counts (a tiny aggregate)
+become cumulative offsets on the driver, broadcast-joined back, so
+ordinal = offset(file) + row_index — no single-task stage anywhere, the plan
+survives 100 TB inputs.
 
-    python tools/spark_diff.py A.parquet B.parquet
+Row-group boundaries are an equality axis in the reference (two files with
+different chunking are different by definition, src/parquet-diff.cc:238-245,
+README.md:81-82). Spark's unit of chunking is not user-visible, so that axis
+is opt-in here: --strict-chunking compares footer-level row-group row counts
+(pyarrow metadata, driver-side — footers only, no data read) before the
+value compare.
+
+    python tools/spark_diff.py A.parquet B.parquet [--strict-chunking]
 """
 
 from __future__ import annotations
@@ -30,7 +38,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, Window, functions as F, types as T  # noqa: E402
+from pyspark.sql import DataFrame, functions as F, types as T  # noqa: E402
 
 
 def _nested(dtype: T.DataType) -> bool:
@@ -38,12 +46,58 @@ def _nested(dtype: T.DataType) -> bool:
 
 
 def _with_ordinal(df: DataFrame) -> DataFrame:
-    w = Window.orderBy(F.col("_metadata.file_path"), F.col("_metadata.row_index"))
-    return df.withColumn("__ord", F.row_number().over(w) - 1)
+    """Global file-order ordinal with no global window.
+
+    A `row_number().over(Window.orderBy(...))` with no partitionBy funnels
+    the ENTIRE table through one task. Instead: per-file row counts (tiny
+    aggregate), cumulative offsets built on the driver in file-path order,
+    broadcast-joined back; ordinal = offset(file) + _metadata.row_index.
+    The only shuffle is the count aggregate's (rows-per-file sized)."""
+    spark = df.sparkSession
+    counts = (
+        df.groupBy(F.col("_metadata.file_path").alias("__fp")).count().collect()
+    )
+    acc, rows = 0, []
+    for r in sorted(counts, key=lambda r: r["__fp"]):
+        rows.append((r["__fp"], acc))
+        acc += r["count"]
+    offsets = spark.createDataFrame(rows or [("", 0)], "__fp string, __off long")
+    return (
+        df.withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+        .join(F.broadcast(offsets), "__fp")
+        .withColumn("__ord", F.col("__off") + F.col("__ri"))
+        .drop("__fp", "__ri", "__off")
+    )
 
 
-def diff(spark, path1: str, path2: str, max_report: int = 1) -> tuple[int, list[str]]:
+def _row_group_layout(path: str) -> list[int]:
+    """Per-row-group row counts in file order — the reference's chunking
+    strictness axis (src/parquet-diff.cc:238-245, 276-281), read from
+    footers only."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or [path]
+    layout: list[int] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        layout.extend(md.row_group(i).num_rows for i in range(md.num_row_groups))
+    return layout
+
+
+def diff(
+    spark, path1: str, path2: str, max_report: int = 1, strict_chunking: bool = False
+) -> tuple[int, list[str]]:
     a, b = spark.read.parquet(path1), spark.read.parquet(path2)
+    if strict_chunking:
+        la, lb = _row_group_layout(path1), _row_group_layout(path2)
+        if len(la) != len(lb):
+            return 1, [f"RowGroup count: -{len(la)} +{len(lb)}"]
+        for i, (x, y) in enumerate(zip(la, lb)):
+            if x != y:
+                return 1, [f"RowGroup {i} row count: -{x} +{y}"]
     msgs: list[str] = []
     for side, df in (("old", a), ("new", b)):
         for f in df.schema.fields:
@@ -89,6 +143,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("old")
     p.add_argument("new")
+    p.add_argument("--strict-chunking", action="store_true")
     p.add_argument("--cores", default="8")
     args = p.parse_args(argv)
 
@@ -96,7 +151,7 @@ def main(argv=None) -> int:
 
     spark = get_spark(app="spark_diff", cores=args.cores)
     try:
-        code, msgs = diff(spark, args.old, args.new)
+        code, msgs = diff(spark, args.old, args.new, strict_chunking=args.strict_chunking)
     except Exception as e:  # noqa: BLE001
         print(str(e), file=sys.stderr)
         return 2
