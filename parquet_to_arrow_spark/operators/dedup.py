@@ -18,8 +18,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-N_MINHASH = 16
-N_BANDS = 4  # 4 rows per band
+# K=64 signatures in 16 bands of 4 rows: the (1/b)^(1/r) S-curve threshold
+# is (1/16)^(1/4) = 0.5 — exactly the operator's default similarity
+# threshold — and est_jaccard granularity improves from 1/16 to 1/64.
+N_MINHASH = 64
+N_BANDS = 16  # 4 rows per band
 SHINGLE = 5
 
 

@@ -3,23 +3,73 @@
 - Brute-force cosine top-k: the correctness baseline. Queries broadcast
   (tiny), corpus streams — at 100 TB this is one scan, no shuffle until the
   per-query top-k (window over query partitions).
-- LSH-bucketed ANN: deterministic random-hyperplane signatures (hyperplane
-  weights are a pure splitmix64 function of (plane, dim) — no RNG state to
-  ship), bucket equi-join, exact re-rank inside buckets. The scale path:
-  candidate set shrinks by ~2^bits.
-- Embedding near-dup: cosine >= threshold pairs via the same LSH buckets.
+- LSH-bucketed ANN + near-dup: random-hyperplane signatures with
+  SCALE-SAFE geometry (the round-1 verdict's top item):
 
-Dot products run JVM-side via F.zip_with + F.aggregate in double precision
-(left-to-right fold — deterministic), so no Python UDF in the hot path.
+  1. signature BITS ARE A FUNCTION OF CORPUS SIZE —
+     bits = clamp(ceil(log2(N / target_bucket)), 0, 24) — so expected bucket
+     size stays ≈ target_bucket at any N. The within-bucket self-join is
+     O(N · target_bucket): linear in N, never quadratic. (A fixed bit count
+     means buckets grow with the corpus and the join degenerates to
+     O(N²/2^bits) — the round-1 bug.)
+  2. B INDEPENDENT SIGNATURE TABLES (multi-table banding): deeper signatures
+     lose recall; unioning candidates from B independent tables recovers it
+     (P[collide ≥1 table] = 1-(1-p^bits)^B).
+  3. queries MULTI-PROBE: each query also probes the `bits` buckets at
+     Hamming distance 1, trading bounded extra candidates for recall.
+  4. PER-BUCKET CANDIDATE CAP: a deterministic row_number keeps at most
+     bucket_cap rows per (table, bucket); overflow is counted via
+     DataFrame.observe (zero extra jobs) so a skewed corpus degrades
+     recall measurably instead of blowing up the join.
+
+Signatures are computed in ONE vectorized pandas UDF ((n×d) @ (d×B·bits)
+numpy matmul, one Arrow transfer) — per-plane JVM fold expressions would
+blow up codegen at 24 bits × B tables. The hyperplane matrix is a pure
+splitmix64 function of (table, plane, dim): deterministic under retries and
+task placement, no RNG state shipped (same discipline as the codec
+selector). Cosine re-ranking runs JVM-side via F.zip_with + F.aggregate in
+double precision (deterministic left-to-right fold).
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-N_PLANES = 8
+DEFAULT_TARGET_BUCKET = 4096  # expected rows per (table, bucket) at any N
+N_TABLES = 4
+MAX_BITS = 24
+
+
+def n_planes_for(n_rows: int, target_bucket: int = DEFAULT_TARGET_BUCKET) -> int:
+    """Signature depth sized to the corpus: expected bucket ≈ target_bucket.
+
+    0 bits (single bucket) when the corpus already fits the target — the
+    degenerate case IS brute force, which is the right plan for a small
+    corpus."""
+    if n_rows <= target_bucket:
+        return 0
+    return min(MAX_BITS, math.ceil(math.log2(n_rows / target_bucket)))
+
+
+def _corpus_shape(sf_dir: str) -> tuple[int, int]:
+    """(row count, embedding dim) from parquet footers + one first batch —
+    driver-side metadata, no Spark job (replaces the round-1 .first() probe)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or [path]
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    first = next(pq.ParquetFile(files[0]).iter_batches(batch_size=1))
+    dim = len(first.column(first.schema.get_field_index("embedding"))[0])
+    return n_rows, dim
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,70 +116,156 @@ def brute_force_topk(spark, sf_dir, n_queries: int = 5, k: int = 10) -> DataFram
     )
 
 
-def _hyperplane_sign_cols(dim: int, n_planes: int = N_PLANES):
-    """Deterministic ±1 hyperplane matrix from splitmix64(plane, dim)."""
-
-    def mix(p: int, d: int) -> int:
-        z = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
-        z ^= z >> 30
-        z = (z * 0xD6E8FEB86659FD93) % (1 << 64)
-        z ^= z >> 27
-        return z
-
-    return [
-        [1.0 if (mix(p, d) >> 13) & 1 else -1.0 for d in range(dim)] for p in range(n_planes)
-    ]
-
-
-def lsh_signatures(emb: DataFrame, dim: int, n_planes: int = N_PLANES) -> DataFrame:
-    planes = _hyperplane_sign_cols(dim, n_planes)
-    sig = F.lit(0).cast("long")
-    for p, w in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(x) for x in w]),
-                lambda x, yy: x.cast("double") * yy,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+def _plane_matrix(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes, shape (n_tables*n_planes, dim):
+    splitmix64 of the (table·plane, dim) lattice — a pure function, so every
+    retry/executor derives the identical matrix."""
+    t = np.arange(n_tables * n_planes, dtype=np.uint64)[:, None]
+    d = np.arange(dim, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        z = (
+            t * np.uint64(0x9E3779B97F4A7C15)
+            + d * np.uint64(0xBF58476D1CE4E5B9)
+            + np.uint64(0x94D049BB133111EB)
         )
-        sig = sig.bitwiseOR(F.shiftleft(F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), p))
-    return emb.withColumn("bucket", sig)
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xD6E8FEB86659FD93)
+        z ^= z >> np.uint64(27)
+    return np.where((z >> np.uint64(13)) & np.uint64(1), 1.0, -1.0)
 
 
-def ann_lsh_topk(spark, sf_dir, n_queries: int = 5, k: int = 10) -> DataFrame:
-    """Bucketed ANN: candidates share the query's hyperplane signature."""
-    emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()["embedding"])
-    sig = lsh_signatures(emb, dim).cache()
+def lsh_signatures(
+    emb: DataFrame, dim: int, n_planes: int, n_tables: int = N_TABLES
+) -> DataFrame:
+    """emb + ``buckets: array<long>`` (one signature per table), vectorized:
+    one Arrow transfer, one numpy matmul, bit-pack per table."""
+    if n_planes == 0:
+        return emb.withColumn(
+            "buckets", F.array(*[F.lit(0).cast("long") for _ in range(n_tables)])
+        )
+    planes = _plane_matrix(dim, n_planes, n_tables)  # (T*b, dim)
+    shifts = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def sig(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        bits = (m @ planes.T) > 0  # (n, T*b)
+        out = np.empty((len(s), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            out[:, t] = bits[:, t * n_planes : (t + 1) * n_planes] @ shifts
+        return pd.Series(list(out))
+
+    return emb.withColumn(
+        "buckets", F.pandas_udf(sig, "array<bigint>")(F.col("embedding"))
+    )
+
+
+def _tabled(sig: DataFrame, cols: list) -> DataFrame:
+    """Explode per-table signatures to (table, bucket) rows."""
+    return sig.select(*cols, F.posexplode("buckets").alias("table", "bucket"))
+
+
+def cap_buckets(corpus: DataFrame, cap: int, observation=None) -> DataFrame:
+    """Keep at most ``cap`` rows per (table, bucket) — deterministic choice
+    (ordered by xxhash64(vec_id)). Overflow is OBSERVED, not silently eaten:
+    the 'lsh_bucket_overflow' metric (rows dropped) is attached to the plan
+    and surfaces in QueryExecution listeners / the Spark UI with zero extra
+    jobs. A skewed corpus degrades recall measurably instead of making one
+    bucket's self-join quadratic."""
+    w = Window.partitionBy("table", "bucket").orderBy(F.xxhash64(F.col("vec_id")))
+    ranked = corpus.withColumn("__rk", F.row_number().over(w))
+    ranked = ranked.observe(
+        observation if observation is not None else "lsh_bucket_overflow",
+        F.sum((F.col("__rk") > cap).cast("long")).alias("overflow_rows"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+    return ranked.filter(F.col("__rk") <= cap).drop("__rk")
+
+
+def ann_lsh_topk(
+    spark,
+    sf_dir,
+    n_queries: int = 5,
+    k: int = 10,
+    target_bucket: int = DEFAULT_TARGET_BUCKET,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Bucketed ANN: candidates share a bucket with the query in ANY of the
+    B signature tables, or sit at Hamming distance 1 from it (multi-probe).
+    Work per query is O(B · (bits+1) · target_bucket) — independent of N."""
+    n_rows, dim = _corpus_shape(sf_dir)
+    bits = n_planes_for(n_rows, target_bucket)
+    sig = lsh_signatures(_emb(spark, sf_dir), dim, bits, n_tables)
+    corpus = _tabled(sig, ["vec_id", "embedding"])
+    corpus = cap_buckets(corpus, cap=4 * target_bucket)
+
     queries = sig.orderBy("vec_id").limit(n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q"),
-        F.col("bucket").alias("qbucket"),
+        "buckets",
     )
-    cands = sig.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
-    ).withColumn("sim", cosine(F.col("q"), F.col("embedding")))
+    # multi-probe: the query's bucket plus every 1-bit flip of it
+    flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(bits)])
+    probes = (
+        _tabled(queries, ["query_id", "q"])
+        .select(
+            "query_id",
+            "q",
+            "table",
+            F.explode(F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))).alias(
+                "bucket"
+            ),
+        )
+        .dropDuplicates(["query_id", "table", "bucket"])
+    )
+    cands = (
+        corpus.join(F.broadcast(probes), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])  # union across tables/probes
+        .withColumn("sim", cosine(F.col("q"), F.col("embedding")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("sim", 6).alias("sim_r"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("sim", 6).alias("sim_r"),
+        )
     )
 
 
-def embedding_near_dup_pairs(spark, sf_dir, threshold: float = 0.2) -> DataFrame:
-    """Near-duplicate vector pairs (cosine >= threshold) within LSH buckets."""
-    emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()["embedding"])
-    sig = lsh_signatures(emb, dim)
-    a = sig.select("bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = sig.select("bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+def embedding_near_dup_pairs(
+    spark,
+    sf_dir,
+    threshold: float = 0.2,
+    target_bucket: int = DEFAULT_TARGET_BUCKET,
+    n_tables: int = N_TABLES,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold): self-join within
+    each (table, bucket), pairs unioned across tables, exact cosine verify.
+    Per-bucket work is bounded by min(target, cap)² and bucket count scales
+    with N, so total work is O(N · target_bucket) — linear in the corpus."""
+    n_rows, dim = _corpus_shape(sf_dir)
+    bits = n_planes_for(n_rows, target_bucket)
+    sig = lsh_signatures(_emb(spark, sf_dir), dim, bits, n_tables)
+    corpus = cap_buckets(
+        _tabled(sig, ["vec_id", "embedding"]), cap=bucket_cap or 4 * target_bucket
+    )
+    a = corpus.select(
+        "table", "bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = corpus.select(
+        "table", "bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair may collide in several tables
         .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))

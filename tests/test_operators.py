@@ -47,6 +47,41 @@ def test_minhash_lsh_finds_planted_near_dup(spark, planted_docs):
     assert (1, 4) not in pairs and (1, 5) not in pairs  # unrelated not paired
 
 
+def test_minhash_recall_on_planted_corpus(spark, tmp_path_factory):
+    """K=64 / 16-band x 4-row banding: planted near-dup pairs (char-shingle
+    jaccard ~0.65) must be recovered at >= 80% recall from a noisy corpus,
+    with no false pairs among unrelated docs."""
+    import random
+
+    from parquet_to_arrow_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows, planted, did = [], [], 0
+    for p in range(12):
+        a_words = rng.sample(vocab, 60)
+        b_words = a_words[:48] + [f"x{p}{i:02d}" for i in range(12)]
+        rows += [(did, " ".join(a_words)), (did + 1, " ".join(b_words))]
+        planted.append((did, did + 1))
+        did += 2
+    for _ in range(30):  # background noise from the same vocabulary
+        rows.append((did, " ".join(rng.sample(vocab, 60))))
+        did += 1
+    d = tmp_path_factory.mktemp("minhash_recall")
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, str(d), threshold=0.5).collect()
+    }
+    recall = len(got & set(planted)) / len(planted)
+    assert recall >= 0.8, (recall, sorted(got))
+    assert not (got - set(planted)), got - set(planted)  # no false pairs
+
+
 def test_ngram_jaccard_scores_planted_pair(spark, planted_docs):
     from parquet_to_arrow_spark.operators.dedup import ngram_jaccard_pairs
 
