@@ -9,6 +9,7 @@ tests/test_parquet_to_arrow.py).
 from __future__ import annotations
 
 import datetime as dt
+import os
 import sys
 
 import numpy as np
@@ -291,6 +292,48 @@ def test_diff_ordinal_plan_has_no_global_window(spark, tmp_path):
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+# --- wire-format edge fixtures ----------------------------------------------------
+# Binary parquet files from the reference test suite (tests/files/ —
+# fastparquet-written; fastparquet is not available in this image to
+# regenerate them). They exist because of real production bugs: a
+# dictionary file whose column chunk doesn't advertise a *_DICTIONARY
+# encoding, and a file with ZERO row groups (pyarrow cannot even write one).
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "files")
+
+
+def test_fixture_fastparquet_dictionary(spark, tmp_path):
+    # reference tests/test_parquet_to_arrow.py:73-92
+    path = os.path.join(FIXTURES, "column-A-dictionary-from-fastparquet.parquet")
+    assert to_text(spark, path, "csv") == "A\r\nx\r\n\r\ny\r\nx\r\nx"
+    assert (
+        to_text(spark, path, "json")
+        == '[{"A":"x"},{"A":null},{"A":"y"},{"A":"x"},{"A":"x"}]'
+    )
+    out = str(tmp_path / "fp.arrow")
+    to_arrow(spark, path, out)
+    with pa.ipc.open_file(out) as reader:
+        got = reader.read_all()
+    # dictionary-ness preserved (the file HAS a dictionary page even though
+    # no *_DICTIONARY data-page encoding is listed) and values intact
+    assert pa.types.is_dictionary(got.schema.field("A").type)
+    assert got.column("A").to_pylist() == ["x", None, "y", "x", "x"]
+
+
+def test_fixture_zero_row_groups(spark, tmp_path):
+    # reference tests/test_parquet_to_arrow.py:130-177 and
+    # test_parquet_to_text_stream.py:259-278: schema honored, zero rows
+    path = os.path.join(FIXTURES, "column-A-string-with-no-row-groups.parquet")
+    assert to_text(spark, path, "csv") == "A"
+    assert to_text(spark, path, "json") == "[]"
+    out = str(tmp_path / "zero.arrow")
+    to_arrow(spark, path, out)
+    with pa.ipc.open_file(out) as reader:
+        got = reader.read_all()
+    assert got.num_rows == 0
+    assert got.schema.field("A").type == pa.string()
 
 
 # --- parquet-to-arrow parity -----------------------------------------------------

@@ -37,8 +37,12 @@ def dictionary_columns(parquet_path: str) -> set[str]:
     rg = meta.row_group(0)
     for i in range(rg.num_columns):
         col = rg.column(i)
-        encodings = set(col.encodings)
-        if {"PLAIN_DICTIONARY", "RLE_DICTIONARY"} & encodings:
+        # has_dictionary_page is the reference's probe (parquet-to-arrow.cc:
+        # 25-33) and catches writers (e.g. fastparquet) that don't list a
+        # *_DICTIONARY data-page encoding even though a dictionary page exists
+        if col.has_dictionary_page or (
+            {"PLAIN_DICTIONARY", "RLE_DICTIONARY"} & set(col.encodings)
+        ):
             out.add(col.path_in_schema)
     return out
 
