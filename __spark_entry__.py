@@ -89,13 +89,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- deduplication ---
         "exact_dedup_groups": dedup.exact_dedup_groups,
         "exact_dedup_kept": dedup.exact_dedup_kept,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (xxhash64)
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "simhash64": dedup.simhash64,  # rows-only
+        "simhash64": dedup.simhash64,
         # --- similarity search ---
         "ann_bruteforce_topk": sim.brute_force_topk,
-        "ann_lsh_topk": sim.ann_lsh_topk,  # rows-only
-        "embedding_near_dup_pairs": sim.embedding_near_dup_pairs,  # rows-only
+        "ann_lsh_topk": sim.ann_lsh_topk,
+        "embedding_near_dup_pairs": sim.embedding_near_dup_pairs,
         # --- text analysis ---
         "lang_id": ts.lang_id,
         "text_quality": ts.text_quality,
@@ -128,6 +128,43 @@ def _lang_sql() -> str:
         best = f"CASE WHEN {cond} THEN '{lang}' ELSE {best} END"
         best_score = f"CASE WHEN {cond} THEN {score[lang]} ELSE {best_score} END"
     return f"SELECT doc_id, {best} AS lang_guess, {best_score} AS lang_score FROM documents"
+
+
+def _simhash_sql() -> str:
+    """64 per-bit majority aggregates + bit-pack, generated (the DuckDB twin
+    of dedup.simhash64's md5-derived word hash). Bit 63 of a signed BIGINT
+    is its sign: DuckDB rejects 1<<63, so that term is the min-long literal."""
+    sums = ", ".join(
+        f"sum(CASE WHEN (({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{i:02d}"
+        for i in range(64)
+    )
+    terms = [
+        f"CASE WHEN s{i:02d} > 0 THEN "
+        + ("(-9223372036854775807 - 1)" if i == 63 else f"(CAST(1 AS BIGINT) << {i})")
+        + " ELSE CAST(0 AS BIGINT) END"
+        for i in range(64)
+    ]
+    pack = " | ".join(terms)
+    return f"""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ), f AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS hi,
+                   CAST('0x' || substring(md5(w), 9, 8) AS BIGINT) AS lo
+            FROM w WHERE length(w) > 0
+        ), s AS (SELECT doc_id, {sums} FROM f GROUP BY doc_id)
+        SELECT doc_id, ({pack}) AS simhash FROM s"""
+
+
+_COSINE_SQL = """
+    list_sum(list_transform(list_zip({a}, {b}),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({a},
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform({b},
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -343,7 +380,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3""",
+        "simhash64": _simhash_sql(),
         # --- similarity ---
+        # ann_lsh_topk / embedding_near_dup_pairs: at the driver's scale the
+        # corpus (500 vectors) fits DEFAULT_TARGET_BUCKET, so the
+        # corpus-sized LSH geometry degenerates to bits=0 (one bucket) and
+        # the bucketed operators are EXACT — the oracle checks the full
+        # signature->bucket-join->re-rank pipeline against plain cosine SQL.
+        "ann_lsh_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       {_COSINE_SQL.format(a="q.qe", b="e.embedding")} AS sim
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 6) AS sim_r
+            FROM (
+                SELECT query_id, vec_id, sim, row_number() OVER (
+                    PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+                FROM scored) WHERE rank <= 10""",
+        "embedding_near_dup_pairs": f"""
+            WITH s AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       {_COSINE_SQL.format(a="a.embedding", b="b.embedding")} AS sim
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(sim, 6) AS sim_r FROM s WHERE sim >= 0.2""",
         "ann_bruteforce_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -146,13 +146,30 @@ def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.3, max_df: int = 64)
 
 def simhash64(spark, sf_dir) -> DataFrame:
     """64-bit SimHash per doc: word-level hashes, per-bit majority vote,
-    computed with shiftright/bitwise aggs — no Python in the loop."""
+    computed with shiftright/bitwise aggs — no Python in the loop.
+
+    The word hash is the two 32-bit halves of md5(word) (bits 0-31 from hex
+    chars 9-16, bits 32-63 from chars 1-8): md5 is available in every SQL
+    engine, so the whole operator has an exact DuckDB oracle twin (xxhash64
+    does not exist in DuckDB and would leave this rows-only-checked). md5 is
+    ~3x slower per word than xxhash64 but the explode dominates this
+    pipeline, not the hash."""
     docs = _docs(spark, sf_dir)
     words = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
-    words = words.filter(F.length("w") > 0).withColumn("h", F.xxhash64("w"))
+    words = (
+        words.filter(F.length("w") > 0)
+        .withColumn("hx", F.md5(F.col("w")))
+        .withColumn("hi", F.conv(F.substring("hx", 1, 8), 16, 10).cast("long"))
+        .withColumn("lo", F.conv(F.substring("hx", 9, 8), 16, 10).cast("long"))
+    )
     bit_aggs = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("lo" if i < 32 else "hi"), i % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"s{i:02d}")
         for i in range(64)
     ]
