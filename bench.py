@@ -71,9 +71,11 @@ def _measure_encode(cores: int, n_rows: int, reps: int = 2) -> dict:
 
     path = _input_dir(n_rows)
     spark = get_spark(app=f"bench_encode_{cores}", cores=cores)
-    # warm the Python workers (steady-state throughput, as on a long-lived
-    # cluster) — worker spawn + numpy import is a one-time cost per executor
-    encode_parquet_dir(spark, path).limit(1).count()
+    # warm with a FULL pass: limit(1) runs one task and leaves the other
+    # cores' Python workers cold (worker spawn + numpy import), which
+    # understated round-1 throughput by ~35% at 32 cores. A long-lived
+    # cluster is always at steady state; measure that.
+    encode_parquet_dir(spark, path).count()
     best = None
     for _ in range(reps):
         t0 = time.time()
@@ -115,10 +117,14 @@ def _measure_decode(cores: int, n_rows: int) -> dict:
         encode_parquet_dir(spark, path).write.mode("overwrite").parquet(enc_path)
     encoded = spark.read.parquet(enc_path)
     raw = encoded.agg(F.sum("raw_bytes")).collect()[0][0]
-    token_hashes_from_encoded(encoded.limit(1)).count()  # warm workers
-    t0 = time.time()
-    n = token_hashes_from_encoded(encoded).count()
-    dt = time.time() - t0
+    token_hashes_from_encoded(encoded).count()  # full warm pass (see encode)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        n = token_hashes_from_encoded(encoded).count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    dt = best
     spark.stop()
     raw_gib = raw / (1 << 30)
     return {

@@ -22,12 +22,25 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # is (1/16)^(1/4) = 0.5 — exactly the operator's default similarity
 # threshold — and est_jaccard granularity improves from 1/16 to 1/64.
 N_MINHASH = 64
+_BIN_BITS = 6
+assert N_MINHASH == 1 << _BIN_BITS
 N_BANDS = 16  # 4 rows per band
 SHINGLE = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the scan produced
+    fewer splits than cores (a small single-file input otherwise runs every
+    pre-shuffle stage — the shingle/word EXPLODE, the expensive part — on
+    one task). No-op at scale where inputs already have >= cores splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup_groups(spark, sf_dir) -> DataFrame:
@@ -53,18 +66,45 @@ def doc_shingles(df: DataFrame, k: int = SHINGLE) -> DataFrame:
     """Distinct char k-gram shingles per doc, derived JVM-side."""
     idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1)))
     sh = F.array_distinct(F.transform(idx, lambda i: F.substr("text", i, F.lit(k))))
-    return df.select("doc_id", F.explode(sh).alias("shingle"))
+    return _spread(df).select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def minhash_signatures(spark, sf_dir) -> DataFrame:
-    """K min-hashes per doc in ONE aggregation pass (K seeded xxhash64 mins)."""
+    """K min-hashes per doc via ONE-PERMUTATION HASHING (Li/Owen/Zhang,
+    NeurIPS 2012): each shingle is hashed ONCE, assigned to one of K bins by
+    its low bits, and the signature is the per-bin minimum — K signatures
+    for the price of one string hash per shingle instead of K (the naive
+    K-seeded form cost 64 xxhash64 evaluations per shingle row and dominated
+    the dedup bench). Empty bins are densified with xxhash64(doc_min, bin):
+    for two docs both missing bin i the fill collides exactly when their
+    global minima collide — itself a minhash event — so the estimator stays
+    honest; single-sided empties almost never collide (slight underestimate).
+    """
     docs = _docs(spark, sf_dir)
     sh = doc_shingles(docs)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i:02d}")
-        for i in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    h = F.xxhash64(F.col("shingle"))
+    # bin = the hash's own top bits (unsigned shift): within a bin those
+    # bits are constant, so the per-bin min ranks by the remaining 58 —
+    # the standard OPH construction, zero extra hashes
+    binned = sh.select(
+        "doc_id",
+        h.alias("h"),
+        F.shiftrightunsigned(h, 64 - _BIN_BITS).alias("bin"),
+    )
+    binmin = binned.groupBy("doc_id", "bin").agg(F.min("h").alias("mh"))
+    # signature as ONE array<long> column (not K scalar columns: 64-column
+    # plans generate pathological whole-stage code — cold codegen alone cost
+    # seconds); map lookup + densification in a single transform
+    m = F.map_from_entries(F.collect_list(F.struct("bin", "mh")))
+    per_doc = binmin.groupBy("doc_id").agg(m.alias("__m"))
+    g = F.array_min(F.map_values(F.col("__m")))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("long")), F.xxhash64(g, i)
+        ),
+    )
+    return per_doc.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.5) -> DataFrame:
@@ -79,7 +119,7 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.5) -> DataFrame:
     rows_per_band = N_MINHASH // N_BANDS
     band_cols = [
         F.xxhash64(
-            *[F.col(f"mh{b * rows_per_band + r:02d}") for r in range(rows_per_band)], F.lit(b)
+            F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b)
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
@@ -96,10 +136,16 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.5) -> DataFrame:
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i:02d}").alias(f"a{i}") for i in range(N_MINHASH)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i:02d}").alias(f"b{i}") for i in range(N_MINHASH)])
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
     return (
         cand.join(sa, "doc_a")
@@ -154,7 +200,7 @@ def simhash64(spark, sf_dir) -> DataFrame:
     does not exist in DuckDB and would leave this rows-only-checked). md5 is
     ~3x slower per word than xxhash64 but the explode dominates this
     pipeline, not the hash."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     words = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
     words = (
         words.filter(F.length("w") > 0)
