@@ -95,7 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "ann_bruteforce_topk": sim.brute_force_topk,
         "ann_lsh_topk": sim.ann_lsh_topk,
+        "ann_ivf_topk": sim.ann_ivf_topk,
         "embedding_near_dup_pairs": sim.embedding_near_dup_pairs,
+        # --- streaming (Structured Streaming drained via availableNow) ---
+        "streaming_windowed_counts": _streaming_windowed_counts,
         # --- text analysis ---
         "lang_id": ts.lang_id,
         "text_quality": ts.text_quality,
@@ -104,6 +107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal plumbing ---
         "media_meta": multimodal.media_meta,
     }
+
+
+def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_to_arrow_spark.streaming.incremental import streaming_windowed_counts
+
+    return streaming_windowed_counts(spark, sf_dir)
 
 
 def _occ(needle: str) -> str:
@@ -405,6 +414,29 @@ def oracle_sql() -> dict[str, str]:
                        {_COSINE_SQL.format(a="a.embedding", b="b.embedding")} AS sim
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, round(sim, 6) AS sim_r FROM s WHERE sim >= 0.2""",
+        # ann_ivf_topk: at oracle scale the corpus fits one cell (the IVF
+        # analogue of bits=0), so the cell-probe pipeline is exact
+        "ann_ivf_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       {_COSINE_SQL.format(a="q.qe", b="e.embedding")} AS sim
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 6) AS sim_r
+            FROM (
+                SELECT query_id, vec_id, sim, row_number() OVER (
+                    PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+                FROM scored) WHERE rank <= 10""",
+        "streaming_windowed_counts": """
+            -- 6-hour tumbling windows, epoch-aligned exactly like Spark's
+            -- window(ts, '6 hours') on TimestampNTZ
+            SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+                       AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2""",
         "ann_bruteforce_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -92,6 +92,23 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.8, recall
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with k-means cells + top-2 assignment + sqrt(cells) probes:
+    recall@10 >= 0.8 against exact even when the corpus is forced into 8
+    cells (everything is deterministic — hash-ordered training sample,
+    Lloyd iterations, probe order — so this number is exactly stable)."""
+    from parquet_to_arrow_spark.operators.similarity import ann_ivf_topk
+
+    bf = brute_force_topk(spark, SF001, n_queries=10, k=10).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(spark, SF001, n_queries=10, k=10, target_cell=64).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, recall
+
+
 def test_near_dup_pairs_agree_with_bruteforce_pairs(spark):
     """Every high-cosine pair the bucketed operator reports must be real
     (verified by exact cosine), and with the corpus-sized geometry at this

@@ -53,3 +53,32 @@ def test_iceberg_fallback_roundtrip(spark, tmp_path):
     df = synth_tokens_df(spark, 100, n_partitions=1)
     append(df, str(tmp_path / "tbl"))
     assert read_table(spark, str(tmp_path / "tbl")).count() == 100
+
+
+def test_streaming_windowed_counts_matches_batch(spark):
+    """The watermarked window aggregation drained via availableNow must equal
+    the batch groupBy of the same data — the exactness guarantee the driver's
+    oracle also checks."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_arrow_spark.streaming.incremental import streaming_windowed_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streaming_windowed_counts(spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+        .collect()
+    }
+    assert got == want and len(got) > 0
