@@ -104,8 +104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": ts.text_quality,
         "token_counts": ts.token_counts,
         "fingerprints": ts.fingerprints,
-        # --- multimodal plumbing ---
+        # --- multimodal (real WAV/PPM container decode; codec formats stubbed) ---
         "media_meta": multimodal.media_meta,
+        "media_audio_features": multimodal.media_audio_features,  # rows-only
+        "media_image_thumbnails": multimodal.media_image_thumbnails,  # rows-only
     }
 
 
