@@ -160,6 +160,12 @@ def main() -> None:
         "roundtrip_orders_table",
     ]
     spark = get_spark(app="bench", cores=CPUS)
+    # steady-state: absorb one-time session costs (executor spin-up, Arrow
+    # module import, first-codegen) before the timed loop, exactly like the
+    # encode legs warm their workers — a long-lived cluster never pays these
+    # per query
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    qs["scan_full"](spark, SF_DIR).count()
     timings: dict[str, float] = {}
     for name in headline:
         t0 = time.time()

@@ -71,6 +71,17 @@ def test_decode_path_has_no_shuffle(spark, tmp_path):
     assert "Exchange" not in plan, plan
 
 
+def test_ann_queries_broadcast_probe_side(spark):
+    """LSH/IVF candidate joins must broadcast the (tiny) probe side — a
+    shuffle join on the bucket key would move the whole corpus."""
+    from parquet_to_arrow_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk
+
+    for q in (ann_lsh_topk, ann_ivf_topk):
+        plan = plan_of(q(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan, (q.__name__, plan)
+        assert "CartesianProduct" not in plan, q.__name__
+
+
 def test_checkpoint_anti_join_broadcasts(spark):
     from parquet_to_arrow_spark import checkpoint
     from parquet_to_arrow_spark.sources.synth import synth_tokens_df
