@@ -36,12 +36,40 @@ def list_parquet_files(path: str) -> list[str]:
     return files
 
 
-def files_df(spark: SparkSession, path: str) -> DataFrame:
-    """One row per parquet file, one file per partition (exact round-robin —
-    hash repartition would give some tasks 2-3 files and others none, and the
-    straggler tail caps scaling)."""
+TARGET_TASK_BYTES = 256 << 20
+
+
+def files_df(
+    spark: SparkSession, path: str, target_bytes: int = TARGET_TASK_BYTES
+) -> DataFrame:
+    """One row per parquet file, grouped into size-balanced task partitions.
+
+    Task granularity is BYTES, not files: each Spark→Python task round-trip
+    costs ~0.2 s of fixed overhead (measured on a no-op mapInArrow at
+    local[1]), so one-task-per-small-file wastes most of the wall clock on a
+    many-file input — the same reason Spark's own scans pack small files up
+    to maxPartitionBytes. Groups are built greedily largest-file-first into
+    min(n_files, max(parallelism, total/target)) bins (rounded up to a
+    multiple of the parallelism so waves stay balanced), then laid out one
+    group per partition via exact slicing — no shuffle, no hash skew."""
+    import math
+
     files = list_parquet_files(path)
-    rdd = spark.sparkContext.parallelize([(f,) for f in files], max(len(files), 1))
+    if not files:
+        return spark.createDataFrame([], "path string")
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    sizes = {f: os.path.getsize(f) for f in files}
+    by_bytes = math.ceil(sum(sizes.values()) / max(target_bytes, 1))
+    n_tasks = min(len(files), par * math.ceil(max(par, by_bytes) / par))
+    groups: list[list[str]] = [[] for _ in range(n_tasks)]
+    load = [0] * n_tasks
+    for f in sorted(files, key=lambda f: (-sizes[f], f)):
+        i = load.index(min(load))
+        groups[i].append(f)
+        load[i] += sizes[f]
+    rdd = spark.sparkContext.parallelize(groups, n_tasks).flatMap(
+        lambda g: [(f,) for f in g]
+    )
     return spark.createDataFrame(rdd, "path string")
 
 
