@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": ts.text_quality,
         "token_counts": ts.token_counts,
         "fingerprints": ts.fingerprints,
+        "tfidf_top_terms": ts.tfidf_top_terms,
         # --- multimodal (real WAV/PPM container decode; codec formats stubbed) ---
         "media_meta": multimodal.media_meta,
         "media_audio_features": multimodal.media_audio_features,  # rows-only
@@ -477,6 +478,26 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": """
             SELECT doc_id, md5(text) AS fp_md5, substring(text, 1, 16) AS prefix16
             FROM documents""",
+        "tfidf_top_terms": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ), tf AS (
+                SELECT doc_id, w, count(*) AS tf FROM words
+                WHERE length(w) > 0 GROUP BY doc_id, w
+            ), dfreq AS (
+                SELECT w, count(*) AS df FROM tf GROUP BY w
+            ), n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.w,
+                       CAST(tf.tf AS DOUBLE) *
+                       (ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                           / (CAST(dfreq.df AS DOUBLE) + 1.0)) + 1.0) AS score
+                FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n
+            )
+            SELECT doc_id, w AS term, rank, round(score, 6) AS score_r FROM (
+                SELECT doc_id, w, score, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, w) AS rank
+                FROM scored) WHERE rank <= 3""",
         # --- multimodal ---
         "media_meta": """
             SELECT doc_id, 'text/plain;lang=' || lang AS media_type,

@@ -101,3 +101,37 @@ def fingerprints(spark, sf_dir) -> DataFrame:
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp_md5"),
         F.substring(F.col("text"), 1, 16).alias("prefix16"),
     )
+
+
+def tfidf_top_terms(spark, sf_dir, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the ranking primitive of a
+    training-data quality/topic pipeline.
+
+    Scale shape: one explode, one (doc, word) aggregation, one small join
+    on the word dimension (document frequencies — vocabulary-sized, Spark
+    broadcasts it), one per-doc window. idf = ln((N+1)/(df+1)) + 1 (smooth;
+    always positive), score = tf * idf, ties broken by term ascending so the
+    ranking is fully deterministic and oracle-checkable."""
+    from .dedup import _spread
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # driver-side scalar; one cheap metadata-ish job
+    words = (
+        _spread(docs)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "w").withColumn(
+        "score", F.col("tf").cast("double") * idf
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.col("w").alias("term"), "rank", F.round("score", 6).alias("score_r"))
+    )

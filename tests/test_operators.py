@@ -117,6 +117,23 @@ def test_ann_lsh_subset_of_bruteforce_order(spark):
         ]
 
 
+def test_tfidf_top_terms_surfaces_distinctive_words(spark, planted_docs):
+    from parquet_to_arrow_spark.operators.textstats import tfidf_top_terms
+
+    top = {}
+    for r in tfidf_top_terms(spark, planted_docs, k=3).collect():
+        top.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score_r"]))
+    assert set(top) == {1, 2, 3, 4, 5}
+    for doc_id, terms in top.items():
+        assert [t[0] for t in sorted(terms)] == list(range(1, len(terms) + 1))
+        assert all(t[2] > 0 for t in terms)
+    # doc 4 is the spaceship doc: its top terms are its own vocabulary,
+    # disjoint from the fox docs' top terms
+    fox_terms = {t[1] for t in top[1]}
+    space_terms = {t[1] for t in top[4]}
+    assert not (fox_terms & space_terms)
+
+
 def test_lang_id_marks_english(spark, planted_docs):
     from parquet_to_arrow_spark.operators.textstats import lang_id
 
