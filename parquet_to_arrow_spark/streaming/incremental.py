@@ -103,6 +103,62 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str):
     )
 
 
+def stateful_user_counts(
+    spark: SparkSession,
+    events_glob: str,
+    checkpoint_dir: str,
+    schema,
+    files_per_trigger: int = 1,
+):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event counts and value sums that ACCUMULATE ACROSS
+    MICRO-BATCHES (state = one row per user, carried by the state store,
+    checkpointed). Each micro-batch emits the user's updated running totals;
+    the final update per user equals the batch aggregate — which is exactly
+    what the test asserts, proving cross-batch state survival.
+
+    At scale this is the shape of any custom sessionizer/accumulator the
+    built-in windowed aggs can't express; state is partitioned by the group
+    key, so it shards across executors like any shuffle."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # re-import: the closure ships standalone to workers
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(events_glob)
+    )
+    import uuid
+
+    name = "user_counts_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name), name
+
+
 def streaming_encode_metrics(
     spark: SparkSession,
     input_dir: str,

@@ -82,3 +82,41 @@ def test_streaming_windowed_counts_matches_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_user_counts_accumulate_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state survives micro-batch boundaries — the
+    last update per user equals the batch aggregate over all files."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_arrow_spark.streaming.incremental import stateful_user_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    land = str(tmp_path / "ev_land")
+    ev.repartition(4).write.parquet(land)  # 4 files -> 4 micro-batches
+
+    updates, _ = stateful_user_counts(
+        spark, land, str(tmp_path / "state_ckpt"), ev.schema, files_per_trigger=1
+    )
+    rows = updates.collect()
+    assert len(rows) > 0
+    final = {}
+    for r in rows:  # counts are monotone; the max row is the last update
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, s) in want.items():
+        gn, gs = final[uid]
+        assert gn == n and abs(gs - s) < 1e-6 * max(abs(s), 1), uid
+    # state genuinely crossed batches: some user got >1 update row
+    from collections import Counter
+
+    per_user_updates = Counter(r["user_id"] for r in rows)
+    assert max(per_user_updates.values()) > 1
