@@ -54,6 +54,9 @@ _INT_TYPES = {
     pa.uint8(): ("int32", "uint8"),
     pa.uint16(): ("int32", "uint16"),
     pa.uint32(): ("int64", "uint32"),
+    # uint64 rides on int64 PHYSICAL bits, reinterpreted at decode — exactly
+    # the reference's unsigned model (src/parquet-to-text-stream.cc:203-204)
+    pa.uint64(): ("int64", "uint64"),
 }
 
 
@@ -163,12 +166,17 @@ def decode_column(col_meta: dict, payload: bytes) -> pa.Array:
         vals = decode_int_array(data["codec"], data["meta"], data["payload"], n_dense)
         if kind == "int":
             logical = col_meta["type_meta"]["logical"]
-            pa_type = {
-                "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
-                "int64": pa.int64(), "uint8": pa.uint8(), "uint16": pa.uint16(),
-                "uint32": pa.uint32(),
-            }[logical]
-            dense = pa.array(vals).cast(pa_type)
+            if logical == "uint64":
+                # bit reinterpret, not value cast (values > 2^63 are stored
+                # as negative int64 — an arrow cast would range-check)
+                dense = pa.array(vals.astype(np.int64, copy=False).view(np.uint64))
+            else:
+                pa_type = {
+                    "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+                    "int64": pa.int64(), "uint8": pa.uint8(), "uint16": pa.uint16(),
+                    "uint32": pa.uint32(),
+                }[logical]
+                dense = pa.array(vals).cast(pa_type)
         elif kind == "timestamp":
             tm = col_meta["type_meta"]
             dense = pa.array(vals, type=pa.int64()).cast(pa.timestamp(tm["unit"], tm["tz"]))

@@ -34,7 +34,7 @@ def _col_strategy(t):
 
 TYPES = [
     pa.int8(), pa.int16(), pa.int32(), pa.int64(),
-    pa.uint8(), pa.uint16(), pa.uint32(),
+    pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
     pa.bool_(), pa.float32(), pa.float64(),
     pa.string(), pa.timestamp("us"), pa.date32(),
 ]

@@ -21,6 +21,7 @@ MIXED = pa.record_batch(
         "i8": pa.array([-128, 127, None, 5], type=pa.int8()),
         "i64": pa.array([1, 2**62, None, -1], type=pa.int64()),
         "u32": pa.array([0, 4294967295, None, 7], type=pa.uint32()),
+        "u64": pa.array([1, 9223372039002259456, None, 2**64 - 1], type=pa.uint64()),
         "f32": pa.array([1.5, None, float("nan"), -0.0], type=pa.float32()),
         "f64": pa.array([0.12314, 1e52, None, float("inf")], type=pa.float64()),
         "s": pa.array(["x", None, "", "Ω"], type=pa.string()),
