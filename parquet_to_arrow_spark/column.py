@@ -57,8 +57,11 @@ def decode_int_array(codec: str, meta: dict, payload: bytes, n: int) -> np.ndarr
 
 
 def _utf8_parts(arr: pa.Array) -> tuple[bytes, np.ndarray]:
-    """(concatenated utf8 blob, int64 lengths) for a non-null string array."""
-    arr = arr.cast(pa.large_utf8())
+    """(concatenated byte blob, int64 lengths) for a non-null string OR
+    binary array (identical offsets+data layout; binary skips the utf8
+    validation a string cast would apply)."""
+    is_bin = pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)
+    arr = arr.cast(pa.large_binary() if is_bin else pa.large_utf8())
     buf = arr.buffers()
     offsets = np.frombuffer(buf[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
     data = buf[2].to_pybytes() if buf[2] is not None else b""
@@ -174,9 +177,16 @@ def encode_string_array(arr: pa.Array) -> dict:
         fw = int(lengths[0]) if n and (lengths == lengths[0]).all() else 0
         parts["blob"] = _encode_blob(blob, n, fw)
     payload, meta_parts = _pack_parts(parts)
+    is_bin = pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)
     return {
         "codec": f"str_{mode}",
-        "meta": {"mode": mode, "n": n, "card": card, "parts": meta_parts},
+        "meta": {
+            "mode": mode,
+            "n": n,
+            "card": card,
+            "binary": is_bin,
+            "parts": meta_parts,
+        },
         "payload": payload,
         "n": n,
         "raw_bytes": raw_bytes,
@@ -185,29 +195,30 @@ def encode_string_array(arr: pa.Array) -> dict:
 
 def decode_string_array(meta: dict, payload: bytes) -> pa.Array:
     n = meta["n"]
+    binary = bool(meta.get("binary", False))
     parts = _unpack_parts(meta["parts"], payload)
     if meta["mode"] == "dict":
         card = meta["card"]
         idx = _decode_part_int(parts["indices"], None)
         vlens = _decode_part_int(parts["val_lengths"], card)
         vblob = _decode_part_blob(parts["val_blob"], card)
-        values = _strings_from(vblob, vlens)
+        values = _strings_from(vblob, vlens, binary)
         if n == 0:
-            return pa.array([], type=pa.string())
+            return pa.array([], type=pa.binary() if binary else pa.string())
         return pc.take(values, pa.array(idx, type=pa.int64()))
     lengths = _decode_part_int(parts["lengths"], n)
     blob = _decode_part_blob(parts["blob"], n)
-    return _strings_from(blob, lengths)
+    return _strings_from(blob, lengths, binary)
 
 
-def _strings_from(blob: bytes, lengths: np.ndarray) -> pa.Array:
+def _strings_from(blob: bytes, lengths: np.ndarray, binary: bool = False) -> pa.Array:
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     return pa.Array.from_buffers(
-        pa.large_utf8(),
+        pa.large_binary() if binary else pa.large_utf8(),
         len(lengths),
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)],
-    ).cast(pa.string())
+    ).cast(pa.binary() if binary else pa.string())
 
 
 # --- part (de)multiplexing ---------------------------------------------------

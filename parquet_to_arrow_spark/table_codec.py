@@ -142,6 +142,12 @@ def encode_column(arr: pa.Array, name: str) -> dict:
         enc = encode_string_array(dense.cast(pa.string()))
         kind = "string"
         meta = {}
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        # media/blob payload columns: same offsets+values pipeline as
+        # strings, minus utf8 validation
+        enc = encode_string_array(dense.cast(pa.binary()))
+        kind = "binary"
+        meta = {}
     else:
         raise ValueError(f"unsupported column type for {name}: {t}")
     parts["data"] = enc
@@ -191,6 +197,8 @@ def decode_column(col_meta: dict, payload: bytes) -> pa.Array:
         dense = pa.array(raw)
     elif kind == "string":
         dense = decode_string_array(data["meta"], data["payload"]).cast(pa.string())
+    elif kind == "binary":
+        dense = decode_string_array(data["meta"], data["payload"]).cast(pa.binary())
     else:  # pragma: no cover
         raise ValueError(f"unknown column kind {kind}")
     has_validity = "validity" in parts

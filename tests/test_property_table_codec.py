@@ -25,6 +25,8 @@ def _col_strategy(t):
         base = st.floats(allow_nan=True, allow_infinity=True, width=32 if t == pa.float32() else 64)
     elif pa.types.is_string(t):
         base = st.text(max_size=12)
+    elif pa.types.is_binary(t):
+        base = st.binary(max_size=16)
     elif pa.types.is_timestamp(t):
         base = st.datetimes(dt.datetime(1900, 1, 1), dt.datetime(2200, 1, 1))
     else:  # date32
@@ -36,7 +38,7 @@ TYPES = [
     pa.int8(), pa.int16(), pa.int32(), pa.int64(),
     pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
     pa.bool_(), pa.float32(), pa.float64(),
-    pa.string(), pa.timestamp("us"), pa.date32(),
+    pa.string(), pa.binary(), pa.timestamp("us"), pa.date32(),
 ]
 
 
