@@ -261,6 +261,33 @@ def test_diff_truth_table(spark, tmp_path):
     assert spark_diff(spark, p9, p9)[0] == 2
 
 
+def test_diff_logical_type_axes(spark, tmp_path):
+    """Reference: timestamp unit and isAdjustedToUTC mismatches are SCHEMA
+    diffs (src/parquet-diff.cc:24-64, tests/test_parquet_diff.py:308-338)
+    even though Spark's reader normalizes both to us-precision — the footer
+    probe preserves the axis. Parquet v1 vs v2 files with equal data stay
+    equal (reference :341-355)."""
+    vals = [dt.datetime(2019, 3, 4, 5, 6, 7)]
+    us = _write(tmp_path, pa.table({"ts": pa.array(vals, type=pa.timestamp("us"))}), "us.parquet")
+    ms = _write(tmp_path, pa.table({"ts": pa.array(vals, type=pa.timestamp("ms"))}), "ms.parquet")
+    tz = _write(
+        tmp_path,
+        pa.table({"ts": pa.array(vals, type=pa.timestamp("us", tz="UTC"))}),
+        "tz.parquet",
+    )
+    code, msgs = spark_diff(spark, us, ms)
+    assert code == 1 and "logical type" in msgs[0], msgs
+    assert spark_diff(spark, us, tz)[0] == 1
+    assert spark_diff(spark, us, us)[0] == 0
+
+    # parquet format v1 vs v2, same data -> equal
+    data = pa.table({"A": [1, 2, 3]})
+    v1 = str(tmp_path / "v1.parquet")
+    pq.write_table(data, v1, compression="snappy", version="1.0")
+    v2 = _write(tmp_path, data, "v2.parquet")
+    assert spark_diff(spark, v1, v2)[0] == 0
+
+
 def test_diff_strict_chunking(spark, tmp_path):
     """Reference: files with different row-group boundaries are different by
     definition (src/parquet-diff.cc:238-245, README.md:81-82) — opt-in here."""

@@ -71,6 +71,21 @@ def _with_ordinal(df: DataFrame) -> DataFrame:
     )
 
 
+def _footer_schema(path: str) -> list[tuple[str, str]]:
+    """(name, arrow type) per column from the parquet footer — catches the
+    logical-type axes Spark's reader normalizes away (timestamp unit ms/us/ns
+    and isAdjustedToUTC are schema DIFFERENCES in the reference,
+    src/parquet-diff.cc:24-64, tests/test_parquet_diff.py:308-338), while
+    staying encoding-blind (dictionary pages are not part of the schema)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or [path]
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    return [(f.name, str(f.type)) for f in schema]
+
+
 def _row_group_layout(path: str) -> list[int]:
     """Per-row-group row counts in file order — the reference's chunking
     strictness axis (src/parquet-diff.cc:238-245, 276-281), read from
@@ -113,6 +128,11 @@ def diff(
             return 1, [
                 f"Column {i} ({x.name}) type: -{x.dataType.simpleString()} +{y.dataType.simpleString()}"
             ]
+    # footer-level logical types: timestamp unit / isAdjustedToUTC / narrow
+    # ints survive here even though Spark's reader widens or normalizes them
+    for i, (x, y) in enumerate(zip(_footer_schema(path1), _footer_schema(path2))):
+        if x[1] != y[1]:
+            return 1, [f"Column {i} ({x[0]}) logical type: -{x[1]} +{y[1]}"]
     na, nb = a.count(), b.count()
     if na != nb:
         return 1, [f"Row count: -{na} +{nb}"]
