@@ -321,6 +321,53 @@ def test_diff_ordinal_plan_has_no_global_window(spark, tmp_path):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_text_float32_and_dictionary_column(spark, tmp_path):
+    # reference convert_f32 (:138, ToShortestSingle) + convert_text_dictionaries (:197)
+    t = pa.table(
+        {
+            "f32": pa.array([0.1, None], type=pa.float32()),
+            "s": pa.array(["x", "x"]).dictionary_encode(),
+        }
+    )
+    path = _write(tmp_path, t, "f32dict.parquet")
+    assert to_text(spark, path, "csv") == "f32,s\r\n0.1,x\r\n,x"
+    assert to_text(spark, path, "json") == '[{"f32":0.1,"s":"x"},{"f32":null,"s":"x"}]'
+
+
+def test_to_arrow_categorical_edge_cases(spark, tmp_path):
+    """Reference: NA-only and EMPTY categorical columns keep their dictionary
+    type through conversion (tests/test_parquet_to_arrow.py:105-127 — these
+    exist because of a production Arrow bug)."""
+    cat = pa.dictionary(pa.int32(), pa.string())
+    for name, vals in (("na_cat", [None, None]), ("empty_cat", [])):
+        path = _write(tmp_path, pa.table({"A": pa.array(vals, type=cat)}), f"{name}.parquet")
+        out = str(tmp_path / f"{name}.arrow")
+        to_arrow(spark, path, out)
+        with pa.ipc.open_file(out) as reader:
+            got = reader.read_all()
+        assert pa.types.is_dictionary(got.schema.field("A").type), name
+        assert got.column("A").to_pylist() == vals, name
+
+
+def test_to_arrow_timestamp_date_allnull(spark, tmp_path):
+    # reference read_write_timestamp/date/all-null (:50-63, :95-102)
+    t = pa.table(
+        {
+            "ts": pa.array([dt.datetime(2019, 3, 4, 5, 6, 7, 8), None], type=pa.timestamp("us")),
+            "d": pa.array([dt.date(1960, 3, 4), None], type=pa.date32()),
+            "nul": pa.array([None, None], type=pa.float64()),
+        }
+    )
+    path = _write(tmp_path, t, "tsd.parquet")
+    out = str(tmp_path / "tsd.arrow")
+    to_arrow(spark, path, out)
+    with pa.ipc.open_file(out) as reader:
+        got = reader.read_all()
+    assert got.column("ts").to_pylist() == [dt.datetime(2019, 3, 4, 5, 6, 7, 8), None]
+    assert got.column("d").to_pylist() == [dt.date(1960, 3, 4), None]
+    assert got.column("nul").to_pylist() == [None, None]
+
+
 # --- wire-format edge fixtures ----------------------------------------------------
 # Binary parquet files from the reference test suite (tests/files/ —
 # fastparquet-written; fastparquet is not available in this image to
