@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top3_per_supplier": rel.window_top3_per_supplier,
         "topk_orders": rel.topk_orders,
         "customers_without_orders": rel.customers_without_orders,
+        "asof_purchase_last_click": rel.asof_purchase_last_click,
         "revenue_by_nation": rel.revenue_by_nation,
         "events_hourly_rollup": rel.events_hourly_rollup,
         "sessionize_events": rel.sessionize_events,
@@ -228,6 +229,28 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT DISTINCT c_custkey AS custkey FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+        "asof_purchase_last_click": """
+            WITH u AS (
+                SELECT user_id, ts, 0 AS side, event_id AS click_id,
+                       CAST(NULL AS BIGINT) AS event_id
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, 1, CAST(NULL AS BIGINT), event_id
+                FROM events WHERE event_type = 'purchase'
+            ), w AS (
+                SELECT *,
+                       last_value(click_id IGNORE NULLS) OVER win AS last_click_id,
+                       last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                           OVER win AS last_click_ts
+                FROM u
+                WINDOW win AS (
+                    PARTITION BY user_id
+                    ORDER BY ts, side, coalesce(click_id, event_id)
+                    ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT event_id, user_id, last_click_id,
+                   epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
+            FROM w WHERE side = 1""",
         "revenue_by_nation": f"""
             SELECT n_name,
                    CAST(sum(CAST(l_extendedprice AS {dec}) *

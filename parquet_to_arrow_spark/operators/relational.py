@@ -250,3 +250,54 @@ def events_hourly_rollup(spark, sf_dir) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+def asof_purchase_last_click(spark, sf_dir) -> DataFrame:
+    """AS-OF JOIN — an operator Spark lacks natively, composed scalably:
+    for each 'purchase' event, the same user's latest 'click' at-or-before
+    it. UNION the two streams, ONE window pass per user timeline
+    (last(..., ignorenulls) over rows-unbounded-preceding), filter back to
+    the left side. One shuffle on user_id, no per-row subquery, no range
+    join explosion — the plan is identical at 10^12 events.
+
+    Ties at equal ts: clicks sort before purchases (side 0 < 1), so a
+    same-instant click counts as 'before'; event_id breaks residual ties,
+    making the result fully deterministic (and oracle-checkable)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        "event_id",
+    )
+    u = clicks.unionByName(buys)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", F.coalesce("click_id", "event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w)).withColumn(
+        "last_click_ts", F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "last_click_id",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("last_click_ts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    )

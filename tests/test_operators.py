@@ -140,3 +140,34 @@ def test_lang_id_marks_english(spark, planted_docs):
     got = {r["doc_id"]: r["lang_guess"] for r in lang_id(spark, planted_docs).collect()}
     assert got[1] == "en"
     assert got[5] == "unknown"  # no markers in "short one"
+
+
+def test_asof_join_planted_timeline(spark, tmp_path):
+    """As-of semantics on a hand-built timeline: latest click at-or-before
+    each purchase, same-instant click counts, no click -> null."""
+    import datetime as dt
+
+    from parquet_to_arrow_spark.operators.relational import asof_purchase_last_click
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: click(1) buy(2) click(3) buy(4); same-instant click 5/buy 6
+        (1, T(10), 1, "click"), (2, T(20), 1, "purchase"),
+        (3, T(30), 1, "click"), (4, T(40), 1, "purchase"),
+        (5, T(50), 1, "click"), (6, T(50), 1, "purchase"),
+        # user 2: purchase with NO prior click
+        (7, T(5), 2, "purchase"), (8, T(9), 2, "click"),
+    ]
+    d = tmp_path / "ev"
+    spark.createDataFrame(
+        [(e, ts, u, t, 0.0, "{}") for e, ts, u, t in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+    got = {
+        r["event_id"]: (r["last_click_id"], r["gap_us"])
+        for r in asof_purchase_last_click(spark, str(d)).collect()
+    }
+    assert got[2] == (1, 10_000_000)
+    assert got[4] == (3, 10_000_000)
+    assert got[6] == (5, 0)  # same-instant click counts as at-or-before
+    assert got[7] == (None, None)
