@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_qty_by_status": rel.pivot_qty_by_status,
         "rollup_counts": rel.rollup_counts,
         "price_histogram": rel.price_histogram,
+        "price_percentiles": rel.price_percentiles,
         # --- engine codec pipeline on real data (identity oracles) ---
         "roundtrip_documents_text": eq.roundtrip_documents_text,
         "roundtrip_lineitem_ints": eq.roundtrip_lineitem_ints,
@@ -303,6 +304,12 @@ def oracle_sql() -> dict[str, str]:
                    END AS bucket,
                    count(*) AS n
             FROM orders GROUP BY 1""",
+        "price_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag""",
         # --- engine round-trips: identity oracles ---
         "roundtrip_documents_text": "SELECT doc_id, text FROM documents",
         "roundtrip_lineitem_ints": (

@@ -301,3 +301,20 @@ def asof_purchase_last_click(spark, sf_dir) -> DataFrame:
             ).alias("gap_us"),
         )
     )
+
+
+def price_percentiles(spark, sf_dir) -> DataFrame:
+    """EXACT percentiles per group (p50/p95 with linear interpolation) —
+    the quantile member of the aggregate family. Exact (not approx_percentile)
+    so the DuckDB quantile_cont oracle matches to the bit; at 100 TB the
+    scale path swaps in approx_percentile(col, p, accuracy) with the same
+    plan shape (partial + final aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            F.count("*").alias("n"),
+        )
+    )
