@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_tokenized_documents": eq.roundtrip_tokenized_documents,
         "roundtrip_orders_table": eq.roundtrip_orders_table,
         "codec_metrics_tokenized": eq.codec_metrics_tokenized,  # rows-only
+        "token_vocab_stats": eq.token_vocab_stats,
         # --- scalar render functions (SURVEY.md §2.8) ---
         "render_iso_timestamps": eq.render_iso_timestamps,
         "render_iso_ms": eq.render_iso_ms,
@@ -323,6 +324,11 @@ def oracle_sql() -> dict[str, str]:
                                                 c -> unicode(c))) END AS BIGINT)
                        AS tok_checksum
             FROM documents""",
+        "token_vocab_stats": """
+            SELECT unicode(ch) AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
+            WHERE ch <> ''
+            GROUP BY 1 ORDER BY n DESC, token LIMIT 100""",
         "render_iso_timestamps": r"""
             SELECT event_id,
                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(

@@ -216,3 +216,38 @@ def codec_metrics_tokenized(spark, sf_dir) -> DataFrame:
 
     tokens = tokenize_documents(spark, sf_dir)
     return codec_metrics(manifest_from_encoded(encode_tokens_df(tokens)))
+
+
+def token_vocab_stats(spark, sf_dir, k: int = 100) -> DataFrame:
+    """Top-k vocabulary histogram over the tokenized corpus — the canonical
+    training-data aggregation, computed the engine's fast-path way: token
+    arrays NEVER become JVM rows. Each Arrow batch is tokenized and
+    np.unique-counted inside mapInArrow; only vocabulary-sized
+    (token, partial count) rows cross the boundary, one small shuffle sums
+    them, then a deterministic top-k. At 10^12 sequences the shuffle volume
+    is O(tasks x vocab), independent of corpus length."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            text = batch.column(0).cast(pa.large_utf8())
+            buf = text.buffers()
+            offsets = np.frombuffer(
+                buf[1], dtype=np.int64, count=len(text) + 1, offset=text.offset * 8
+            )
+            data = buf[2].to_pybytes() if buf[2] is not None else b""
+            blob = data[offsets[0] : offsets[-1]]
+            flat = np.frombuffer(blob.decode("utf-8").encode("utf-32-le"), dtype=np.int32)
+            uniq, counts = np.unique(flat, return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(uniq, type=pa.int32()), pa.array(counts, type=pa.int64())],
+                names=["token", "n"],
+            )
+
+    partials = docs.mapInArrow(run, "token int, n long")
+    return (
+        partials.groupBy("token")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
