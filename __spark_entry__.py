@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_orders_table": eq.roundtrip_orders_table,
         "codec_metrics_tokenized": eq.codec_metrics_tokenized,  # rows-only
         "token_vocab_stats": eq.token_vocab_stats,
+        "group_codec_metrics_tokenized": eq.group_codec_metrics_tokenized,  # rows-only
         # --- scalar render functions (SURVEY.md §2.8) ---
         "render_iso_timestamps": eq.render_iso_timestamps,
         "render_iso_ms": eq.render_iso_ms,

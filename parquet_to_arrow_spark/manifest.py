@@ -87,3 +87,25 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
 
 def summary_json(manifest: DataFrame) -> str:
     return json.dumps(totals(manifest), default=int)
+
+
+def group_codec_metrics(encoded: DataFrame) -> DataFrame:
+    """Per-GROUP codec lineage: the content-clustered sub-chunks' individual
+    codec choices, value counts and encoded bytes, parsed from the chunk
+    meta JSON (no decode). This is the finest-grained observability level:
+    chunk -> cluster group -> codec -> bytes, aggregated per codec."""
+    part_schema = (
+        "map<string, struct<codec: string, offset: bigint, length: bigint, n: bigint>>"
+    )
+    parts = F.from_json(F.get_json_object("meta", "$.parts"), part_schema)
+    exploded = encoded.select("chunk_id", F.explode(parts).alias("part", "info"))
+    return (
+        exploded.filter(F.col("part").rlike("^tokens_g[0-9]+$"))
+        .groupBy(F.col("info.codec").alias("codec"))
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("info.n").alias("n_values"),
+            F.sum("info.length").alias("enc_bytes"),
+        )
+        .orderBy("codec")
+    )

@@ -251,3 +251,13 @@ def token_vocab_stats(spark, sf_dir, k: int = 100) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(k)
     )
+
+
+def group_codec_metrics_tokenized(spark, sf_dir) -> DataFrame:
+    """Per-cluster-group codec metrics of the tokenized documents table
+    (rows-only: codec choice isn't SQL-expressible) — the finest lineage
+    level: chunk -> content-cluster group -> codec -> bytes."""
+    from ..encode import encode_tokens_df
+    from ..manifest import group_codec_metrics
+
+    return group_codec_metrics(encode_tokens_df(tokenize_documents(spark, sf_dir)))

@@ -176,3 +176,18 @@ def test_column_codec_lineage(spark, tokens):
         assert r["lengths_codec"] in {"plain", "bitpack", "for", "rle", "dict", "fsst"}
         assert r["doc_id_mode"] in {"dict", "flat"}
         assert r["source_mode"] in {"dict", "flat"}
+
+
+def test_group_codec_metrics(spark, tokens):
+    from parquet_to_arrow_spark.encode import encode_tokens_df
+    from parquet_to_arrow_spark.manifest import group_codec_metrics, manifest_from_encoded, totals
+
+    encoded = encode_tokens_df(tokens).cache()
+    rows = group_codec_metrics(encoded).collect()
+    assert rows, "expected per-group lineage"
+    assert {r["codec"] for r in rows} <= {"plain", "bitpack", "for", "rle", "dict", "fsst"}
+    # group-level values roll up to the chunk totals exactly
+    t = totals(manifest_from_encoded(encoded))
+    assert sum(r["n_values"] for r in rows) == t["n_values"]
+    assert sum(r["enc_bytes"] for r in rows) <= t["enc_bytes"]
+    encoded.unpersist()
