@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": ts.token_counts,
         "fingerprints": ts.fingerprints,
         "tfidf_top_terms": ts.tfidf_top_terms,
+        "contamination_screen": ts.contamination_screen,
         # --- multimodal (real WAV/PPM container decode; codec formats stubbed) ---
         "media_meta": multimodal.media_meta,
         "media_audio_features": multimodal.media_audio_features,  # rows-only
@@ -514,6 +515,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "fingerprints": """
             SELECT doc_id, md5(text) AS fp_md5, substring(text, 1, 16) AS prefix16
+            FROM documents""",
+        "contamination_screen": """
+            SELECT doc_id,
+                   CAST((CASE WHEN contains(text, ' the quick ') THEN 1 ELSE 0 END
+                       + CASE WHEN contains(text, 'lorem ipsum') THEN 1 ELSE 0 END
+                       + CASE WHEN contains(text, ' and ') THEN 1 ELSE 0 END
+                       + CASE WHEN contains(text, 'zzyzx-never-present') THEN 1 ELSE 0 END)
+                       AS INTEGER) AS n_probes_hit,
+                   (contains(text, ' the quick ') OR contains(text, 'lorem ipsum')
+                    OR contains(text, ' and ') OR contains(text, 'zzyzx-never-present'))
+                       AS contaminated
             FROM documents""",
         "tfidf_top_terms": """
             WITH words AS (

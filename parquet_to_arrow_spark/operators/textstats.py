@@ -135,3 +135,27 @@ def tfidf_top_terms(spark, sf_dir, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", F.col("w").alias("term"), "rank", F.round("score", 6).alias("score_r"))
     )
+
+
+# fixed probe set shared verbatim with the oracle SQL; real pipelines pass
+# their eval-set shingles here
+CONTAMINATION_PROBES = (" the quick ", "lorem ipsum", " and ", "zzyzx-never-present")
+
+
+def contamination_screen(spark, sf_dir, probes: tuple = CONTAMINATION_PROBES) -> DataFrame:
+    """Test-set decontamination: per document, which probe n-grams occur.
+
+    The decontamination shape at 100 TB: the probe set (eval-set shingles)
+    is a SMALL broadcast side; containment is substring search inside
+    whole-stage codegen — one scan of the corpus, zero shuffles, no Python.
+    Output: one row per doc with the hit count and flag (join back on
+    doc_id to drop contaminated docs)."""
+    docs = _docs(spark, sf_dir)
+    hits = sum(
+        F.when(F.contains(F.col("text"), F.lit(p)), 1).otherwise(0) for p in probes
+    )
+    return docs.select(
+        "doc_id",
+        hits.cast("int").alias("n_probes_hit"),
+        (hits > 0).alias("contaminated"),
+    )

@@ -171,3 +171,17 @@ def test_asof_join_planted_timeline(spark, tmp_path):
     assert got[4] == (3, 10_000_000)
     assert got[6] == (5, 0)  # same-instant click counts as at-or-before
     assert got[7] == (None, None)
+
+
+def test_contamination_screen_flags_probes(spark, planted_docs):
+    from parquet_to_arrow_spark.operators.textstats import contamination_screen
+
+    got = {
+        r["doc_id"]: (r["n_probes_hit"], r["contaminated"])
+        for r in contamination_screen(
+            spark, planted_docs, probes=("quick brown fox", "spaceships", "absent-xyz")
+        ).collect()
+    }
+    assert got[1] == (1, True) and got[2] == (1, True)  # fox docs
+    assert got[4] == (1, True)  # spaceship doc
+    assert got[5] == (0, False)  # "short one" hits nothing
