@@ -193,3 +193,35 @@ def verify_hashes(left: DataFrame, right: DataFrame) -> dict:
         "ok": counts.get("ok", 0),
         **bad,
     }
+
+
+def read_arrow_ipc(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    """Arrow IPC file(s) -> DataFrame: the reverse direction of the
+    parquet-to-arrow tool, so its outputs are first-class inputs again.
+    Same file-split pattern as the parquet scan: tasks receive file paths,
+    pyarrow.ipc reads record batches inside the worker (zero-copy mmap),
+    batches stream straight out — no driver materialization, no shuffle."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for pdf in batches:
+            for fpath in pdf.column(0).to_pylist():
+                with pa.memory_map(fpath, "r") as src:
+                    reader = pa.ipc.open_file(src)
+                    for i in range(reader.num_record_batches):
+                        b = reader.get_batch(i)
+                        if not b.num_rows:
+                            continue
+                        # dictionary columns (preserved by parquet-to-arrow)
+                        # decode at the Spark boundary — Spark's Arrow vector
+                        # has no dictionary accessor
+                        cols = [
+                            c.dictionary_decode() if pa.types.is_dictionary(c.type) else c
+                            for c in b.columns
+                        ]
+                        yield pa.RecordBatch.from_arrays(cols, names=b.schema.names)
+
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, "*.arrow"))) or [path]
+    rdd = spark.sparkContext.parallelize([(f,) for f in files], max(len(files), 1))
+    return spark.createDataFrame(rdd, "path string").mapInArrow(run, ddl)

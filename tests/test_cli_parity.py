@@ -467,3 +467,24 @@ def test_text_zero_rows(spark, tmp_path):
     path = _write(tmp_path, pa.table({"A": pa.array([], type=pa.string())}))
     assert to_text(spark, path, "csv") == "A"
     assert to_text(spark, path, "json") == "[]"
+
+
+def test_arrow_ipc_source_round_trip(spark, tmp_path):
+    """parquet -> (our parquet-to-arrow) -> .arrow -> read_arrow_ipc: the
+    toolchain's output is a first-class engine input again."""
+    from parquet_to_arrow_spark.sources.io import read_arrow_ipc
+
+    table = pa.table(
+        {
+            "num": pa.array([1, 2**62, None], type=pa.int64()),
+            "txt": pa.array(["x", None, "Ω"]),
+        }
+    )
+    src = _write(tmp_path, table, "rt.parquet")
+    out = str(tmp_path / "rt.arrow")
+    to_arrow(spark, src, out)
+    df = read_arrow_ipc(spark, out, "num long, txt string")
+    got = sorted(df.collect(), key=lambda r: (r["num"] is None, r["num"] or 0))
+    assert [(r["num"], r["txt"]) for r in got] == [
+        (1, "x"), (2**62, None), (None, "Ω")
+    ]
