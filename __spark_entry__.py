@@ -112,8 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_screen": ts.contamination_screen,
         # --- multimodal (real WAV/PPM container decode; codec formats stubbed) ---
         "media_meta": multimodal.media_meta,
-        "media_audio_features": multimodal.media_audio_features,  # rows-only
-        "media_image_thumbnails": multimodal.media_image_thumbnails,  # rows-only
+        "media_audio_features": multimodal.media_audio_features,
+        "media_image_thumbnails": multimodal.media_image_thumbnails,
     }
 
 
@@ -173,6 +173,91 @@ def _simhash_sql() -> str:
             FROM w WHERE length(w) > 0
         ), s AS (SELECT doc_id, {sums} FROM f GROUP BY doc_id)
         SELECT doc_id, ({pack}) AS simhash FROM s"""
+
+
+def _thumb_sql() -> str:
+    """DuckDB twin of multimodal.media_image_thumbnails: rebuild the PPM
+    pixel grid (UTF-8 bytes cycled to 16x16x3 via hex(encode(text))), then
+    exact integer mean-pool. Every value is a sum of uint8 divided by a
+    power of two, so doubles are bit-exact; numpy's round-half-even on the
+    pooled means becomes pure integer arithmetic (q + (r==8 ? q%2 : r>8))."""
+    npx = 16 * 16 * 3  # 768 bytes per image
+    # pooled value t (0..47): pr=t//12, pc=(t%12)//3, ch=t%3; 16 source
+    # pixels per pool; p is 1-indexed
+    pool_sums = (
+        "list_transform(range(0, 48), t -> list_sum(list_transform(range(0, 16), u -> "
+        "p[(((t // 12) * 4 + u // 4) * 16 + ((t % 12) // 3) * 4 + (u % 4)) * 3 + (t % 3) + 1])))"
+    )
+    rounded = (
+        f"list_transform({pool_sums}, s -> (s // 16) + "
+        "CASE WHEN (s % 16) > 8 THEN 1 WHEN (s % 16) = 8 THEN (s // 16) % 2 ELSE 0 END)"
+    )
+    means = ", ".join(
+        f"CAST(list_sum(list_transform(range(0, 256), k -> p[3 * k + {ch} + 1])) AS DOUBLE)"
+        f" / 256 AS mean_{c}"
+        for ch, c in enumerate("rgb")
+    )
+    return f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE WHEN text = '' THEN '00' ELSE hex(encode(text)) END AS hx,
+                   CASE WHEN text = '' THEN 1 ELSE strlen(text) END AS n
+            FROM documents
+        ), px AS (
+            SELECT doc_id,
+                   list_transform(range(0, {npx}),
+                       j -> CAST('0x' || substring(hx, 2 * (j % n) + 1, 2) AS INTEGER)) AS p
+            FROM raw
+        )
+        SELECT doc_id, CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+               {means},
+               array_to_string(list_transform({rounded},
+                   v -> CAST(v AS VARCHAR)), ',') AS thumb_csv
+        FROM px"""
+
+
+def _audio_sql() -> str:
+    """DuckDB twin of multimodal.media_audio_features: int16-LE samples from
+    the doc's UTF-8 bytes (zero-padded to even length), exact integer sumsq /
+    sign-crossing count, then the same single-rounding IEEE derivations
+    (rms = sqrt(double(sumsq)/n), zcr = n_cross/(n-1))."""
+    return """
+        WITH raw AS (
+            SELECT doc_id, hex(encode(text)) AS hx0, strlen(text) AS nb FROM documents
+        ), padded AS (
+            SELECT doc_id,
+                   CASE WHEN nb % 2 = 1 THEN hx0 || '00' ELSE hx0 END AS hx,
+                   (nb + (nb % 2)) // 2 AS ns
+            FROM raw
+        ), s AS (
+            SELECT doc_id, ns,
+                   list_transform(
+                       list_transform(range(0, ns), i ->
+                           CAST('0x' || substring(hx, 4 * i + 1, 2) AS INTEGER)
+                           + 256 * CAST('0x' || substring(hx, 4 * i + 3, 2) AS INTEGER)),
+                       u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS sm
+            FROM padded
+        ), agg AS (
+            SELECT doc_id, ns,
+                   CAST(coalesce(list_sum(list_transform(sm,
+                       v -> CAST(v AS BIGINT) * v)), 0) AS BIGINT) AS sumsq,
+                   CAST(CASE WHEN ns > 1 THEN coalesce(list_sum(
+                       list_transform(range(1, ns), i ->
+                           CASE WHEN (sm[i] < 0) <> (sm[i + 1] < 0)
+                                THEN 1 ELSE 0 END)), 0)
+                        ELSE 0 END AS BIGINT) AS n_cross,
+                   CAST(coalesce(list_max(list_transform(sm, v -> abs(v))), 0)
+                        AS INTEGER) AS peak
+            FROM s
+        )
+        SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate,
+               CAST(ns AS BIGINT) AS n_samples, sumsq, n_cross,
+               CASE WHEN ns > 0 THEN sqrt(CAST(sumsq AS DOUBLE) / ns)
+                    ELSE 0.0 END AS rms,
+               CASE WHEN ns > 1 THEN CAST(n_cross AS DOUBLE) / (ns - 1)
+                    ELSE 0.0 END AS zcr,
+               peak
+        FROM agg"""
 
 
 _COSINE_SQL = """
@@ -351,9 +436,12 @@ def oracle_sql() -> dict[str, str]:
                        epoch_us(ts) * 1000 + (event_id % 1000) AS ns
                 FROM events
             ), p AS (
+                -- floor-safe split: DuckDB % and // truncate toward zero,
+                -- so a plain ns % 1e9 goes negative for pre-1970 instants
                 SELECT event_id,
-                       ns % 1000000000 AS frac,
-                       ns // 1000000000 AS secs
+                       ((ns % 1000000000) + 1000000000) % 1000000000 AS frac,
+                       (ns - (((ns % 1000000000) + 1000000000) % 1000000000))
+                           // 1000000000 AS secs
                 FROM v
             )
             SELECT event_id,
@@ -548,6 +636,8 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY score DESC, w) AS rank
                 FROM scored) WHERE rank <= 3""",
         # --- multimodal ---
+        "media_audio_features": _audio_sql(),
+        "media_image_thumbnails": _thumb_sql(),
         "media_meta": """
             SELECT doc_id, 'text/plain;lang=' || lang AS media_type,
                    CAST(strlen(text) AS BIGINT) AS n_bytes

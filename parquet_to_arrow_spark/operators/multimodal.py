@@ -157,27 +157,41 @@ def documents_as_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AUDIO_SCHEMA = (
-    "doc_id long, sample_rate int, n_samples long, rms double, zcr double, peak int"
+    "doc_id long, sample_rate int, n_samples long, sumsq long, n_cross long, "
+    "rms double, zcr double, peak int"
 )
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """Real audio features from decoded PCM: RMS, zero-crossing rate, peak."""
+    """Real audio features from decoded PCM.
+
+    Exact-arithmetic design so the whole row is DuckDB-oracle-checkable:
+    sumsq (int64 sum of squares) and n_cross (sign-change count) are exact
+    integers; rms = sqrt(sumsq/n) and zcr = n_cross/(n-1) are then single
+    correctly-rounded IEEE ops — bit-identical in any engine, unlike a
+    float-summed mean whose value depends on summation order."""
+    import math
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "sample_rate", "n_samples", "sumsq", "n_cross", "rms", "zcr", "peak")
         for pdf in batches:
-            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "rms", "zcr", "peak")}
+            out = {k: [] for k in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rate, s = decode_wav(payload)
-                x = s.astype(np.float64)
+                x = s.astype(np.int64)
+                n = len(x)
+                sumsq = int((x * x).sum())
+                n_cross = int(np.count_nonzero((x[1:] < 0) != (x[:-1] < 0))) if n > 1 else 0
                 out["doc_id"].append(doc_id)
                 out["sample_rate"].append(rate)
-                out["n_samples"].append(len(s))
-                out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(s) else 0.0)
-                out["zcr"].append(
-                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(s) > 1 else 0.0
-                )
-                out["peak"].append(int(np.abs(s).max()) if len(s) else 0)
+                out["n_samples"].append(n)
+                out["sumsq"].append(sumsq)
+                out["n_cross"].append(n_cross)
+                # float(sumsq)/n (not sumsq/n): round sumsq to double FIRST,
+                # matching SQL's CAST(sumsq AS DOUBLE)/n beyond 2^53
+                out["rms"].append(math.sqrt(float(sumsq) / n) if n else 0.0)
+                out["zcr"].append(n_cross / (n - 1) if n > 1 else 0.0)
+                out["peak"].append(int(np.abs(x).max()) if n else 0)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, AUDIO_SCHEMA)
@@ -276,5 +290,24 @@ def image_thumbnails(media: DataFrame, thumb: int = THUMB) -> DataFrame:
 
 
 def media_image_thumbnails(spark, sf_dir) -> DataFrame:
-    """Driver query: PPM-encode documents, decode, mean-pool thumbnails."""
-    return image_thumbnails(documents_as_ppm(spark, sf_dir))
+    """Driver query: PPM-encode documents, decode, mean-pool thumbnails.
+
+    The driver-facing shape renders the pooled pixels as a comma-joined
+    string (`thumb_csv`) instead of the raw array<int>: the driver's pandas
+    canonicalization sorts rows over all columns and cannot hash lists
+    (round-2's one red gate row). The array stays in the library-level
+    image_thumbnails API. Every value here is exact integer arithmetic
+    (sums of uint8 divided by powers of two, banker's rounding), so the
+    query has an exact DuckDB oracle twin (_thumb_sql in __spark_entry__)."""
+    t = image_thumbnails(documents_as_ppm(spark, sf_dir))
+    return t.select(
+        "doc_id",
+        "w",
+        "h",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        F.array_join(F.transform("thumb", lambda x: x.cast("string")), ",").alias(
+            "thumb_csv"
+        ),
+    )

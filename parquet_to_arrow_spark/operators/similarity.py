@@ -58,16 +58,23 @@ def n_planes_for(n_rows: int, target_bucket: int = DEFAULT_TARGET_BUCKET) -> int
 
 def _corpus_shape(sf_dir: str) -> tuple[int, int]:
     """(row count, embedding dim) from parquet footers + one first batch —
-    driver-side metadata, no Spark job (replaces the round-1 .first() probe)."""
-    import glob
-    import os
-
+    driver-side metadata, no Spark job (replaces the round-1 .first() probe).
+    FS-agnostic via pyarrow.fs (sources/io.resolve_files), so the ANN
+    operators work on HDFS/S3 paths, not just local disk."""
     import pyarrow.parquet as pq
 
-    path = f"{sf_dir}/embeddings.parquet"
-    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or [path]
-    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    first = next(pq.ParquetFile(files[0]).iter_batches(batch_size=1))
+    from ..sources.io import resolve_files
+
+    filesystem, infos = resolve_files(f"{sf_dir}/embeddings.parquet")
+    n_rows = sum(
+        pq.ParquetFile(filesystem.open_input_file(i.path)).metadata.num_rows
+        for i in infos
+    )
+    first = next(
+        pq.ParquetFile(filesystem.open_input_file(infos[0].path)).iter_batches(
+            batch_size=1
+        )
+    )
     dim = len(first.column(first.schema.get_field_index("embedding"))[0])
     return n_rows, dim
 
@@ -264,8 +271,17 @@ def ivf_centroids(emb: DataFrame, n_centroids: int) -> np.ndarray:
     )
     sample = _unit(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows]))
     cents = sample[:n_centroids].copy()
+    # blocked argmax: the (sample × C) similarity matrix is materialized
+    # 8192 rows at a time (≤ 256 MB at C = MAX_CENTROIDS) so Lloyd memory
+    # stays bounded at the centroid cap
+    def _argmax_blocked(m: np.ndarray, c: np.ndarray, block: int = 8192) -> np.ndarray:
+        out = np.empty(len(m), dtype=np.int64)
+        for lo in range(0, len(m), block):
+            out[lo : lo + block] = (m[lo : lo + block] @ c.T).argmax(axis=1)
+        return out
+
     for _ in range(IVF_LLOYD_ITERS):
-        assign = (sample @ cents.T).argmax(axis=1)
+        assign = _argmax_blocked(sample, cents)
         for c in range(n_centroids):
             members = sample[assign == c]
             if len(members):
@@ -274,10 +290,21 @@ def ivf_centroids(emb: DataFrame, n_centroids: int) -> np.ndarray:
     return cents
 
 
+MAX_CENTROIDS = 4096
+
+
 def n_centroids_for(n_rows: int, target_cell: int = DEFAULT_TARGET_BUCKET) -> int:
     """Cells sized to the corpus: expected cell ≈ target_cell (1 cell —
-    brute force — when the corpus already fits, exactly like n_planes_for)."""
-    return max(1, math.ceil(n_rows / target_cell))
+    brute force — when the corpus already fits, exactly like n_planes_for).
+
+    Capped at MAX_CENTROIDS (the IVF analogue of the LSH MAX_BITS): driver
+    training cost is O(sample × C), so an uncapped C ≈ N/target would make
+    the Lloyd matrices grow with the corpus (C = 244k at N = 1e9). Past
+    N = MAX_CENTROIDS · target_cell (~16.7M at defaults) cells grow linearly
+    with N instead — per-query probe work degrades gracefully (sqrt-probe
+    budget covers sqrt(C) cells of N/C rows each) rather than the driver
+    OOMing."""
+    return min(MAX_CENTROIDS, max(1, math.ceil(n_rows / target_cell)))
 
 
 def ann_ivf_topk(

@@ -15,7 +15,6 @@ from a snapshot's manifests (jars not in this image — see checkpoint.py).
 
 from __future__ import annotations
 
-import glob
 import os
 from collections.abc import Iterator
 
@@ -29,11 +28,54 @@ from ..encode import ENCODED_SCHEMA_DDL, encode_batch
 from ..session import DEFAULT_CHUNK_ROWS
 
 
+def resolve_files(path: str, suffix: str = ".parquet"):
+    """(pyarrow FileSystem, sorted FileInfos) for a file or directory on ANY
+    Hadoop-compatible filesystem — local paths, hdfs://, s3://. Footer
+    probes and listings must not assume local disk (checkpoint.py switched
+    to FS-agnostic probing in round 2 for the same reason); plain paths
+    resolve on the local FS."""
+    from pyarrow import fs as pafs
+
+    p = path if "://" in path else os.path.abspath(path)
+    filesystem, root = pafs.FileSystem.from_uri(p)
+    info = filesystem.get_file_info(root)
+    if info.type == pafs.FileType.Directory:
+        infos = sorted(
+            (
+                i
+                for i in filesystem.get_file_info(pafs.FileSelector(root))
+                if i.type == pafs.FileType.File and i.path.endswith(suffix)
+            ),
+            key=lambda i: i.path,
+        )
+    else:
+        infos = [info] if info.type == pafs.FileType.File else []
+    return filesystem, infos
+
+
+def footer_file(path: str, suffix: str = ".parquet") -> pq.ParquetFile:
+    """ParquetFile over the first file at ``path``: the single-footer probe
+    (schema / logical types / first batch), FS-agnostic."""
+    filesystem, infos = resolve_files(path, suffix)
+    if not infos:
+        raise FileNotFoundError(path)
+    return pq.ParquetFile(filesystem.open_input_file(infos[0].path))
+
+
+def open_parquet(fpath: str) -> pq.ParquetFile:
+    """Executor-side open: re-derives the filesystem from the path's scheme
+    per task (filesystem handles don't serialize), local fast path for plain
+    paths."""
+    if "://" not in fpath:
+        return pq.ParquetFile(fpath)
+    from pyarrow import fs as pafs
+
+    filesystem, p = pafs.FileSystem.from_uri(fpath)
+    return pq.ParquetFile(filesystem.open_input_file(p))
+
+
 def list_parquet_files(path: str) -> list[str]:
-    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
-    if not files and os.path.isfile(path):
-        files = [path]
-    return files
+    return [i.path for i in resolve_files(path)[1]]
 
 
 TARGET_TASK_BYTES = 256 << 20
@@ -54,11 +96,12 @@ def files_df(
     group per partition via exact slicing — no shuffle, no hash skew."""
     import math
 
-    files = list_parquet_files(path)
+    _, infos = resolve_files(path)
+    files = [i.path for i in infos]
     if not files:
         return spark.createDataFrame([], "path string")
     par = max(spark.sparkContext.defaultParallelism, 1)
-    sizes = {f: os.path.getsize(f) for f in files}
+    sizes = {i.path: i.size for i in infos}
     by_bytes = math.ceil(sum(sizes.values()) / max(target_bytes, 1))
     n_tasks = min(len(files), par * math.ceil(max(par, by_bytes) / par))
     groups: list[list[str]] = [[] for _ in range(n_tasks)]
@@ -91,7 +134,7 @@ def encode_parquet_dir(
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for pdf in batches:
             for fpath in pdf.column(0).to_pylist():
-                pf = pq.ParquetFile(fpath)
+                pf = open_parquet(fpath)
                 base = os.path.splitext(os.path.basename(fpath))[0]
                 for seq, batch in enumerate(
                     pf.iter_batches(batch_size=chunk_rows, columns=list(columns))
@@ -127,7 +170,7 @@ def token_hashes_from_parquet(spark: SparkSession, path: str) -> DataFrame:
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for pdf in batches:
             for fpath in pdf.column(0).to_pylist():
-                pf = pq.ParquetFile(fpath)
+                pf = open_parquet(fpath)
                 for batch in pf.iter_batches(
                     batch_size=DEFAULT_CHUNK_ROWS, columns=["doc_id", "tokens"]
                 ):
@@ -220,8 +263,6 @@ def read_arrow_ipc(spark: SparkSession, path: str, ddl: str) -> DataFrame:
                         ]
                         yield pa.RecordBatch.from_arrays(cols, names=b.schema.names)
 
-    import glob as _glob
-
-    files = sorted(_glob.glob(os.path.join(path, "*.arrow"))) or [path]
+    files = [i.path for i in resolve_files(path, suffix=".arrow")[1]]
     rdd = spark.sparkContext.parallelize([(f,) for f in files], max(len(files), 1))
     return spark.createDataFrame(rdd, "path string").mapInArrow(run, ddl)

@@ -61,12 +61,35 @@ def test_audio_features_distributed(spark):
 
 
 def test_image_thumbnails_distributed(spark):
-    from parquet_to_arrow_spark.operators.multimodal import media_image_thumbnails
+    from parquet_to_arrow_spark.operators.multimodal import (
+        documents_as_ppm,
+        image_thumbnails,
+        media_image_thumbnails,
+    )
 
     sf = "/root/testdata/sf0.001"
-    rows = media_image_thumbnails(spark, sf).collect()
+    rows = image_thumbnails(documents_as_ppm(spark, sf)).collect()
     for r in rows[:20]:
         assert (r["w"], r["h"]) == (16, 16)
         assert len(r["thumb"]) == 4 * 4 * 3
         # documents are ASCII-ish text: channel means sit in the printable band
         assert 30 <= r["mean_r"] <= 127
+    # driver-facing shape: scalar csv rendering (no array column — the
+    # driver's rows-only canonicalizer cannot hash lists)
+    drows = media_image_thumbnails(spark, sf).limit(5).collect()
+    for r in drows:
+        vals = r["thumb_csv"].split(",")
+        assert len(vals) == 4 * 4 * 3
+        assert all(0 <= int(v) <= 255 for v in vals)
+
+
+def test_audio_exact_features_vs_numpy():
+    """sumsq/n_cross/rms/zcr arithmetic matches a straight numpy reference."""
+    from parquet_to_arrow_spark.operators.multimodal import decode_wav, wav_bytes
+
+    rng = np.arange(-40, 37, dtype=np.int16) * 801
+    rate, s = decode_wav(wav_bytes(rng))
+    x = s.astype(np.int64)
+    assert int((x * x).sum()) == int(np.dot(x, x))
+    crossings = int(np.count_nonzero((x[1:] < 0) != (x[:-1] < 0)))
+    assert crossings == 1  # monotone ramp crosses zero once

@@ -132,13 +132,11 @@ def _ns_timestamp_columns(path: str) -> frozenset:
     """Footer probe: columns whose parquet logical type is TIMESTAMP(NANOS)
     (reference dispatches on the footer's logical type the same way,
     src/parquet-to-text-stream.cc:673-696). Footers only, driver-side."""
-    import glob as _glob
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or [path]
-    schema = pq.ParquetFile(files[0]).schema_arrow
+    from parquet_to_arrow_spark.sources.io import footer_file
+
+    schema = footer_file(path).schema_arrow
     return frozenset(
         f.name
         for f in schema

@@ -77,12 +77,9 @@ def _footer_schema(path: str) -> list[tuple[str, str]]:
     and isAdjustedToUTC are schema DIFFERENCES in the reference,
     src/parquet-diff.cc:24-64, tests/test_parquet_diff.py:308-338), while
     staying encoding-blind (dictionary pages are not part of the schema)."""
-    import glob as _glob
+    from parquet_to_arrow_spark.sources.io import footer_file
 
-    import pyarrow.parquet as pq
-
-    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or [path]
-    schema = pq.ParquetFile(files[0]).schema_arrow
+    schema = footer_file(path).schema_arrow
     return [(f.name, str(f.type)) for f in schema]
 
 
@@ -90,15 +87,15 @@ def _row_group_layout(path: str) -> list[int]:
     """Per-row-group row counts in file order — the reference's chunking
     strictness axis (src/parquet-diff.cc:238-245, 276-281), read from
     footers only."""
-    import glob as _glob
-
     import pyarrow.parquet as pq
 
-    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or [path]
+    from parquet_to_arrow_spark.sources.io import resolve_files
+
+    filesystem, infos = resolve_files(path)
     layout: list[int] = []
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        layout.extend(md.row_group(i).num_rows for i in range(md.num_row_groups))
+    for i in infos:
+        md = pq.ParquetFile(filesystem.open_input_file(i.path)).metadata
+        layout.extend(md.row_group(g).num_rows for g in range(md.num_row_groups))
     return layout
 
 
