@@ -4,8 +4,8 @@ entry(spark)   -> flagship encode/decode/verify pipeline on sf0.001.
 queries()      -> one (spark, sf_dir) -> DataFrame per implemented operator
                   (SURVEY.md §2 inventory + training-data pipeline ops).
 oracle_sql()   -> the DuckDB-runnable ANSI SQL twin of each query. Omitted
-                  keys (custom hashes: minhash/simhash/LSH, codec metrics)
-                  get the driver's weaker rows-only check.
+                  keys (engine-internal codec metrics only) get the
+                  driver's weaker rows-only check.
 
 Column names are aliased identically on both sides — the driver sorts
 columns by name before value-hashing.
@@ -93,7 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- deduplication ---
         "exact_dedup_groups": dedup.exact_dedup_groups,
         "exact_dedup_kept": dedup.exact_dedup_kept,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (xxhash64)
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash64": dedup.simhash64,
         # --- similarity search ---
@@ -173,6 +173,72 @@ def _simhash_sql() -> str:
             FROM w WHERE length(w) > 0
         ), s AS (SELECT doc_id, {sums} FROM f GROUP BY doc_id)
         SELECT doc_id, ({pack}) AS simhash FROM s"""
+
+
+def _minhash_sql() -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs: the FULL pipeline — distinct
+    char-5-gram shingles, md5-derived signed-64 hash (_md5_signed64's
+    arithmetic verbatim), one-permutation binning on the hash's top 6 bits,
+    per-bin min, md5(global_min ':' bin) densification, 16 bands of 4 joined
+    on the raw band values (Spark joins on xxhash64 of the slice — equal
+    slices ⇒ equal hashes), and est_jaccard = matches/64 ≥ 0.5. The band
+    cap never binds at oracle scale (500 docs < DEFAULT_BAND_CAP)."""
+    fill = (
+        "(CAST('0x' || substring(md5(CAST(g AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)"
+        " - CASE WHEN CAST('0x' || substring(md5(CAST(g AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)"
+        " >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296"
+        " + CAST('0x' || substring(md5(CAST(g AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 9, 8) AS BIGINT)"
+    )
+    return f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(length(text) - 4, 1) + 1),
+                       i -> substring(text, CAST(i AS INTEGER), 5))) AS shingle
+            FROM documents
+        ), hx AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS hi,
+                   CAST('0x' || substring(md5(shingle), 9, 8) AS BIGINT) AS lo
+            FROM sh
+        ), h AS (
+            SELECT doc_id,
+                   (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+                       * 4294967296 + lo AS h,
+                   hi // 67108864 AS bin
+            FROM hx
+        ), bm AS (
+            SELECT doc_id, bin, min(h) AS mh FROM h GROUP BY doc_id, bin
+        ), ent AS (
+            SELECT doc_id, list(struct_pack(bin := bin, mh := mh)) AS es,
+                   min(mh) AS g
+            FROM bm GROUP BY doc_id
+        ), sg AS (
+            SELECT doc_id,
+                   list_transform(range(0, 64), i -> coalesce(
+                       list_min(list_transform(list_filter(es, e -> e.bin = i),
+                                               e -> e.mh)),
+                       {fill})) AS sig
+            FROM ent
+        ), bands AS (
+            SELECT doc_id, sig,
+                   CAST(t.b AS VARCHAR) || '|' ||
+                   array_to_string(list_transform(list_slice(sig, t.b*4+1, t.b*4+4),
+                       v -> CAST(v AS VARCHAR)), ',') AS bk
+            FROM sg CROSS JOIN (SELECT unnest(range(0, 16)) AS b) t
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+            FROM bands a JOIN bands c ON a.bk = c.bk AND a.doc_id < c.doc_id
+        ), est AS (
+            SELECT cand.doc_a, cand.doc_b,
+                   CAST(list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                       AS DOUBLE) / 64 AS est_jaccard
+            FROM cand
+            JOIN sg sa ON sa.doc_id = cand.doc_a
+            JOIN sg sb ON sb.doc_id = cand.doc_b
+        )
+        SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5"""
 
 
 def _thumb_sql() -> str:
@@ -519,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3""",
         "simhash64": _simhash_sql(),
+        "minhash_lsh_pairs": _minhash_sql(),
         # --- similarity ---
         # ann_lsh_topk / embedding_near_dup_pairs: at the driver's scale the
         # corpus (500 vectors) fits DEFAULT_TARGET_BUCKET, so the

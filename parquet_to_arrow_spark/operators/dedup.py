@@ -2,9 +2,9 @@
 
 Scale design notes (100 TB):
 - exact: one hash-shuffle on the content fingerprint (md5), min-key wins.
-- MinHash+LSH: shingle -> K minhashes via K seeded xxhash64 aggregations
-  (single explode + single groupBy, no per-permutation passes), band into
-  B buckets, self-join per bucket (bounded by band width), verify candidate
+- MinHash+LSH: one md5-derived hash per shingle (one-permutation hashing:
+  single explode + single groupBy, no per-permutation passes), band into
+  B buckets, per-band candidate cap, self-join per bucket, verify candidate
   pairs. All JVM-side; the shuffle key is the band signature, so skewed
   popular shingles never form a hot key.
 - SimHash: vectorized bit-majority in a single pandas-free pipeline using
@@ -16,7 +16,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 # K=64 signatures in 16 bands of 4 rows: the (1/b)^(1/r) S-curve threshold
 # is (1/16)^(1/4) = 0.5 — exactly the operator's default similarity
@@ -69,27 +69,46 @@ def doc_shingles(df: DataFrame, k: int = SHINGLE) -> DataFrame:
     return _spread(df).select("doc_id", F.explode(sh).alias("shingle"))
 
 
+def _md5_signed64(col):
+    """(signed 64-bit hash, unsigned hi half) derived from md5(col): the two
+    32-bit hex halves recombined as hi_signed * 2^32 + lo. md5 exists in
+    every SQL engine, so operators built on this hash have EXACT DuckDB
+    oracle twins (xxhash64 does not — the same trick that upgraded simhash64
+    in round 2). All intermediates fit signed 64-bit exactly:
+    hi_signed ∈ [-2^31, 2^31) ⇒ product ∈ [-2^63, 2^63-2^32], + lo < 2^32
+    never overflows ANSI arithmetic."""
+    hx = F.md5(col)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    h = (
+        hi - F.when(hi >= F.lit(2147483648), F.lit(4294967296)).otherwise(F.lit(0))
+    ) * F.lit(4294967296) + lo
+    return h, hi
+
+
 def minhash_signatures(spark, sf_dir) -> DataFrame:
     """K min-hashes per doc via ONE-PERMUTATION HASHING (Li/Owen/Zhang,
     NeurIPS 2012): each shingle is hashed ONCE, assigned to one of K bins by
-    its low bits, and the signature is the per-bin minimum — K signatures
-    for the price of one string hash per shingle instead of K (the naive
-    K-seeded form cost 64 xxhash64 evaluations per shingle row and dominated
-    the dedup bench). Empty bins are densified with xxhash64(doc_min, bin):
-    for two docs both missing bin i the fill collides exactly when their
-    global minima collide — itself a minhash event — so the estimator stays
-    honest; single-sided empties almost never collide (slight underestimate).
-    """
+    the hash's own top bits, and the signature is the per-bin minimum — K
+    signatures for the price of one string hash per shingle instead of K
+    (the naive K-seeded form cost 64 hash evaluations per shingle row and
+    dominated the dedup bench). The hash is md5-derived (_md5_signed64), so
+    the whole signature — and therefore minhash_lsh_pairs — has an exact
+    DuckDB oracle. Within a bin the top 6 bits are constant, so the SIGNED
+    per-bin min ranks identically to the unsigned one (two's-complement
+    order is monotone when the sign bit is fixed) — the standard OPH
+    construction, engine-portable. Empty bins are densified with
+    md5(global_min ':' bin): for two docs both missing bin i the fill
+    collides exactly when their global minima collide — itself a minhash
+    event — so the estimator stays honest; single-sided empties almost
+    never collide (slight underestimate)."""
     docs = _docs(spark, sf_dir)
     sh = doc_shingles(docs)
-    h = F.xxhash64(F.col("shingle"))
-    # bin = the hash's own top bits (unsigned shift): within a bin those
-    # bits are constant, so the per-bin min ranks by the remaining 58 —
-    # the standard OPH construction, zero extra hashes
+    h, hi = _md5_signed64(F.col("shingle"))
     binned = sh.select(
         "doc_id",
         h.alias("h"),
-        F.shiftrightunsigned(h, 64 - _BIN_BITS).alias("bin"),
+        F.shiftright(hi, 32 - _BIN_BITS).alias("bin"),
     )
     binmin = binned.groupBy("doc_id", "bin").agg(F.min("h").alias("mh"))
     # signature as ONE array<long> column (not K scalar columns: 64-column
@@ -98,22 +117,40 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     m = F.map_from_entries(F.collect_list(F.struct("bin", "mh")))
     per_doc = binmin.groupBy("doc_id").agg(m.alias("__m"))
     g = F.array_min(F.map_values(F.col("__m")))
+
+    def _fill(i):
+        fh, _ = _md5_signed64(F.concat_ws(":", g.cast("string"), i.cast("string")))
+        return fh
+
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("__m"), i.cast("long")), F.xxhash64(g, i)
-        ),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i.cast("long")), _fill(i)),
     )
     return per_doc.select("doc_id", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.5) -> DataFrame:
+DEFAULT_BAND_CAP = 4096
+
+
+def minhash_lsh_pairs(
+    spark, sf_dir, threshold: float = 0.5, band_cap: int = DEFAULT_BAND_CAP
+) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + exact MinHash-similarity
     verification; returns (doc_a, doc_b, est_jaccard).
 
     Scale shape: the band self-join carries ONLY (band_hash, doc_id) — the
     K signature columns rejoin on the (much smaller) candidate set
     afterwards, so the banding shuffle stays narrow at 10^12 rows.
+
+    Skew guard: at most ``band_cap`` docs survive per band value before the
+    self-join (deterministic row_number, overflow OBSERVED via
+    'minhash_band_overflow' — the cap_buckets pattern from similarity.py).
+    A corpus with mass-duplicated boilerplate puts millions of docs into one
+    band; without the cap that band's pair count is quadratic. Capped docs
+    in an over-full band are exact/near-exact duplicates of the survivors,
+    which exact_dedup (or a keep-one pass over the survivors) already
+    handles — the cap costs recall only for the pathological band, bounded
+    and measured, instead of an unbounded join.
     """
     sig = minhash_signatures(spark, sf_dir).cache()
     rows_per_band = N_MINHASH // N_BANDS
@@ -127,6 +164,13 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.5) -> DataFrame:
         "doc_id",
         F.explode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias("band"),
     )
+    w = Window.partitionBy("band").orderBy(F.xxhash64(F.col("doc_id")))
+    ranked = bands.withColumn("__rk", F.row_number().over(w)).observe(
+        "minhash_band_overflow",
+        F.sum((F.col("__rk") > band_cap).cast("long")).alias("overflow_rows"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+    bands = ranked.filter(F.col("__rk") <= band_cap).drop("__rk")
     left, right = bands.alias("l"), bands.alias("r")
     cand = (
         left.join(
@@ -208,21 +252,24 @@ def simhash64(spark, sf_dir) -> DataFrame:
         .withColumn("hi", F.conv(F.substring("hx", 1, 8), 16, 10).cast("long"))
         .withColumn("lo", F.conv(F.substring("hx", 9, 8), 16, 10).cast("long"))
     )
-    bit_aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("lo" if i < 32 else "hi"), i % 32)
-                .bitwiseAND(F.lit(1))
-                == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"s{i:02d}")
-        for i in range(64)
-    ]
-    per_doc = words.groupBy("doc_id").agg(*bit_aggs)
-    sim = None
-    for i in range(64):
-        bit = F.when(F.col(f"s{i:02d}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return per_doc.select("doc_id", sim.alias("simhash"))
+    # Per-bit majority WITHOUT 64 scalar aggregate columns (that plan's
+    # whole-stage codegen alone cost seconds — the same pathology the
+    # MinHash one-array signature fixed): each word emits its 64 ±1 votes
+    # as one array, posexplode + two thin aggregations do the rest.
+    # Shuffle volume is docs×64 tiny rows after map-side partial agg.
+    votes = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63), i -> CASE WHEN"
+                " (shiftright(CASE WHEN i < 32 THEN lo ELSE hi END, i % 32) & 1) = 1"
+                " THEN 1 ELSE -1 END)"
+            )
+        ).alias("pos", "v"),
+    )
+    bitsum = votes.groupBy("doc_id", "pos").agg(F.sum("v").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT), pos))"
+        ).alias("simhash")
+    )

@@ -82,6 +82,27 @@ def test_minhash_recall_on_planted_corpus(spark, tmp_path_factory):
     assert not (got - set(planted)), got - set(planted)  # no false pairs
 
 
+def test_minhash_band_cap_bounds_skewed_join(spark, tmp_path_factory):
+    """Mass-duplicated boilerplate (1000 identical docs — the classic
+    pretraining-dedup skew) must NOT go quadratic in the band self-join:
+    with band_cap=20 the surviving candidate set is C(20,2)=190 pairs, not
+    the uncapped C(1000,2)=499500. Identical docs share every band value
+    and the deterministic xxhash64(doc_id) ranking picks the same survivors
+    in each, so the distinct-pair bound is exactly C(cap,2)."""
+    from parquet_to_arrow_spark.operators.dedup import minhash_lsh_pairs
+
+    text = "mass duplicated boilerplate paragraph that appears everywhere " * 4
+    rows = [(i, text, "en", "web", len(text)) for i in range(1000)]
+    d = tmp_path_factory.mktemp("minhash_cap")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    pairs = minhash_lsh_pairs(spark, str(d), threshold=0.5, band_cap=20).collect()
+    assert 0 < len(pairs) <= 20 * 19 // 2
+    assert all(r["est_jaccard"] == 1.0 for r in pairs)
+
+
 def test_ngram_jaccard_scores_planted_pair(spark, planted_docs):
     from parquet_to_arrow_spark.operators.dedup import ngram_jaccard_pairs
 
