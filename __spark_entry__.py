@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_uints": eq.render_uints,
         "render_dates": eq.render_dates,
         "render_csv_documents": eq.render_csv_documents,
+        "render_json_documents": eq.render_json_documents,
         "render_ecma_doubles": eq.render_ecma_doubles,
         # --- deduplication ---
         "exact_dedup_groups": dedup.exact_dedup_groups,
@@ -541,6 +542,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN regexp_matches(text, '[",\r\n]')
                         THEN '"' || replace(text, '"', '""') || '"'
                         ELSE text END AS line
+            FROM documents""",
+        "render_json_documents": """
+            -- DuckDB's yyjson writer matches Spark's Jackson byte-for-byte
+            -- on the whole escape table (probed: \\u0000 controls with
+            -- uppercase hex, \\b \\t \\n \\f \\r, quote, backslash, raw
+            -- UTF-8, unescaped '/')
+            SELECT CAST(to_json(struct_pack(doc_id := doc_id, text := text))
+                        AS VARCHAR) AS obj
             FROM documents""",
         "render_ecma_doubles": """
             -- DuckDB's DOUBLE->VARCHAR is shortest-round-trip; on this

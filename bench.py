@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
   {"metric": "headline_seconds", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>,
+   "queries": {name: best-of-3 sec, ...}, "queries_median": {name: sec, ...},
+   "sf": <sf>,
    "encode": {raw_gib, seconds, gib_per_s, ratio},
    "scaling": {n_cores, n4_cores, gib_per_s_n, gib_per_s_4n, efficiency}}
 
@@ -170,27 +171,37 @@ def main() -> None:
     # per query
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     qs["scan_full"](spark, SF_DIR).count()
+    # per-query best-of-N (warm): this box's run-to-run spread is ±20%, which
+    # round-2 showed is enough to fake regressions in single-shot timings;
+    # best-of-3 min is the signal, the median is kept for dispersion
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in headline:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            ts.append(round(time.time() - t0, 3))
+        ts.sort()
+        timings[name] = ts[0]
+        medians[name] = ts[len(ts) // 2]
     spark.stop()
 
     # encode/decode throughput at full parallelism (the headline metrics);
     # decode measures on the big (2M-row, 1.73 GiB) table — at sf-scaled
     # sizes it has fewer chunks than cores and the number is all overhead
     encode = _measure_encode(CPUS, BENCH_ROWS)
-    timings["encode_tokens"] = encode["seconds"]
+    timings["encode_tokens"] = medians["encode_tokens"] = encode["seconds"]
     decode = _measure_decode(CPUS, max(BENCH_ROWS, 2_000_000))
-    timings["decode_tokens"] = decode["seconds"]
+    timings["decode_tokens"] = medians["decode_tokens"] = decode["seconds"]
 
     result = {
         "metric": "headline_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": SF,
         "encode": encode,
         "decode": decode,

@@ -199,6 +199,19 @@ def render_csv_documents(spark, sf_dir) -> DataFrame:
     return csv_lines(docs, ["doc_id", "text"])
 
 
+def render_json_documents(spark, sf_dir) -> DataFrame:
+    """F7/S7: one JSON object per document row ({doc_id, text}), nulls kept,
+    control chars escaped (reference src/parquet-to-text-stream.cc:510-576).
+    Spark's Jackson writer and DuckDB's yyjson agree byte-for-byte on the
+    full escape table (\\u0000-style control chars incl. uppercase hex,
+    \\b \\t \\n \\f \\r short forms, quote/backslash, unescaped '/', raw
+    UTF-8 above ASCII) — probed explicitly, so the oracle is exact."""
+    from ..functions.render import json_objects
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return json_objects(docs, ["doc_id", "text"])
+
+
 def render_ecma_doubles(spark, sf_dir) -> DataFrame:
     """F1: ECMAScript shortest round-trip rendering of o_totalprice
     (vectorized pandas UDF)."""
