@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": multimodal.media_meta,
         "media_audio_features": multimodal.media_audio_features,
         "media_image_thumbnails": multimodal.media_image_thumbnails,
+        "media_png_features": multimodal.media_png_features,
     }
 
 
@@ -714,6 +715,10 @@ def oracle_sql() -> dict[str, str]:
         # --- multimodal ---
         "media_audio_features": _audio_sql(),
         "media_image_thumbnails": _thumb_sql(),
+        # PNG decodes to the identical byte-cycled grid the PPM path
+        # produces, so its oracle is the same exact-integer pooling SQL —
+        # a wrong zlib/unfilter path on the Spark side breaks the hash
+        "media_png_features": _thumb_sql(),
         "media_meta": """
             SELECT doc_id, 'text/plain;lang=' || lang AS media_type,
                    CAST(strlen(text) AS BIGINT) AS n_bytes

@@ -8,9 +8,13 @@ Decode story (two tiers, honestly separated):
   whole pipeline (encode container -> binary column -> mapInPandas decode ->
   features/resize) runs end-to-end and is tested against analytic ground
   truth (a synthesized sine's RMS is A/sqrt(2)).
-- COMPRESSED codecs (jpeg/mp3/h264) require libraries absent from this
-  image: decode_media raises NotImplementedError for those media types —
-  a runtime guard, not fake output.
+- PNG (8-bit RGB) is decoded FOR REAL too — the one compressed container
+  whose codec is stdlib-complete (zlib inflate + numpy scanline
+  unfiltering across all five RFC 2083 filter types, with a matching
+  CRC32'd encoder).
+- Remaining COMPRESSED codecs (jpeg/mp3/h264) require libraries absent
+  from this image: decode_media raises NotImplementedError for those media
+  types — a runtime guard, not fake output.
 
 The Spark-side plumbing is identical for both tiers: binary columns, typed
 metadata, Arrow-batched mapInPandas with explicit output schemas, metadata
@@ -257,7 +261,153 @@ def documents_as_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(to_ppm, MEDIA_SCHEMA)
 
 
+# --- real COMPRESSED-container decode: PNG (8-bit RGB, all filter types) -------
+#
+# PNG is the one compressed format decodable honestly with stdlib-only tools:
+# zlib inflate + per-scanline unfiltering (None/Sub/Up/Average/Paeth,
+# RFC 2083 §6). The encoder below emits real PNG files (signature, CRC32'd
+# IHDR/IDAT/IEND chunks) any viewer opens; the decoder handles every filter
+# type, which the distributed query exercises by cycling filters per row.
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_bytes(img: np.ndarray, filter_mode: str = "cycle") -> bytes:
+    """Real PNG container around an (H, W, 3) uint8 grid. filter_mode:
+    'cycle' uses filter type (row % 5) so every unfilter path is exercised;
+    an int-like string pins one type (tests)."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    px = img.astype(np.int64)
+    raw = bytearray()
+    for r in range(h):
+        ft = (r % 5) if filter_mode == "cycle" else int(filter_mode)
+        line = px[r].ravel()
+        prior = px[r - 1].ravel() if r else np.zeros(w * 3, dtype=np.int64)
+        filt = np.empty(w * 3, dtype=np.int64)
+        for x in range(w * 3):
+            left = line[x - 3] if x >= 3 else 0
+            upl = prior[x - 3] if x >= 3 else 0
+            pred = (0, left, prior[x], (left + prior[x]) // 2, _paeth(left, prior[x], upl))[ft]
+            filt[x] = (line[x] - pred) % 256
+        raw.append(ft)
+        raw.extend(filt.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB, no interlace
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 pixels from an 8-bit RGB PNG: chunk walk, zlib
+    inflate, per-scanline unfilter (all five RFC 2083 filter types)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    idx, w = 8, None
+    idat = bytearray()
+    while idx < len(payload):
+        (length,) = struct.unpack(">I", payload[idx : idx + 4])
+        ctype = payload[idx + 4 : idx + 8]
+        data = payload[idx + 8 : idx + 8 + length]
+        idx += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if (depth, color, interlace) != (8, 2, 0):
+                raise NotImplementedError("only 8-bit RGB non-interlaced PNG decoded here")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    out = np.zeros((h, stride), dtype=np.int64)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1).astype(np.int64)
+        prior = out[r - 1] if r else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            out[r] = line
+        elif ft == 1:  # Sub: per-channel-lane running sum, vectorized
+            out[r] = np.cumsum(line.reshape(w, 3), axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            out[r] = (line + prior) % 256
+        elif ft in (3, 4):  # Average / Paeth: left-dependent, scalar walk
+            row = out[r]
+            for x in range(stride):
+                left = row[x - 3] if x >= 3 else 0
+                upl = prior[x - 3] if x >= 3 else 0
+                pred = (
+                    (left + prior[x]) // 2 if ft == 3 else _paeth(int(left), int(prior[x]), int(upl))
+                )
+                row[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+def documents_as_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPM pixel grid (doc UTF-8 bytes cycled to 16x16 RGB) wrapped in a
+    real zlib-compressed PNG, filters cycling per scanline — the compressed
+    analogue of documents_as_ppm with the identical decoded grid."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    need = IMG_W * IMG_H * 3
+
+    def to_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = np.frombuffer(text.encode("utf-8") or b"\x00", dtype=np.uint8)
+                px = np.resize(raw, need).reshape(IMG_H, IMG_W, 3)
+                payloads.append(png_bytes(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": ["image/png"] * len(pdf),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(to_png, MEDIA_SCHEMA)
+
+
 THUMB_SCHEMA = "doc_id long, w int, h int, mean_r double, mean_g double, mean_b double, thumb array<int>"
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Container dispatch on magic bytes: P6 PPM (uncompressed) or PNG
+    (zlib). Other image formats raise in decode_media's stub guard."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    raise ValueError("unrecognized image container")
 
 
 def image_thumbnails(media: DataFrame, thumb: int = THUMB) -> DataFrame:
@@ -268,7 +418,7 @@ def image_thumbnails(media: DataFrame, thumb: int = THUMB) -> DataFrame:
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "w", "h", "mean_r", "mean_g", "mean_b", "thumb")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_ppm(payload)
+                img = decode_image(payload)
                 h, w, _ = img.shape
                 t = (
                     img.reshape(thumb, h // thumb, thumb, w // thumb, 3)
@@ -299,7 +449,10 @@ def media_image_thumbnails(spark, sf_dir) -> DataFrame:
     image_thumbnails API. Every value here is exact integer arithmetic
     (sums of uint8 divided by powers of two, banker's rounding), so the
     query has an exact DuckDB oracle twin (_thumb_sql in __spark_entry__)."""
-    t = image_thumbnails(documents_as_ppm(spark, sf_dir))
+    return _thumb_driver_shape(image_thumbnails(documents_as_ppm(spark, sf_dir)))
+
+
+def _thumb_driver_shape(t: DataFrame) -> DataFrame:
     return t.select(
         "doc_id",
         "w",
@@ -311,3 +464,11 @@ def media_image_thumbnails(spark, sf_dir) -> DataFrame:
             "thumb_csv"
         ),
     )
+
+
+def media_png_features(spark, sf_dir) -> DataFrame:
+    """Driver query: PNG-encode documents (filters cycling per scanline),
+    inflate + unfilter, mean-pool. Decoded pixels are the identical
+    byte-cycled grid the PPM path produces, so _thumb_sql is this query's
+    exact oracle too — any wrong unfilter path breaks the value hash."""
+    return _thumb_driver_shape(image_thumbnails(documents_as_png(spark, sf_dir)))

@@ -83,6 +83,62 @@ def test_image_thumbnails_distributed(spark):
         assert all(0 <= int(v) <= 255 for v in vals)
 
 
+def test_png_roundtrip_every_filter_type():
+    """Encode/decode bit-exact for each RFC 2083 filter type and the cycling
+    mode, on a gradient whose Sub/Up/Average/Paeth predictions all differ."""
+    from parquet_to_arrow_spark.operators.multimodal import decode_png, png_bytes
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    grad = (np.arange(16)[:, None, None] * 13 + np.arange(16)[None, :, None] * 7
+            + np.arange(3)[None, None, :] * 31).astype(np.uint8)
+    for src in (img, grad):
+        for mode in ("0", "1", "2", "3", "4", "cycle"):
+            back = decode_png(png_bytes(src, filter_mode=mode))
+            assert np.array_equal(back, src), mode
+
+
+def test_png_analytic_truth_planted_gradient():
+    """Mean-pool of a planted gradient equals its analytic channel means."""
+    from parquet_to_arrow_spark.operators.multimodal import decode_png, png_bytes
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, :, 0] = 100  # R constant
+    img[:, :, 1] = np.arange(16)[None, :]  # G = column index
+    back = decode_png(png_bytes(img))
+    m = back.reshape(-1, 3).mean(axis=0)
+    assert m[0] == 100.0 and m[1] == np.arange(16).mean() and m[2] == 0.0
+
+
+def test_png_decoder_rejects_unsupported():
+    from parquet_to_arrow_spark.operators.multimodal import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"notapng")
+    # 16-bit depth IHDR -> honest NotImplementedError, not silent garbage
+    import struct, zlib
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    with pytest.raises(NotImplementedError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_png_features_distributed(spark):
+    """PNG and PPM paths decode to the identical grid => identical features."""
+    from parquet_to_arrow_spark.operators.multimodal import (
+        media_image_thumbnails,
+        media_png_features,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    png = {r["doc_id"]: r for r in media_png_features(spark, sf).collect()}
+    ppm = {r["doc_id"]: r for r in media_image_thumbnails(spark, sf).collect()}
+    assert set(png) == set(ppm)
+    for k in png:
+        assert png[k] == ppm[k]
+
+
 def test_audio_exact_features_vs_numpy():
     """sumsq/n_cross/rms/zcr arithmetic matches a straight numpy reference."""
     from parquet_to_arrow_spark.operators.multimodal import decode_wav, wav_bytes
