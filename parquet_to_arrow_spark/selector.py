@@ -11,19 +11,28 @@ sizes, not just heuristics).
 
 from __future__ import annotations
 
-from .codecs import bitpack, dictionary, for_, fsst, plain, rle
+from .codecs import bitpack, delta, dictionary, for_, fsst, plain, rle
 
 INT_CODECS = {
     plain.NAME: plain,
     bitpack.NAME: bitpack,
     for_.NAME: for_,
+    delta.NAME: delta,
     rle.NAME: rle,
     dictionary.NAME: dictionary,
     fsst.NAME: fsst,
 }
 
 # Deterministic tie-break order (cheapest decode first).
-_PRIORITY = [plain.NAME, bitpack.NAME, for_.NAME, rle.NAME, dictionary.NAME, fsst.NAME]
+_PRIORITY = [
+    plain.NAME,
+    bitpack.NAME,
+    for_.NAME,
+    delta.NAME,
+    rle.NAME,
+    dictionary.NAME,
+    fsst.NAME,
+]
 
 
 def rank_int_codecs(stats: dict) -> list[tuple[int, str]]:

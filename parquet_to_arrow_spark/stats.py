@@ -65,6 +65,16 @@ def int_stats(values: np.ndarray, vmin: int | None = None, vmax: int | None = No
                 card = int(card * min((n / len(sample)) ** 0.5, 8.0))
             card = min(card, n, vrange + 1)
     stats["card"] = max(card, 1)
+    # sorted-structure probe for the DELTA codec, on the same prefix sample:
+    # wrap-around differences reinterpreted signed (exact mod 2^w), span ->
+    # estimated packed width. Sample-optimistic like n_runs; encode() uses
+    # exact widths so a miss costs size-model accuracy, never correctness.
+    if len(rs) > 1:
+        u = rs.view(f"uint{rs.dtype.itemsize * 8}") if rs.dtype.kind == "i" else rs
+        ds = (u[1:] - u[:-1]).view(f"int{rs.dtype.itemsize * 8}")
+        stats["delta_width"] = (int(ds.max()) - int(ds.min())).bit_length()
+    else:
+        stats["delta_width"] = 0
     stats["byte_sample"] = values[: _BYTE_SAMPLE // values.dtype.itemsize].tobytes()
     return stats
 

@@ -51,6 +51,15 @@ def main(argv: list[str] | None = None) -> int:
         help="keyed mode: commit data+checkpoint every N buckets (0 = single wave)",
     )
     p.add_argument("--verify", action="store_true")
+    p.add_argument(
+        "--cache-input",
+        choices=["auto", "always", "never"],
+        default="auto",
+        help="keyed mode: cache the keyed input across waves. auto caches "
+        "only when the input is < 8 GiB on disk — beyond that the cache "
+        "spills anyway and re-scanning parquet per wave is cheaper (and the "
+        "only option at 100 TB)",
+    )
     p.add_argument("--cores", default=None, help="local[N] cores (default: env/all)")
     args = p.parse_args(argv)
 
@@ -70,7 +79,12 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         tokens = spark.read.parquet(args.input)
-        keyed = ckpt.with_pkey(tokens, args.buckets).cache()
+        keyed = ckpt.with_pkey(tokens, args.buckets)
+        on_disk = sum(i.size for i in pio.resolve_files(args.input)[1])
+        if args.cache_input == "always" or (
+            args.cache_input == "auto" and on_disk < (8 << 30)
+        ):
+            keyed = keyed.cache()
         done_keys: set[int] = set()
         if args.checkpoint:
             done = ckpt.read_done(spark, args.checkpoint)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from parquet_to_arrow_spark.codecs import ALL, bitpack, dictionary, for_, fsst, plain, rle
+from parquet_to_arrow_spark.codecs import ALL, bitpack, delta, dictionary, for_, fsst, plain, rle
 from parquet_to_arrow_spark.codecs.base import pack_bits, unpack_bits
 from parquet_to_arrow_spark.column import encode_int_array, decode_int_array
 from parquet_to_arrow_spark.selector import select_int_codec
@@ -41,13 +41,19 @@ FIXTURES = {
     "text_like_bytes": np.frombuffer(
         (b"the quick brown fox " * 800)[:16000], dtype=np.uint8
     ).astype(I32),
+    # delta-codec regimes: wide value span (kills FoR) but tiny step span
+    "sorted_ids": np.cumsum(RNG.integers(0, 3, size=8000)).astype(I64) + 5_000_000_000,
+    "sorted_timestamps_ns": (
+        1_700_000_000_000_000_000 + np.cumsum(RNG.integers(1, 1000, size=4000))
+    ).astype(I64),
+    "descending": (10**9 - np.cumsum(RNG.integers(0, 5, size=3000))).astype(I32),
 }
 
 NONNEG = {k: v for k, v in FIXTURES.items() if len(v) == 0 or v.min() >= 0}
 
 
 @pytest.mark.parametrize("name", list(FIXTURES))
-@pytest.mark.parametrize("codec", ["plain", "for", "rle", "dict", "fsst"])
+@pytest.mark.parametrize("codec", ["plain", "for", "delta", "rle", "dict", "fsst"])
 def test_codec_roundtrip(codec, name):
     values = FIXTURES[name]
     mod = ALL[codec]
@@ -106,6 +112,28 @@ def test_fsst_bytes_roundtrip_and_compresses():
     assert len(payload) < len(data)
 
 
+def test_delta_sorted_beats_for():
+    # sorted_ids spans ~8000*avg_step ≈ 2^13.x values over a 5e9 base: FoR
+    # needs ~14 bits/value but delta steps are 0..2 -> 2 bits/value
+    values = FIXTURES["sorted_ids"]
+    d_payload, _ = delta.encode(values)
+    f_payload, _ = for_.encode(values)
+    assert len(d_payload) < len(f_payload) // 4
+
+
+def test_delta_estimate_tracks_actual():
+    from parquet_to_arrow_spark.stats import int_stats
+
+    for name in ("sorted_ids", "sorted_timestamps_ns", "descending", "runs"):
+        values = FIXTURES[name]
+        est = delta.estimate(int_stats(values))
+        payload, _ = delta.encode(values)
+        # sample-based estimate may be optimistic but never wildly off here
+        # (fixtures have stationary step distributions)
+        assert est <= len(payload) * 1.5 + 64
+        assert len(payload) <= est * 1.5 + 64
+
+
 def test_fsst_empty_and_escape_heavy():
     assert fsst.compress(b"", []) == b""
     assert fsst.decompress(b"", []) == b""
@@ -118,11 +146,15 @@ def test_fsst_empty_and_escape_heavy():
 
 SELECTOR_EXPECT = {
     # constant column: FoR at width 0 stores zero payload bits and beats RLE
-    "single_run": {"rle", "for"},
+    "single_run": {"rle", "for", "delta"},
     "runs": "rle",
     "narrow_range_offset": {"for", "bitpack"},
     "full_range_int32": {"plain", "for"},
     "uniform_small_vocab": {"bitpack", "dict", "for"},
+    # wide span, tiny steps: only delta packs these narrow
+    "sorted_ids": "delta",
+    "sorted_timestamps_ns": "delta",
+    "descending": "delta",
 }
 
 
