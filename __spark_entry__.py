@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         engine_queries as eq,
         multimodal,
+        pipeline as pl,
         relational as rel,
         similarity as sim,
         textstats as ts,
@@ -97,6 +98,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash64": dedup.simhash64,
+        # --- pipeline assembly (pairs -> clusters, packing, sampling) ---
+        "near_dup_clusters": pl.near_dup_clusters,
+        "pack_sequences": pl.pack_sequences,
+        "stratified_sample": pl.stratified_sample,
         # --- similarity search ---
         "ann_bruteforce_topk": sim.brute_force_topk,
         "ann_lsh_topk": sim.ann_lsh_topk,
@@ -175,6 +180,54 @@ def _simhash_sql() -> str:
             FROM w WHERE length(w) > 0
         ), s AS (SELECT doc_id, {sums} FROM f GROUP BY doc_id)
         SELECT doc_id, ({pack}) AS simhash FROM s"""
+
+
+# char-5-gram Jaccard pair CTE chain (shared by the ngram_jaccard_pairs
+# oracle and the recursive clusters oracle built on the same pair graph)
+_NGRAM_CTES = """sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(length(text) - 4, 1) + 1),
+                           i -> substring(text, CAST(i AS INTEGER), 5))) AS shingle
+                FROM documents
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), rare AS (
+                SELECT * FROM sh WHERE shingle IN (
+                    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64)
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM rare a JOIN rare b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )"""
+
+
+def _clusters_sql() -> str:
+    """DuckDB twin of pipeline.near_dup_clusters: connected components of
+    the exact n-gram Jaccard pair graph via a recursive CTE (min reachable
+    doc_id = cluster id), every document included as its own singleton."""
+    return f"""
+        WITH RECURSIVE {_NGRAM_CTES},
+        pr AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+        ), e AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pr
+            UNION ALL SELECT doc_b, doc_a FROM pr
+        ), reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node
+        ), lab AS (
+            SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM lab"""
 
 
 def _minhash_sql() -> str:
@@ -568,32 +621,49 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_kept": """
             SELECT doc_id, lang, source, n_chars FROM documents d
             WHERE doc_id = (SELECT min(doc_id) FROM documents i WHERE i.text = d.text)""",
-        "ngram_jaccard_pairs": """
+        "ngram_jaccard_pairs": f"""
             -- exact char-5-gram Jaccard, stop-shingles (df > 64) removed:
             -- pure set arithmetic, the DuckDB twin of dedup.ngram_jaccard_pairs
-            WITH sh AS (
-                SELECT DISTINCT doc_id,
-                       unnest(list_transform(
-                           range(1, greatest(length(text) - 4, 1) + 1),
-                           i -> substring(text, CAST(i AS INTEGER), 5))) AS shingle
-                FROM documents
-            ), sizes AS (
-                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-            ), rare AS (
-                SELECT * FROM sh WHERE shingle IN (
-                    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64)
-            ), inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-                FROM rare a JOIN rare b
-                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
+            WITH {_NGRAM_CTES}
             SELECT doc_a, doc_b, n_common,
                    n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3""",
+        "near_dup_clusters": _clusters_sql(),
+        "pack_sequences": """
+            -- contiguous-stream packing: global running token offset via a
+            -- window cumsum (the Spark side computes the same prefix sum
+            -- distributed); n_tok is token_counts' BPE-ish count
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                          + len(regexp_extract_all(text, '[0-9]+'))
+                          + len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                          AS BIGINT) AS n_tok
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tok,
+                       CAST(sum(n_tok) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tok AS BIGINT) AS s
+                FROM t
+            )
+            SELECT doc_id, n_tok, s // 2048 AS seq_id, s % 2048 AS seq_offset
+            FROM c""",
+        "stratified_sample": """
+            -- deterministic quota sample: bucket = top md5 half of the
+            -- doc_id string, mod 100 (hi is unsigned 32-bit, so % = pmod)
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 100 AS bucket
+                FROM documents)
+            SELECT doc_id, lang, bucket FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 35 WHEN 'de' THEN 60
+                                     WHEN 'fr' THEN 60 WHEN 'es' THEN 60
+                                     ELSE 100 END""",
         "simhash64": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         # --- similarity ---

@@ -1,0 +1,196 @@
+"""Training-data pipeline assembly operators.
+
+These close the gap between per-document signals (near-dup pairs, token
+counts, language labels) and the artifacts a pretraining run actually
+consumes:
+
+- duplicate CLUSTERS: pairwise near-dup output is not actionable until
+  pairs become connected components with one canonical keeper per
+  component (``near_dup_clusters``);
+- PACKED fixed-length sequences: contiguous token-stream packing into
+  cap-sized training windows, the standard GPT-style pretraining layout
+  (``pack_sequences``);
+- a DETERMINISTIC stratified sample: per-language quota rebalancing that
+  is reproducible under task retries because membership is a pure hash of
+  the row key, never an RNG draw (``stratified_sample``).
+
+Scale notes (100 TB):
+- connected components runs min-label propagation with per-round lineage
+  truncation; rounds = component diameter, and near-dup graphs are
+  near-cliques (banded LSH links every member of a duplicate group to the
+  same survivors), so 2-4 rounds dominate in practice with a hard cap.
+  Each round is one edge->label hash join plus a groupBy-min — all
+  key-partitioned, no driver-side graph.
+- sequence packing needs a GLOBAL running token offset; a naive
+  Window.orderBy over everything is a single-task plan. We compute a
+  distributed prefix sum instead: range-partition by doc_id, aggregate
+  per-partition totals (one tiny P-row collect), broadcast the exclusive
+  per-partition base offsets back, and finish with a PER-PARTITION window
+  — every stage is parallel at any input size.
+- stratified sampling is a stateless filter on md5(doc_id) — zero
+  shuffles, and the md5-derived bucket has an exact DuckDB oracle twin
+  (same trick as dedup._md5_signed64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .dedup import _docs, ngram_jaccard_pairs
+
+# sequences of 2048 tokens — the classic pretraining context length
+PACK_CAP = 2048
+
+# per-language keep quota in percent (bucket < quota keeps the row):
+# downsample the over-represented head language, keep the tail intact
+SAMPLE_QUOTA = {"en": 35, "de": 60, "fr": 60, "es": 60}
+SAMPLE_DEFAULT_QUOTA = 100
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes``: one column ``doc_id``; ``pairs``: columns ``doc_a``/``doc_b``
+    (undirected edges). Returns (doc_id, cluster_id) where cluster_id is
+    the component's minimum doc_id — the canonical "keeper" convention the
+    exact-dedup operators already use (min key wins).
+
+    Each round every node takes min(own label, neighbours' labels); the
+    loop stops when a round changes nothing (one cheap count per round)
+    or at ``max_rounds``. Rounds needed = component diameter: near-dup
+    components are near-cliques, so convergence is 2-4 rounds in practice.
+    ``localCheckpoint`` truncates the per-round lineage so the plan stays
+    O(1) deep instead of O(rounds); on a real cluster with reliable
+    storage, ``checkpoint`` to the job's checkpoint dir is the durable
+    equivalent.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).cache()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+            .filter(F.col("cluster_id") != F.col("prev"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3, max_rounds: int = 20
+) -> DataFrame:
+    """Duplicate clusters over the exact n-gram Jaccard pair graph:
+    (doc_id, cluster_id, cluster_size) for EVERY document — singletons
+    cluster with themselves, so the output partitions the corpus and a
+    keep-one pass is `WHERE doc_id = cluster_id`."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    labels = connected_components(nodes, pairs, max_rounds=max_rounds)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+def _bpe_ish_token_count(text):
+    """The BPE-ish token count from textstats.token_counts: letter runs +
+    digit runs + one token per non-alphanumeric symbol."""
+    return (
+        F.regexp_count(text, F.lit("[A-Za-z]+"))
+        + F.regexp_count(text, F.lit("[0-9]+"))
+        + F.regexp_count(text, F.lit("[^A-Za-z0-9 ]"))
+    ).cast("long")
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str, cap: int = PACK_CAP) -> DataFrame:
+    """Pack the document token stream into fixed ``cap``-token training
+    sequences: concatenate documents in doc_id order and cut the stream at
+    every multiple of ``cap``. Returns (doc_id, n_tok, seq_id, seq_offset)
+    where seq_id is the sequence containing the document's FIRST token and
+    seq_offset its position inside that sequence — a document straddling a
+    boundary continues into the next sequence (contiguous-stream packing,
+    the standard pretraining layout; no padding, no greedy bin search, and
+    deterministic for free).
+
+    The global running offset is a DISTRIBUTED prefix sum, not a global
+    Window (which would serialize on one task): range-partition by doc_id,
+    collect the P per-partition token totals (P rows — bounded by the
+    partition count, never the data), broadcast each partition's exclusive
+    base offset back, and finish with a per-partition cumulative window.
+    """
+    t = _docs(spark, sf_dir).select(
+        "doc_id", _bpe_ish_token_count(F.col("text")).alias("n_tok")
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    parts = (
+        t.repartitionByRange(n_parts, "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    pstats = parts.groupBy("__pid").agg(
+        F.sum("n_tok").alias("tot"), F.min("doc_id").alias("lo")
+    ).collect()
+    base, acc = {}, 0
+    for r in sorted(pstats, key=lambda r: r["lo"]):
+        base[r["__pid"]] = acc
+        acc += r["tot"]
+    bases = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in base.items()],
+        "__pid int, __base long",
+    )
+    w = Window.partitionBy("__pid").orderBy("doc_id")
+    start = F.sum("n_tok").over(w) + F.col("__base") - F.col("n_tok")
+    return (
+        parts.join(F.broadcast(bases), "__pid")
+        .withColumn("__start", start)
+        .select(
+            "doc_id",
+            "n_tok",
+            F.floor(F.col("__start") / cap).alias("seq_id"),
+            (F.col("__start") % cap).alias("seq_offset"),
+        )
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample: keep a document iff its
+    md5-derived bucket (0..99) is below the language's quota percent.
+    Membership is a pure function of doc_id — identical under retries,
+    re-runs, and engine changes — and the md5 arithmetic has an exact
+    DuckDB twin (dedup._md5_signed64's hex-halves trick), unlike
+    DataFrame.sampleBy's RNG. Zero shuffles: a stateless scan filter."""
+    docs = _docs(spark, sf_dir)
+    hi = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    quota = F.lit(SAMPLE_DEFAULT_QUOTA)
+    for lang, q in SAMPLE_QUOTA.items():
+        quota = F.when(F.col("lang") == lang, F.lit(q)).otherwise(quota)
+    return (
+        docs.select("doc_id", "lang", (hi % 100).alias("bucket"))
+        .filter(F.col("bucket") < quota)
+    )

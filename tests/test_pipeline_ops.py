@@ -1,0 +1,128 @@
+"""Pipeline assembly operators: clusters, packing, stratified sampling.
+
+Ground truth is computed independently in plain Python (union-find for
+components, a sequential cumsum for packing) so a Spark-side logic bug
+can't hide behind a matching Spark-side oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from parquet_to_arrow_spark.operators import pipeline as pl
+from parquet_to_arrow_spark.operators.dedup import ngram_jaccard_pairs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, tmp_path, rows):
+    path = str(tmp_path / "planted")
+    spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+class TestNearDupClusters:
+    def test_partition_and_min_label(self, spark):
+        out = pl.near_dup_clusters(spark, SF).collect()
+        docs = {r["doc_id"] for r in out}
+        assert len(out) == len(docs)  # every doc exactly once
+        by_cluster: dict[int, list[int]] = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+        for cid, members in by_cluster.items():
+            assert cid == min(members)  # canonical keeper = min id
+        sizes = {r["doc_id"]: r["cluster_size"] for r in out}
+        for cid, members in by_cluster.items():
+            for m in members:
+                assert sizes[m] == len(members)
+
+    def test_matches_union_find(self, spark):
+        pairs = ngram_jaccard_pairs(spark, SF).select("doc_a", "doc_b").collect()
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            a, b = find(r["doc_a"]), find(r["doc_b"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        out = pl.near_dup_clusters(spark, SF).collect()
+        for r in out:
+            expected = find(r["doc_id"]) if r["doc_id"] in parent else r["doc_id"]
+            assert r["cluster_id"] == expected
+
+    def test_chain_converges_across_rounds(self, spark, tmp_path):
+        # A~B and B~C share 5-gram mass but A and C share none with each
+        # other above threshold -> one 3-component only via propagation
+        a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        b = a + " kilo lima mike november oscar papa quebec romeo sierra"
+        c = b.replace("alpha bravo charlie delta echo", "xray yankee zulu whisky uniform")
+        path = _write_docs(
+            spark, tmp_path, [(1, a), (2, b), (3, c), (4, "totally unrelated text here")]
+        )
+        out = {r["doc_id"]: r for r in pl.near_dup_clusters(spark, path).collect()}
+        assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+        assert out[1]["cluster_size"] == 3
+        assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
+
+
+class TestPackSequences:
+    def test_matches_sequential_cumsum(self, spark):
+        out = pl.pack_sequences(spark, SF).collect()
+        rows = sorted(out, key=lambda r: r["doc_id"])
+        acc = 0
+        for r in rows:
+            assert r["seq_id"] == acc // pl.PACK_CAP
+            assert r["seq_offset"] == acc % pl.PACK_CAP
+            acc += r["n_tok"]
+
+    def test_offsets_in_range_and_monotone(self, spark):
+        rows = sorted(
+            pl.pack_sequences(spark, SF).collect(), key=lambda r: r["doc_id"]
+        )
+        assert all(0 <= r["seq_offset"] < pl.PACK_CAP for r in rows)
+        seq_ids = [r["seq_id"] for r in rows]
+        assert seq_ids == sorted(seq_ids)  # stream order preserved
+        assert seq_ids[-1] > 0  # sf0.001 spans multiple sequences
+
+    def test_distributed_prefix_matches_single_partition(self, spark):
+        # the P-way prefix-sum path must equal the trivially-correct
+        # single-partition run of the same operator
+        many = {
+            (r["doc_id"], r["seq_id"], r["seq_offset"])
+            for r in pl.pack_sequences(spark, SF).collect()
+        }
+        one = {
+            (r["doc_id"], r["seq_id"], r["seq_offset"])
+            for r in pl.pack_sequences(spark, SF, cap=pl.PACK_CAP).coalesce(1).collect()
+        }
+        assert many == one
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_quota_shaped(self, spark):
+        a = {tuple(r) for r in pl.stratified_sample(spark, SF).collect()}
+        b = {tuple(r) for r in pl.stratified_sample(spark, SF).collect()}
+        assert a == b and a
+        for doc_id, lang, bucket in a:
+            hi = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            assert bucket == hi % 100
+            assert bucket < pl.SAMPLE_QUOTA.get(lang, pl.SAMPLE_DEFAULT_QUOTA)
+
+    def test_downsamples_head_language(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        total_en = docs.filter("lang = 'en'").count()
+        kept = pl.stratified_sample(spark, SF)
+        kept_en = kept.filter("lang = 'en'").count()
+        # quota 35% with a uniform hash: expect well under half kept
+        assert 0 < kept_en < total_en * 0.55
