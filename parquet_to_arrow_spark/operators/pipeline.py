@@ -170,7 +170,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str, cap: int = PACK_CAP) -> Dat
         .select(
             "doc_id",
             "n_tok",
-            F.floor(F.col("__start") / cap).alias("seq_id"),
+            # integer `div`, not floor(double division): a double loses
+            # exactness past 2^53 total stream tokens (start >= 0 so
+            # truncating div == floor)
+            F.expr(f"__start div {int(cap)}").alias("seq_id"),
             (F.col("__start") % cap).alias("seq_offset"),
         )
     )
