@@ -90,3 +90,26 @@ def test_checkpoint_anti_join_broadcasts(spark):
     done = spark.createDataFrame([(1,), (2,)], "pkey int")
     plan = plan_of(checkpoint.pending(tokens, done))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pack_sequences_prefix_sum_is_distributed(spark):
+    from parquet_to_arrow_spark.operators.pipeline import pack_sequences
+
+    plan = plan_of(pack_sequences(spark, SF))
+    # the token-count scan reads only the two needed columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+    # base offsets join broadcast, never shuffled
+    assert "BroadcastHashJoin" in plan
+    # the window is partitioned by __pid — a GLOBAL window (empty
+    # partition spec) would serialize the whole stream on one task
+    window_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert window_lines and all("__pid" in ln for ln in window_lines), window_lines
+
+
+def test_stratified_sample_is_scan_plus_filter(spark):
+    from parquet_to_arrow_spark.operators.pipeline import stratified_sample
+
+    plan = plan_of(stratified_sample(spark, SF))
+    assert "Exchange" not in plan  # stateless filter: zero shuffles
