@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": dedup.simhash64,
         # --- pipeline assembly (pairs -> clusters, packing, sampling) ---
         "near_dup_clusters": pl.near_dup_clusters,
+        "near_dup_kept": pl.near_dup_kept,
         "pack_sequences": pl.pack_sequences,
         "stratified_sample": pl.stratified_sample,
         # --- similarity search ---
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": sim.embedding_near_dup_pairs,
         # --- streaming (Structured Streaming drained via availableNow) ---
         "streaming_windowed_counts": _streaming_windowed_counts,
+        "streaming_exact_dedup": _streaming_exact_dedup,
         # --- text analysis ---
         "lang_id": ts.lang_id,
         "text_quality": ts.text_quality,
@@ -128,6 +130,12 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_to_arrow_spark.streaming.incremental import streaming_windowed_counts
 
     return streaming_windowed_counts(spark, sf_dir)
+
+
+def _streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_to_arrow_spark.streaming.incremental import streaming_exact_dedup
+
+    return streaming_exact_dedup(spark, sf_dir)
 
 
 def _occ(needle: str) -> str:
@@ -632,6 +640,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3""",
         "near_dup_clusters": _clusters_sql(),
+        "near_dup_kept": f"""
+            SELECT doc_id, cluster_size FROM ({_clusters_sql()})
+            WHERE doc_id = cluster_id""",
+        # streaming stateful dedup drains to the exact batch answer
+        "streaming_exact_dedup": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
         "pack_sequences": """
             -- contiguous-stream packing: global running token offset via a
             -- window cumsum (the Spark side computes the same prefix sum

@@ -116,6 +116,16 @@ def near_dup_clusters(
     )
 
 
+def near_dup_kept(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    """The near-deduplicated corpus: one representative per cluster (the
+    min-id keeper), with the cluster size it stands for — the row count a
+    downstream token-budget planner needs."""
+    clusters = near_dup_clusters(spark, sf_dir, threshold=threshold)
+    return clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", "cluster_size"
+    )
+
+
 def _bpe_ish_token_count(text):
     """The BPE-ish token count from textstats.token_counts: letter runs +
     digit runs + one token per non-alphanumeric symbol."""

@@ -159,6 +159,76 @@ def stateful_user_counts(
     return spark.table(name), name
 
 
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str):
+    """Exact dedup over a CONTINUOUSLY-LANDING corpus: stateful
+    applyInPandasWithState keyed by the content fingerprint (md5 of text),
+    state = (min doc_id seen, copies seen) carried across micro-batches by
+    the state store. Every batch emits the key's running state; the FINAL
+    emission per key (the one with the max copy count) equals the batch
+    groupBy answer regardless of arrival order — so the drained availableNow
+    result has the same EXACT oracle as exact_dedup_groups, proving the
+    streaming state path converges to batch semantics.
+
+    At scale: state shards by the fingerprint key across executors like any
+    shuffle; a production run would add a TTL/watermark to bound state and a
+    table sink instead of memory."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window, functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+
+    def update(key, pdfs, state):
+        import pandas as pd  # re-import: the closure ships standalone to workers
+
+        keep, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                m = int(pdf["doc_id"].min())
+                keep = m if keep is None or m < keep else keep
+        state.update((keep, n))
+        yield pd.DataFrame({"fp": [key[0]], "keep_id": [keep], "n_copies": [n]})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/*documents.parquet")
+    )
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.withColumn("fp", F.md5("text"))
+        .groupBy("fp")
+        .applyInPandasWithState(
+            update,
+            "fp string, keep_id long, n_copies long",
+            "keep_id long, n long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_dedup_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # keep each key's FINAL emission: max copies, then min keep_id (a key
+    # re-emitted with the same count in a later batch carries the same or
+    # smaller keeper, so the tie-break is deterministic)
+    w = Window.partitionBy("fp").orderBy(F.desc("n_copies"), F.asc("keep_id"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("keep_id", "n_copies")
+    )
+
+
 def streaming_encode_metrics(
     spark: SparkSession,
     input_dir: str,

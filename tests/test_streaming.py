@@ -120,3 +120,25 @@ def test_stateful_user_counts_accumulate_across_microbatches(spark, tmp_path):
 
     per_user_updates = Counter(r["user_id"] for r in rows)
     assert max(per_user_updates.values()) > 1
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Duplicates spread ACROSS micro-batches must still fold to the batch
+    groupBy answer — state survival, not per-batch dedup."""
+    from parquet_to_arrow_spark.streaming.incremental import streaming_exact_dedup
+
+    sf = str(tmp_path / "sfdup")
+    docs_dir = f"{sf}/documents.parquet"
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    waves = [
+        [(4, "aaa"), (5, "bbb")],
+        [(2, "aaa"), (6, "ccc")],
+        [(1, "bbb"), (3, "aaa")],
+    ]
+    for rows in waves:  # one file per wave -> one micro-batch per file
+        spark.createDataFrame(
+            [(i, t, "en", "unit", len(t)) for i, t in rows], ddl
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    out = {r["keep_id"]: r["n_copies"] for r in streaming_exact_dedup(spark, sf).collect()}
+    assert out == {2: 3, 1: 2, 6: 1}  # min doc_id wins, copies counted globally
