@@ -57,14 +57,18 @@ def connected_components(
     the component's minimum doc_id — the canonical "keeper" convention the
     exact-dedup operators already use (min key wins).
 
-    Each round every node takes min(own label, neighbours' labels); the
-    loop stops when a round changes nothing (one cheap count per round)
-    or at ``max_rounds``. Rounds needed = component diameter: near-dup
-    components are near-cliques, so convergence is 2-4 rounds in practice.
-    ``localCheckpoint`` truncates the per-round lineage so the plan stays
-    O(1) deep instead of O(rounds); on a real cluster with reliable
-    storage, ``checkpoint`` to the job's checkpoint dir is the durable
-    equivalent.
+    Each round every node takes min(own label, neighbours' labels), then
+    POINTER-JUMPS: label <- label(label). Propagation alone needs
+    component-diameter rounds (an adversarial duplicate CHAIN makes that
+    O(n)); the jump squares the reach per round, so convergence is
+    O(log diameter) — ~20 rounds covers any graph this engine will meet.
+    The loop stops early when a round changes nothing (one cheap count
+    per round). A label is always some member's doc_id, so the jump join
+    always hits. ``localCheckpoint`` truncates the per-round lineage so
+    the plan stays O(1) deep instead of O(rounds); on a real cluster with
+    reliable storage, ``checkpoint`` to the job's checkpoint dir is the
+    durable equivalent. Giant components make the jump-join key skewed —
+    AQE's skew-join handles that (enabled session-wide).
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -76,13 +80,20 @@ def connected_components(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        prop = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+            ).alias("cluster_id"),
+        )
+        parent = prop.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
         new = (
-            labels.join(nbr, "doc_id", "left")
+            prop.join(parent, prop["cluster_id"] == parent["p_id"], "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-                ).alias("cluster_id"),
+                F.coalesce("p_label", "cluster_id").alias("cluster_id"),
             )
             .localCheckpoint()
         )

@@ -126,3 +126,16 @@ class TestStratifiedSample:
         kept_en = kept.filter("lang = 'en'").count()
         # quota 35% with a uniform hash: expect well under half kept
         assert 0 < kept_en < total_en * 0.55
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 400-node chain has diameter 399: plain min-propagation would need
+    # 399 rounds; pointer jumping must fold it within the 20-round cap
+    n = 400
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = pl.connected_components(nodes, pairs, max_rounds=20).collect()
+    assert len(out) == n
+    assert all(r["cluster_id"] == 0 for r in out)
