@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- pipeline assembly (pairs -> clusters, packing, sampling) ---
         "near_dup_clusters": pl.near_dup_clusters,
         "near_dup_kept": pl.near_dup_kept,
+        "embedding_dup_clusters": pl.embedding_dup_clusters,
         "pack_sequences": pl.pack_sequences,
         "stratified_sample": pl.stratified_sample,
         # --- similarity search ---
@@ -643,6 +644,25 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_kept": f"""
             SELECT doc_id, cluster_size FROM ({_clusters_sql()})
             WHERE doc_id = cluster_id""",
+        "embedding_dup_clusters": f"""
+            WITH RECURSIVE pr AS (
+                SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE {_COSINE_SQL.format(a="a.embedding", b="b.embedding")} >= 0.2
+            ), e AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pr
+                UNION ALL SELECT doc_b, doc_a FROM pr
+            ), reach(node, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node
+            ), lab AS (
+                SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+            )
+            SELECT vec_id, cluster_id,
+                   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                       AS cluster_size
+            FROM lab""",
         # streaming stateful dedup drains to the exact batch answer
         "streaming_exact_dedup": (
             "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "

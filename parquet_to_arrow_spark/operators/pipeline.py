@@ -137,6 +137,27 @@ def near_dup_kept(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> D
     )
 
 
+def embedding_dup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2, max_rounds: int = 20
+) -> DataFrame:
+    """Connected components over the EMBEDDING near-dup pair graph
+    (cosine >= threshold, LSH-bucketed at scale): the same clustering
+    machinery as near_dup_clusters applied to the vector modality, so a
+    semantic-dup sweep and a lexical-dup sweep share one canonicalization.
+    Returns (vec_id, cluster_id, cluster_size) over every vector."""
+    from .similarity import _emb, embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(spark, sf_dir, threshold=threshold).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    nodes = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))
+    labels = connected_components(nodes, pairs, max_rounds=max_rounds)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+    )
+
+
 def _bpe_ish_token_count(text):
     """The BPE-ish token count from textstats.token_counts: letter runs +
     digit runs + one token per non-alphanumeric symbol."""

@@ -139,3 +139,47 @@ def test_connected_components_long_chain_converges(spark):
     out = pl.connected_components(nodes, pairs, max_rounds=20).collect()
     assert len(out) == n
     assert all(r["cluster_id"] == 0 for r in out)
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    # seeded random graph (mix of singletons, small comps, one hub)
+    import random
+
+    rng = random.Random(20260816)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = pl.connected_components(nodes, pairs).collect()
+    assert len(out) == n
+    for r in out:
+        assert r["cluster_id"] == find(r["doc_id"])
+
+
+def test_embedding_dup_clusters_partition(spark):
+    out = pl.embedding_dup_clusters(spark, SF).collect()
+    vecs = {r["vec_id"] for r in out}
+    assert len(out) == len(vecs) == 500  # sf0.001 embeddings table
+    by_cluster: dict[int, list[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+    sizes = {r["vec_id"]: r["cluster_size"] for r in out}
+    for cid, members in by_cluster.items():
+        for m in members:
+            assert sizes[m] == len(members)
