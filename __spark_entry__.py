@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_kept": pl.near_dup_kept,
         "embedding_dup_clusters": pl.embedding_dup_clusters,
         "pack_sequences": pl.pack_sequences,
+        "pack_sequences_by_source": pl.pack_sequences_by_source,
         "stratified_sample": pl.stratified_sample,
         # --- similarity search ---
         "ann_bruteforce_topk": sim.brute_force_topk,
@@ -687,6 +688,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id, n_tok, s // 2048 AS seq_id, s % 2048 AS seq_offset
+            FROM c""",
+        "pack_sequences_by_source": """
+            -- per-source contiguous streams: sequences never mix corpora
+            WITH t AS (
+                SELECT source, doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                          + len(regexp_extract_all(text, '[0-9]+'))
+                          + len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                          AS BIGINT) AS n_tok
+                FROM documents
+            ), c AS (
+                SELECT source, doc_id, n_tok,
+                       CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tok AS BIGINT) AS s
+                FROM t
+            )
+            SELECT source, doc_id, n_tok,
+                   s // 2048 AS seq_id, s % 2048 AS seq_offset
             FROM c""",
         "stratified_sample": """
             -- deterministic quota sample: bucket = top md5 half of the

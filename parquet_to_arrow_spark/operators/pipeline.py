@@ -34,7 +34,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from .dedup import _docs, ngram_jaccard_pairs
 
@@ -168,48 +168,57 @@ def _bpe_ish_token_count(text):
     ).cast("long")
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str, cap: int = PACK_CAP) -> DataFrame:
-    """Pack the document token stream into fixed ``cap``-token training
-    sequences: concatenate documents in doc_id order and cut the stream at
-    every multiple of ``cap``. Returns (doc_id, n_tok, seq_id, seq_offset)
-    where seq_id is the sequence containing the document's FIRST token and
-    seq_offset its position inside that sequence — a document straddling a
-    boundary continues into the next sequence (contiguous-stream packing,
-    the standard pretraining layout; no padding, no greedy bin search, and
-    deterministic for free).
+def _packed(t: DataFrame, group_cols: list[str], cap: int) -> DataFrame:
+    """Distributed (optionally grouped) prefix-sum packing core.
 
-    The global running offset is a DISTRIBUTED prefix sum, not a global
-    Window (which would serialize on one task): range-partition by doc_id,
-    collect the P per-partition token totals (P rows — bounded by the
-    partition count, never the data), broadcast each partition's exclusive
-    base offset back, and finish with a per-partition cumulative window.
+    ``t``: (group_cols..., doc_id, n_tok). Within each group (the whole
+    corpus when ``group_cols`` is empty) documents concatenate in doc_id
+    order and the stream is cut at every multiple of ``cap``. Adds
+    ``seq_id`` (the sequence holding the document's first token, counted
+    within the group) and ``seq_offset``.
+
+    The running offset is a DISTRIBUTED prefix sum, not a global Window
+    (which would serialize on one task): range-partition by (group, doc_id)
+    — so each group's rows occupy a contiguous partition range — collect
+    the per-(partition, group) token totals (≤ P + n_groups rows, bounded
+    by partition count, never data), compute each slice's exclusive base
+    offset on the driver, broadcast the bases back, and finish with a
+    per-(partition, group) cumulative window. Every stage is parallel at
+    any input size.
     """
-    t = _docs(spark, sf_dir).select(
-        "doc_id", _bpe_ish_token_count(F.col("text")).alias("n_tok")
-    )
+    spark = t.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    keys = [*group_cols, "doc_id"]
     parts = (
-        t.repartitionByRange(n_parts, "doc_id")
+        t.repartitionByRange(n_parts, *keys)
         .withColumn("__pid", F.spark_partition_id())
         .cache()
     )
-    pstats = parts.groupBy("__pid").agg(
+    pstats = parts.groupBy("__pid", *group_cols).agg(
         F.sum("n_tok").alias("tot"), F.min("doc_id").alias("lo")
     ).collect()
-    base, acc = {}, 0
-    for r in sorted(pstats, key=lambda r: r["lo"]):
-        base[r["__pid"]] = acc
-        acc += r["tot"]
-    bases = spark.createDataFrame(
-        [(int(pid), int(off)) for pid, off in base.items()],
-        "__pid int, __base long",
+    slices: dict[tuple, list] = {}
+    for r in pstats:
+        slices.setdefault(tuple(r[c] for c in group_cols), []).append(r)
+    rows = []
+    for g, rs in slices.items():
+        acc = 0
+        for r in sorted(rs, key=lambda r: r["lo"]):
+            rows.append((int(r["__pid"]), *g, acc))
+            acc += int(r["tot"])
+    base_schema = T.StructType(
+        [T.StructField("__pid", T.IntegerType())]
+        + [parts.schema[c] for c in group_cols]
+        + [T.StructField("__base", T.LongType())]
     )
-    w = Window.partitionBy("__pid").orderBy("doc_id")
+    bases = spark.createDataFrame(rows, base_schema)
+    w = Window.partitionBy("__pid", *group_cols).orderBy("doc_id")
     start = F.sum("n_tok").over(w) + F.col("__base") - F.col("n_tok")
     return (
-        parts.join(F.broadcast(bases), "__pid")
+        parts.join(F.broadcast(bases), ["__pid", *group_cols])
         .withColumn("__start", start)
         .select(
+            *group_cols,
             "doc_id",
             "n_tok",
             # integer `div`, not floor(double division): a double loses
@@ -219,6 +228,37 @@ def pack_sequences(spark: SparkSession, sf_dir: str, cap: int = PACK_CAP) -> Dat
             (F.col("__start") % cap).alias("seq_offset"),
         )
     )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str, cap: int = PACK_CAP) -> DataFrame:
+    """Pack the document token stream into fixed ``cap``-token training
+    sequences: concatenate documents in doc_id order and cut the stream at
+    every multiple of ``cap``. Returns (doc_id, n_tok, seq_id, seq_offset)
+    where seq_id is the sequence containing the document's FIRST token and
+    seq_offset its position inside that sequence — a document straddling a
+    boundary continues into the next sequence (contiguous-stream packing,
+    the standard pretraining layout; no padding, no greedy bin search, and
+    deterministic for free). See ``_packed`` for the distributed
+    prefix-sum shape.
+    """
+    t = _docs(spark, sf_dir).select(
+        "doc_id", _bpe_ish_token_count(F.col("text")).alias("n_tok")
+    )
+    return _packed(t, [], cap)
+
+
+def pack_sequences_by_source(
+    spark: SparkSession, sf_dir: str, cap: int = PACK_CAP
+) -> DataFrame:
+    """Per-source sequence packing: training sequences must not mix corpora
+    with different licensing/quality tiers, so each source packs its OWN
+    contiguous token stream (seq_id counts within the source). Same
+    distributed prefix sum as pack_sequences, grouped — the driver-side
+    state stays ≤ partitions + sources rows."""
+    t = _docs(spark, sf_dir).select(
+        "source", "doc_id", _bpe_ish_token_count(F.col("text")).alias("n_tok")
+    )
+    return _packed(t, ["source"], cap)
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -183,3 +183,17 @@ def test_embedding_dup_clusters_partition(spark):
     for cid, members in by_cluster.items():
         for m in members:
             assert sizes[m] == len(members)
+
+
+def test_pack_by_source_matches_per_group_cumsum(spark):
+    rows = sorted(
+        pl.pack_sequences_by_source(spark, SF).collect(),
+        key=lambda r: (r["source"], r["doc_id"]),
+    )
+    acc: dict[str, int] = {}
+    for r in rows:
+        s = acc.get(r["source"], 0)
+        assert r["seq_id"] == s // pl.PACK_CAP
+        assert r["seq_offset"] == s % pl.PACK_CAP
+        acc[r["source"]] = s + r["n_tok"]
+    assert len(acc) > 1  # multiple independent streams exercised
