@@ -84,3 +84,26 @@ def test_keyed_wave_replay_is_exactly_once(job_spark, tmp_path):
     assert rep["equal"], rep
     assert rep["n_left"] == rep["n_right"] == N_ROWS
     tokens.unpersist()
+
+
+def test_keyed_no_cache_rescans_per_wave(job_spark, tmp_path):
+    """--cache-input never re-scans the input parquet on every wave — the
+    only plan shape that exists at 100 TB (no cluster caches its whole
+    input). Output must be bit-identical to the cached path."""
+    spark = job_spark
+    tokens = synth_tokens_df(spark, N_ROWS, avg_tokens=32, n_partitions=4).cache()
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    tokens.write.mode("overwrite").parquet(inp)
+
+    args = [
+        "--input", inp, "--output", out, "--manifest", str(tmp_path / "man"),
+        "--checkpoint", str(tmp_path / "ckpt"), "--buckets", "8",
+        "--mode", "keyed", "--wave-size", "4", "--chunk-rows", "256",
+        "--cache-input", "never", "--verify",
+    ]
+    assert encode_job.main(args) == 0
+    decoded = decode_chunks_df(spark.read.parquet(out).drop("wave"))
+    rep = diff_report(tokens, decoded)
+    assert rep["equal"] and rep["n_left"] == N_ROWS, rep
+    tokens.unpersist()
