@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pl.pack_sequences,
         "pack_sequences_by_source": pl.pack_sequences_by_source,
         "stratified_sample": pl.stratified_sample,
+        "training_mix": pl.training_mix,
         # --- similarity search ---
         "ann_bruteforce_topk": sim.brute_force_topk,
         "ann_lsh_topk": sim.ann_lsh_topk,
@@ -707,6 +708,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_tok,
                    s // 2048 AS seq_id, s % 2048 AS seq_offset
+            FROM c""",
+        "training_mix": """
+            -- the whole preprocessing recipe end-to-end: exact dedup ->
+            -- quality gate -> md5 quota sample -> contiguous packing
+            WITH kept AS (
+                SELECT d.doc_id, d.lang, d.text FROM documents d
+                WHERE d.doc_id = (SELECT min(i.doc_id) FROM documents i
+                                  WHERE i.text = d.text)
+            ), q AS (
+                SELECT doc_id, lang, text FROM kept
+                WHERE length(text) >= 40
+                  AND (length(text) - length(replace(text, ' ', '')) + 1) >= 8
+            ), s AS (
+                SELECT doc_id, lang, text FROM q
+                WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 100
+                      < CASE lang WHEN 'en' THEN 35 WHEN 'de' THEN 60
+                                  WHEN 'fr' THEN 60 WHEN 'es' THEN 60
+                                  ELSE 100 END
+            ), t AS (
+                SELECT doc_id, lang,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                          + len(regexp_extract_all(text, '[0-9]+'))
+                          + len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                          AS BIGINT) AS n_tok
+                FROM s
+            ), c AS (
+                SELECT doc_id, lang, n_tok,
+                       CAST(sum(n_tok) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tok AS BIGINT) AS st
+                FROM t
+            )
+            SELECT doc_id, lang, n_tok,
+                   st // 2048 AS seq_id, st % 2048 AS seq_offset
             FROM c""",
         "stratified_sample": """
             -- deterministic quota sample: bucket = top md5 half of the

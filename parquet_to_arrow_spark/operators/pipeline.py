@@ -218,9 +218,7 @@ def _packed(t: DataFrame, group_cols: list[str], cap: int) -> DataFrame:
         parts.join(F.broadcast(bases), ["__pid", *group_cols])
         .withColumn("__start", start)
         .select(
-            *group_cols,
-            "doc_id",
-            "n_tok",
+            *t.columns,  # group cols, doc_id, n_tok + any passthrough cols
             # integer `div`, not floor(double division): a double loses
             # exactness past 2^53 total stream tokens (start >= 0 so
             # truncating div == floor)
@@ -259,6 +257,36 @@ def pack_sequences_by_source(
         "source", "doc_id", _bpe_ish_token_count(F.col("text")).alias("n_tok")
     )
     return _packed(t, ["source"], cap)
+
+
+def training_mix(spark: SparkSession, sf_dir: str, cap: int = PACK_CAP) -> DataFrame:
+    """The full preprocessing recipe as ONE composable plan — what a user
+    actually runs before training: exact-dedup (min-id keeper per content)
+    → quality gate (length >= 40 chars, >= 8 words) → deterministic
+    per-language quota sample → contiguous-stream sequence packing.
+    Returns (doc_id, lang, n_tok, seq_id, seq_offset) for every surviving
+    document. Each stage is the library operator, so the composite stays
+    one Catalyst plan: the dedup groupBy is the only wide stage before the
+    packing shuffle; filters and the sample are stateless and push toward
+    the scan."""
+    docs = _docs(spark, sf_dir)
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = docs.join(keep, ["doc_id", "text"], "left_semi")
+    n_words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    )
+    q = kept.filter((F.length("text") >= 40) & (n_words >= 8))
+    hi = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    quota = F.lit(SAMPLE_DEFAULT_QUOTA)
+    for lang, pct in SAMPLE_QUOTA.items():
+        quota = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(quota)
+    s = q.filter((hi % 100) < quota)
+    t = s.select(
+        "doc_id", "lang", _bpe_ish_token_count(F.col("text")).alias("n_tok")
+    )
+    return _packed(t, [], cap)
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -197,3 +197,21 @@ def test_pack_by_source_matches_per_group_cumsum(spark):
         assert r["seq_offset"] == s % pl.PACK_CAP
         acc[r["source"]] = s + r["n_tok"]
     assert len(acc) > 1  # multiple independent streams exercised
+
+
+def test_training_mix_end_to_end_invariants(spark):
+    rows = sorted(pl.training_mix(spark, SF).collect(), key=lambda r: r["doc_id"])
+    assert rows  # survivors exist at sf0.001
+    docs = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    acc = 0
+    for r in rows:
+        d = docs[r["doc_id"]]
+        assert len(d["text"]) >= 40  # quality gate held
+        hi = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        assert hi % 100 < pl.SAMPLE_QUOTA.get(d["lang"], pl.SAMPLE_DEFAULT_QUOTA)
+        assert r["seq_id"] == acc // pl.PACK_CAP  # packing over survivors only
+        assert r["seq_offset"] == acc % pl.PACK_CAP
+        acc += r["n_tok"]
