@@ -215,3 +215,10 @@ def test_training_mix_end_to_end_invariants(spark):
         assert r["seq_id"] == acc // pl.PACK_CAP  # packing over survivors only
         assert r["seq_offset"] == acc % pl.PACK_CAP
         acc += r["n_tok"]
+
+
+def test_training_mix_empty_survivors_no_crash(spark, tmp_path):
+    # every doc fails the 40-char quality gate -> empty pack input; the
+    # prefix-sum core must return an empty frame, not crash on empty stats
+    path = _write_docs(spark, tmp_path, [(1, "too short"), (2, "also tiny")])
+    assert pl.training_mix(spark, path).count() == 0
