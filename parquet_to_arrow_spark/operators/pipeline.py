@@ -70,11 +70,13 @@ def connected_components(
     durable equivalent. Giant components make the jump-join key skewed —
     AQE's skew-join handles that (enabled session-wide).
     """
+    from pyspark.sql import Observation
+
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.union(rev).cache()
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(max_rounds):
+    for i in range(max_rounds):
         nbr = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .groupBy(F.col("dst").alias("doc_id"))
@@ -82,6 +84,7 @@ def connected_components(
         )
         prop = labels.join(nbr, "doc_id", "left").select(
             "doc_id",
+            F.col("cluster_id").alias("__prev"),
             F.least(
                 F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
             ).alias("cluster_id"),
@@ -89,21 +92,19 @@ def connected_components(
         parent = prop.select(
             F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
         )
-        new = (
-            prop.join(parent, prop["cluster_id"] == parent["p_id"], "left")
-            .select(
-                "doc_id",
-                F.coalesce("p_label", "cluster_id").alias("cluster_id"),
-            )
-            .localCheckpoint()
+        jumped = prop.join(parent, prop["cluster_id"] == parent["p_id"], "left").select(
+            "doc_id",
+            F.coalesce("p_label", "cluster_id").alias("cluster_id"),
+            (F.coalesce("p_label", "cluster_id") != F.col("__prev"))
+            .cast("long")
+            .alias("__chg"),
         )
-        changed = (
-            new.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-            .filter(F.col("cluster_id") != F.col("prev"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        # the convergence count rides the checkpoint's materialization job
+        # (eager localCheckpoint IS an action) — no separate join+count pass
+        obs = Observation(f"cc_round_{i}")
+        new = jumped.observe(obs, F.sum("__chg").alias("n_changed")).localCheckpoint()
+        labels = new.drop("__chg")
+        if (obs.get["n_changed"] or 0) == 0:
             break
     edges.unpersist()
     return labels

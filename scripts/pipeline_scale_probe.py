@@ -1,0 +1,90 @@
+"""Scale probe for the pipeline-assembly cores (BENCH/BASELINE.md).
+
+Times the two nontrivial distributed algorithms on inputs ~10^4x the
+driver-gate scale, all synthesized JVM-side (no files):
+
+1. _packed: the grouped distributed prefix sum on 50M (doc_id, n_tok)
+   rows — the machinery behind pack_sequences / training_mix. Checks the
+   last document's (seq_id, seq_offset) against the closed-form total.
+2. connected_components: 10M nodes with 1M planted 10-node star groups
+   (hub keys — the skew shape) PLUS one 4096-deep chain (the depth shape
+   pointer jumping exists for). Checks every star resolves to its hub
+   and the whole chain resolves to its head.
+
+Usage: python scripts/pipeline_scale_probe.py [n_pack_rows] [n_star_nodes]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from parquet_to_arrow_spark.operators.pipeline import PACK_CAP, _packed, connected_components
+from parquet_to_arrow_spark.session import get_spark
+
+N_PACK = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+N_STARS = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+CHAIN = 4096
+
+
+def probe_pack(spark) -> dict:
+    # n_tok in [1, 512], deterministic in doc_id; exact total is checkable
+    t = spark.range(N_PACK).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(512)) + 1).alias("n_tok"),
+    )
+    total = t.agg(F.sum("n_tok")).collect()[0][0]
+    t0 = time.time()
+    out = _packed(t, [], PACK_CAP)
+    last = out.orderBy(F.desc("doc_id")).limit(1).collect()[0]
+    dt = time.time() - t0
+    start_last = total - last["n_tok"]
+    assert last["seq_id"] == start_last // PACK_CAP, last
+    assert last["seq_offset"] == start_last % PACK_CAP, last
+    return {
+        "probe": "packed_prefix_sum",
+        "rows": N_PACK,
+        "total_tokens": int(total),
+        "n_sequences": int(total // PACK_CAP) + 1,
+        "seconds": round(dt, 1),
+        "mrows_per_s": round(N_PACK / dt / 1e6, 1),
+    }
+
+
+def probe_cc(spark) -> dict:
+    nodes = spark.range(N_STARS + CHAIN).select(F.col("id").alias("doc_id"))
+    stars = spark.range(N_STARS).filter("id % 10 != 0").select(
+        F.col("id").alias("doc_a"), (F.col("id") - F.col("id") % 10).alias("doc_b")
+    )
+    chain = spark.range(N_STARS, N_STARS + CHAIN - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    t0 = time.time()
+    labels = connected_components(nodes, stars.union(chain)).cache()
+    bad_stars = labels.filter(
+        (F.col("doc_id") < N_STARS)
+        & (F.col("cluster_id") != F.col("doc_id") - F.col("doc_id") % 10)
+    ).count()
+    bad_chain = labels.filter(
+        (F.col("doc_id") >= N_STARS) & (F.col("cluster_id") != N_STARS)
+    ).count()
+    dt = time.time() - t0
+    assert bad_stars == 0 and bad_chain == 0, (bad_stars, bad_chain)
+    return {
+        "probe": "connected_components",
+        "nodes": N_STARS + CHAIN,
+        "edges": int(N_STARS * 9 / 10) + CHAIN - 1,
+        "chain_depth": CHAIN,
+        "seconds": round(dt, 1),
+    }
+
+
+if __name__ == "__main__":
+    spark = get_spark(app="pipeline_scale_probe")
+    for fn in (probe_pack, probe_cc):
+        print(json.dumps(fn(spark)), flush=True)
+    spark.stop()
