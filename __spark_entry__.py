@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_features": multimodal.media_audio_features,
         "media_image_thumbnails": multimodal.media_image_thumbnails,
         "media_png_features": multimodal.media_png_features,
+        "media_video_framesample": multimodal.media_video_framesample,
     }
 
 
@@ -345,6 +346,38 @@ def _thumb_sql() -> str:
                {means},
                array_to_string(list_transform({rounded},
                    v -> CAST(v AS VARCHAR)), ',') AS thumb_csv
+        FROM px"""
+
+
+def _video_sql() -> str:
+    """DuckDB twin of multimodal.media_video_framesample: frame f pixel j of
+    a doc's RAWV stack is byte[(f*17 + j) % n] (multimodal.documents_as_video),
+    n_frames = 1 + n % 7, every 2nd frame sampled, exact integer channel sums
+    over the sampled frames, one double division (IEEE-identical to numpy)."""
+    npx = 16 * 16 * 3
+    means = ", ".join(
+        f"CAST(list_sum(list_transform(range(0, ns * 256), k -> p[3 * k + {c} + 1]))"
+        f" AS DOUBLE) / (ns * 256) AS mean_{ch}"
+        for c, ch in enumerate("rgb")
+    )
+    return f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE WHEN text = '' THEN '00' ELSE hex(encode(text)) END AS hx,
+                   CASE WHEN text = '' THEN 1 ELSE strlen(text) END AS n
+            FROM documents
+        ), v AS (
+            SELECT doc_id, hx, n, 1 + (n % 7) AS nf FROM raw
+        ), px AS (
+            SELECT doc_id, nf, len(range(0, nf, 2)) AS ns,
+                   flatten(list_transform(range(0, nf, 2), f ->
+                       list_transform(range(0, {npx}), j ->
+                           CAST('0x' || substring(hx, 2 * ((f * 17 + j) % n) + 1, 2)
+                                AS INTEGER)))) AS p
+            FROM v
+        )
+        SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+               CAST(ns AS INTEGER) AS n_sampled, {means}
         FROM px"""
 
 
@@ -885,4 +918,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'text/plain;lang=' || lang AS media_type,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents""",
+        "media_video_framesample": _video_sql(),
     }

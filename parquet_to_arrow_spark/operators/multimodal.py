@@ -472,3 +472,100 @@ def media_png_features(spark, sf_dir) -> DataFrame:
     byte-cycled grid the PPM path produces, so _thumb_sql is this query's
     exact oracle too — any wrong unfilter path breaks the value hash."""
     return _thumb_driver_shape(image_thumbnails(documents_as_png(spark, sf_dir)))
+
+
+# --- video: real RAWV container + frame sampling (h264 honestly stubbed) ------
+#
+# Compressed video (h264/vp9) needs codec libraries absent from this image,
+# so like jpeg/mp3 those raise NotImplementedError in decode_media. The
+# SPARK-SIDE PLUMBING a video pipeline needs — binary payload column, typed
+# header, frame-sample stride, Arrow-batched decode, exact-integer pooling —
+# is real and oracle-checked over an uncompressed RAWV container
+# (magic + u16 w/h/n_frames LE + raw RGB24 frames).
+
+VID_W = VID_H = 16
+VID_FRAME_STEP = 2  # sample every 2nd frame
+_VID_OFFSET = 17  # per-frame byte phase shift of the synthesized grid
+
+
+def rawv_bytes(frames: np.ndarray) -> bytes:
+    """RAWV container around an (F, H, W, 3) uint8 frame stack."""
+    import struct
+
+    f, h, w, _ = frames.shape
+    return b"RAWV" + struct.pack("<HHH", w, h, f) + frames.astype(np.uint8).tobytes()
+
+
+def decode_rawv(payload: bytes) -> np.ndarray:
+    """(F, H, W, 3) uint8 frames from a RAWV payload."""
+    import struct
+
+    if payload[:4] != b"RAWV":
+        raise ValueError("not a RAWV payload")
+    w, h, f = struct.unpack_from("<HHH", payload, 4)
+    return np.frombuffer(payload, np.uint8, f * h * w * 3, 10).reshape(f, h, w, 3)
+
+
+def documents_as_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic video table: frame f of a doc cycles the doc's UTF-8
+    bytes into the 16x16 RGB grid starting at byte offset f*17, so "motion"
+    is a pure phase shift and every pixel has the closed form
+    byte[(f*17 + j) % n] that the DuckDB oracle replays exactly.
+    n_frames = 1 + (n_bytes % 7) exercises ragged lengths."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    need = VID_W * VID_H * 3
+
+    def to_vid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = np.frombuffer(text.encode("utf-8") or b"\x00", dtype=np.uint8)
+                n, nf = len(raw), 1 + (len(raw) % 7)
+                idx = (
+                    np.arange(need)[None, :] + _VID_OFFSET * np.arange(nf)[:, None]
+                ) % n
+                payloads.append(rawv_bytes(raw[idx].reshape(nf, VID_H, VID_W, 3)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": ["video/x-raw"] * len(pdf),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(to_vid, MEDIA_SCHEMA)
+
+
+def video_frame_features(media: DataFrame) -> DataFrame:
+    """Frame-sample + pool: decode RAWV, keep every VID_FRAME_STEP-th frame,
+    exact int64 channel sums over the sampled frames, then ONE IEEE double
+    division per channel (bit-reproducible in any engine)."""
+    schema = (
+        "doc_id long, n_frames int, n_sampled int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_frames", "n_sampled", "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_rawv(payload)
+                sampled = frames[::VID_FRAME_STEP]
+                sums = sampled.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                cnt = sampled.shape[0] * VID_H * VID_W
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(int(frames.shape[0]))
+                out["n_sampled"].append(int(sampled.shape[0]))
+                for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[name].append(float(sums[c]) / cnt)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema)
+
+
+def media_video_framesample(spark, sf_dir) -> DataFrame:
+    """Driver query: RAWV-encode documents as ragged-length frame stacks,
+    decode, sample every 2nd frame, exact-integer mean-pool per channel."""
+    return video_frame_features(documents_as_video(spark, sf_dir))

@@ -149,3 +149,39 @@ def test_audio_exact_features_vs_numpy():
     assert int((x * x).sum()) == int(np.dot(x, x))
     crossings = int(np.count_nonzero((x[1:] < 0) != (x[:-1] < 0)))
     assert crossings == 1  # monotone ramp crosses zero once
+
+
+def test_rawv_roundtrip_and_framesample_truth(spark):
+    """RAWV container round-trips exactly; the frame-sample operator matches
+    an independent numpy recompute of the documented closed form."""
+    import numpy as np
+
+    from parquet_to_arrow_spark.operators.multimodal import (
+        VID_FRAME_STEP,
+        VID_H,
+        VID_W,
+        decode_rawv,
+        media_video_framesample,
+        rawv_bytes,
+    )
+
+    frames = np.arange(5 * VID_H * VID_W * 3, dtype=np.uint8).reshape(5, VID_H, VID_W, 3)
+    assert (decode_rawv(rawv_bytes(frames)) == frames).all()
+
+    sf = "/root/testdata/sf0.001"
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf}/documents.parquet").limit(50).collect()}
+    out = {r["doc_id"]: r for r in media_video_framesample(spark, sf).collect()}
+    need = VID_H * VID_W * 3
+    for doc_id, text in docs.items():
+        raw = np.frombuffer(text.encode() or b"\x00", dtype=np.uint8)
+        nf = 1 + (len(raw) % 7)
+        idx = (np.arange(need)[None, :] + 17 * np.arange(nf)[:, None]) % len(raw)
+        sampled = raw[idx].reshape(nf, -1, 3)[::VID_FRAME_STEP]
+        sums = sampled.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        cnt = sampled.shape[0] * VID_H * VID_W
+        r = out[doc_id]
+        assert r["n_frames"] == nf and r["n_sampled"] == sampled.shape[0]
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == tuple(
+            float(s) / cnt for s in sums
+        )
