@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": ts.text_quality,
         "token_counts": ts.token_counts,
         "fingerprints": ts.fingerprints,
+        "winnow_fingerprints": ts.winnow_fingerprints,
         "tfidf_top_terms": ts.tfidf_top_terms,
         "contamination_screen": ts.contamination_screen,
         # --- multimodal (real WAV/PPM container decode; codec formats stubbed) ---
@@ -876,6 +877,29 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": """
             SELECT doc_id, md5(text) AS fp_md5, substring(text, 1, 16) AS prefix16
             FROM documents""",
+        "winnow_fingerprints": """
+            -- winnowing (k=8 char-grams, window w=4): per-window minimum of
+            -- the md5-hi k-gram hashes, distinct set reduced to scalars
+            WITH h AS (
+                SELECT doc_id,
+                       list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                           i -> CAST('0x' || substring(
+                                    md5(substring(text, CAST(i AS INTEGER), 8)),
+                                    1, 8) AS BIGINT)) AS hs
+                FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(hs) - 3, 1) + 1),
+                           j -> list_min(hs[j:j+3]))) AS fps
+                FROM h
+            )
+            SELECT doc_id,
+                   CAST(len(fps) AS INTEGER) AS n_fp,
+                   list_min(fps) AS fp_min,
+                   list_max(fps) AS fp_max,
+                   CAST(list_sum(fps) AS BIGINT) AS fp_sum
+            FROM w""",
         "contamination_screen": """
             SELECT doc_id,
                    CAST((CASE WHEN contains(text, ' the quick ') THEN 1 ELSE 0 END

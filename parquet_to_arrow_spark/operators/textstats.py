@@ -159,3 +159,47 @@ def contamination_screen(spark, sf_dir, probes: tuple = CONTAMINATION_PROBES) ->
         hits.cast("int").alias("n_probes_hit"),
         (hits > 0).alias("contaminated"),
     )
+
+
+# winnowing parameters: k-gram length and window size (Schleimer/Wilkerson/
+# Aiken, SIGMOD 2003 — the MOSS fingerprint selection)
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def winnow_fingerprints(spark, sf_dir) -> DataFrame:
+    """Winnowing document fingerprints: hash every char k-gram (rolling
+    window of the text), then keep the MINIMUM hash of each w-hash window —
+    the classic position-robust fingerprint set (an insertion shifts
+    positions but local minima survive). Guarantee: any match of length
+    >= w + k - 1 shares a fingerprint.
+
+    Entirely JVM-side array expressions inside one projection — no explode,
+    no shuffle, no Python: the per-doc fingerprint SET is reduced to scalar
+    aggregates (count / min / max / sum of distinct selected hashes) so the
+    result hashes identically in the DuckDB twin. The hash is the unsigned
+    hi half of md5(k-gram) (dedup._md5_signed64's trick), bounded < 2^32 so
+    the per-doc sum can never overflow a signed 64-bit."""
+    text = F.col("text")
+    n_h = F.greatest(F.length(text) - (WINNOW_K - 1), F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), n_h),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substr(text, i, F.lit(WINNOW_K))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    n_w = F.greatest(n_h - (WINNOW_W - 1), F.lit(1))
+    with_hs = _docs(spark, sf_dir).select("doc_id", hs.alias("__hs"), n_w.alias("__nw"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("__nw")),
+            lambda j: F.array_min(F.slice("__hs", j, WINNOW_W)),
+        )
+    )
+    return with_hs.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("fp_sum"),
+    )

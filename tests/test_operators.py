@@ -206,3 +206,40 @@ def test_contamination_screen_flags_probes(spark, planted_docs):
     assert got[1] == (1, True) and got[2] == (1, True)  # fox docs
     assert got[4] == (1, True)  # spaceship doc
     assert got[5] == (0, False)  # "short one" hits nothing
+
+
+def test_winnow_fingerprints_matches_pure_python(spark):
+    """Operator vs an independent winnowing recompute (hashlib + sliding
+    min), plus the winnowing guarantee on a planted shared substring."""
+    import hashlib
+
+    from parquet_to_arrow_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf}/documents.parquet").limit(50).collect()}
+    out = {r["doc_id"]: r for r in winnow_fingerprints(spark, sf).collect()}
+
+    def winnow(text: str) -> set[int]:
+        n_h = max(len(text) - (WINNOW_K - 1), 1)
+        hs = [
+            int(hashlib.md5(text[i:i + WINNOW_K].encode()).hexdigest()[:8], 16)
+            for i in range(n_h)
+        ]
+        n_w = max(n_h - (WINNOW_W - 1), 1)
+        return {min(hs[j:j + WINNOW_W]) for j in range(n_w)}
+
+    for doc_id, text in docs.items():
+        fps = winnow(text)
+        r = out[doc_id]
+        assert (r["n_fp"], r["fp_min"], r["fp_max"], r["fp_sum"]) == (
+            len(fps), min(fps), max(fps), sum(fps),
+        )
+
+    # guarantee: two docs sharing a >= w+k-1 char run share a fingerprint
+    shared = "zqxwvutsrqponmlk"  # 16 chars >= 8+4-1
+    assert winnow("AAA " + shared + " BBB") & winnow("CCCCC " + shared + " DD")
