@@ -48,7 +48,10 @@ SAMPLE_DEFAULT_QUOTA = 100
 
 
 def connected_components(
-    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 20
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -67,10 +70,15 @@ def connected_components(
     always hits. ``localCheckpoint`` truncates the per-round lineage so
     the plan stays O(1) deep instead of O(rounds); on a real cluster with
     reliable storage, ``checkpoint`` to the job's checkpoint dir is the
-    durable equivalent. Giant components make the jump-join key skewed —
+    durable equivalent — pass ``checkpoint_dir`` to use it: executor loss
+    mid-iteration then recomputes from the last durable round instead of
+    from round zero. Giant components make the jump-join key skewed —
     AQE's skew-join handles that (enabled session-wide).
     """
     from pyspark.sql import Observation
+
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -102,7 +110,12 @@ def connected_components(
         # the convergence count rides the checkpoint's materialization job
         # (eager localCheckpoint IS an action) — no separate join+count pass
         obs = Observation(f"cc_round_{i}")
-        new = jumped.observe(obs, F.sum("__chg").alias("n_changed")).localCheckpoint()
+        observed = jumped.observe(obs, F.sum("__chg").alias("n_changed"))
+        new = (
+            observed.checkpoint()
+            if checkpoint_dir is not None
+            else observed.localCheckpoint()
+        )
         labels = new.drop("__chg")
         if (obs.get["n_changed"] or 0) == 0:
             break

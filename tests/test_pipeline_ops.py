@@ -222,3 +222,17 @@ def test_training_mix_empty_survivors_no_crash(spark, tmp_path):
     # prefix-sum core must return an empty frame, not crash on empty stats
     path = _write_docs(spark, tmp_path, [(1, "too short"), (2, "also tiny")])
     assert pl.training_mix(spark, path).count() == 0
+
+
+def test_connected_components_durable_checkpoint(spark, tmp_path):
+    # reliable-checkpoint mode must produce identical clusters
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 18, 2)], "doc_a long, doc_b long"
+    )
+    out = pl.connected_components(
+        nodes, pairs, checkpoint_dir=str(tmp_path / "cc_ckpt")
+    ).collect()
+    assert {(r["doc_id"], r["cluster_id"]) for r in out} == {
+        (i, i - i % 2) for i in range(18)
+    } | {(18, 18), (19, 19)}
