@@ -283,9 +283,15 @@ def training_mix(spark: SparkSession, sf_dir: str, cap: int = PACK_CAP) -> DataF
     one Catalyst plan: the dedup groupBy is the only wide stage before the
     packing shuffle; filters and the sample are stateless and push toward
     the scan."""
+    from .dedup import content_fp
+
     docs = _docs(spark, sf_dir)
-    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    kept = docs.join(keep, ["doc_id", "text"], "left_semi")
+    keep = (
+        docs.select(content_fp().alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    kept = docs.join(keep, "doc_id", "left_semi")
     n_words = (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
     )
