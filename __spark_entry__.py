@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": pl.embedding_dup_clusters,
         "pack_sequences": pl.pack_sequences,
         "pack_sequences_by_source": pl.pack_sequences_by_source,
+        "pack_stats_by_source": pl.pack_stats_by_source,
         "stratified_sample": pl.stratified_sample,
         "training_mix": pl.training_mix,
         # --- similarity search ---
@@ -743,6 +744,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, n_tok,
                    s // 2048 AS seq_id, s % 2048 AS seq_offset
             FROM c""",
+        "pack_stats_by_source": """
+            WITH t AS (
+                SELECT source,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                          + len(regexp_extract_all(text, '[0-9]+'))
+                          + len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                          AS BIGINT) AS n_tok
+                FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   -- contiguous stream: sequences = ceil(total / 2048),
+                   -- min 1 (every source has at least one window)
+                   greatest((CAST(sum(n_tok) AS BIGINT) + 2047) // 2048,
+                            CAST(1 AS BIGINT)) AS n_sequences
+            FROM t GROUP BY source""",
         "training_mix": """
             -- the whole preprocessing recipe end-to-end: exact dedup ->
             -- quality gate -> md5 quota sample -> contiguous packing

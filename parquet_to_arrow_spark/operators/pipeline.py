@@ -273,6 +273,25 @@ def pack_sequences_by_source(
     return _packed(t, ["source"], cap)
 
 
+def pack_stats_by_source(
+    spark: SparkSession, sf_dir: str, cap: int = PACK_CAP
+) -> DataFrame:
+    """Capacity-planning rollup of per-source packing: documents, tokens,
+    and the number of cap-token training sequences each corpus yields —
+    ceil(total/cap), NOT max(seq_id)+1, because a final document straddling
+    a window boundary spills tokens into one more window than any document
+    STARTS in. Computed over the packed output (n_tok rides along), min 1."""
+    packed = pack_sequences_by_source(spark, sf_dir, cap=cap)
+    total = F.sum("n_tok")
+    return packed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        total.alias("n_tokens"),
+        F.greatest(
+            F.expr(f"(sum(n_tok) + {int(cap) - 1}) div {int(cap)}"), F.lit(1).cast("long")
+        ).alias("n_sequences"),
+    )
+
+
 def training_mix(spark: SparkSession, sf_dir: str, cap: int = PACK_CAP) -> DataFrame:
     """The full preprocessing recipe as ONE composable plan — what a user
     actually runs before training: exact-dedup (min-id keeper per content)

@@ -236,3 +236,15 @@ def test_connected_components_durable_checkpoint(spark, tmp_path):
     assert {(r["doc_id"], r["cluster_id"]) for r in out} == {
         (i, i - i % 2) for i in range(18)
     } | {(18, 18), (19, 19)}
+
+
+def test_pack_stats_counts_straddling_windows(spark):
+    stats = {r["source"]: r for r in pl.pack_stats_by_source(spark, SF).collect()}
+    packed = pl.pack_sequences_by_source(spark, SF).collect()
+    totals: dict[str, int] = {}
+    for r in packed:
+        totals[r["source"]] = totals.get(r["source"], 0) + r["n_tok"]
+    for src, tot in totals.items():
+        want = max(-(-tot // pl.PACK_CAP), 1)  # ceil, min 1
+        assert stats[src]["n_sequences"] == want
+        assert stats[src]["n_tokens"] == tot
