@@ -47,6 +47,23 @@ SAMPLE_QUOTA = {"en": 35, "de": 60, "fr": 60, "es": 60}
 SAMPLE_DEFAULT_QUOTA = 100
 
 
+def _quota_bucket():
+    """(bucket, quota) columns of the deterministic language-quota sample —
+    the md5-hi bucket of the doc_id string and the per-language keep
+    percentage. Shared by stratified_sample and training_mix so the two can
+    never drift apart (their SQL twins share the same literals)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    quota = F.lit(SAMPLE_DEFAULT_QUOTA)
+    for lang, pct in SAMPLE_QUOTA.items():
+        quota = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(quota)
+    return bucket, quota
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -77,8 +94,18 @@ def connected_components(
     """
     from pyspark.sql import Observation
 
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
-        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = nodes.sparkSession.sparkContext
+        # setCheckpointDir is process-global: remember and restore the
+        # caller's dir so a co-resident job's checkpoints aren't redirected.
+        # Per-round checkpoint data itself is left for the cluster's
+        # cleaner (spark.cleaner.referenceTracking.cleanCheckpoints) or the
+        # job's teardown — the final labels frame still references the last
+        # round's files.
+        opt = sc._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = opt.get() if opt.isDefined() else None
+        sc.setCheckpointDir(checkpoint_dir)
 
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -120,6 +147,8 @@ def connected_components(
         if (obs.get["n_changed"] or 0) == 0:
             break
     edges.unpersist()
+    if prev_ckpt_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
     return labels
 
 
@@ -182,7 +211,15 @@ def _bpe_ish_token_count(text):
     ).cast("long")
 
 
-def _packed(t: DataFrame, group_cols: list[str], cap: int) -> DataFrame:
+# the one cached frame a _packed call pins (pid stability requires caching
+# the range-shuffled input across its two passes); the next call unpersists
+# the previous one so repeated packing queries can't accumulate cache
+_last_parts: list = []
+
+
+def _packed(
+    t: DataFrame, group_cols: list[str], cap: int, n_parts: int | None = None
+) -> DataFrame:
     """Distributed (optionally grouped) prefix-sum packing core.
 
     ``t``: (group_cols..., doc_id, n_tok). Within each group (the whole
@@ -201,13 +238,17 @@ def _packed(t: DataFrame, group_cols: list[str], cap: int) -> DataFrame:
     any input size.
     """
     spark = t.sparkSession
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    if n_parts is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 1)
     keys = [*group_cols, "doc_id"]
     parts = (
         t.repartitionByRange(n_parts, *keys)
         .withColumn("__pid", F.spark_partition_id())
         .cache()
     )
+    while _last_parts:
+        _last_parts.pop().unpersist()
+    _last_parts.append(parts)
     pstats = parts.groupBy("__pid", *group_cols).agg(
         F.sum("n_tok").alias("tot"), F.min("doc_id").alias("lo")
     ).collect()
@@ -280,12 +321,15 @@ def pack_stats_by_source(
     and the number of cap-token training sequences each corpus yields —
     ceil(total/cap), NOT max(seq_id)+1, because a final document straddling
     a window boundary spills tokens into one more window than any document
-    STARTS in. Computed over the packed output (n_tok rides along), min 1."""
-    packed = pack_sequences_by_source(spark, sf_dir, cap=cap)
-    total = F.sum("n_tok")
-    return packed.groupBy("source").agg(
+    STARTS in (min 1). A plain aggregation over the token counts — the
+    sequence count is a closed form of the totals, so running the packing
+    machinery here would add a shuffle for nothing."""
+    t = _docs(spark, sf_dir).select(
+        "source", _bpe_ish_token_count(F.col("text")).alias("n_tok")
+    )
+    return t.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        total.alias("n_tokens"),
+        F.sum("n_tok").alias("n_tokens"),
         F.greatest(
             F.expr(f"(sum(n_tok) + {int(cap) - 1}) div {int(cap)}"), F.lit(1).cast("long")
         ).alias("n_sequences"),
@@ -315,13 +359,8 @@ def training_mix(spark: SparkSession, sf_dir: str, cap: int = PACK_CAP) -> DataF
         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
     )
     q = kept.filter((F.length("text") >= 40) & (n_words >= 8))
-    hi = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    quota = F.lit(SAMPLE_DEFAULT_QUOTA)
-    for lang, pct in SAMPLE_QUOTA.items():
-        quota = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(quota)
-    s = q.filter((hi % 100) < quota)
+    bucket, quota = _quota_bucket()
+    s = q.filter(bucket < quota)
     t = s.select(
         "doc_id", "lang", _bpe_ish_token_count(F.col("text")).alias("n_tok")
     )
@@ -336,13 +375,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin (dedup._md5_signed64's hex-halves trick), unlike
     DataFrame.sampleBy's RNG. Zero shuffles: a stateless scan filter."""
     docs = _docs(spark, sf_dir)
-    hi = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    quota = F.lit(SAMPLE_DEFAULT_QUOTA)
-    for lang, q in SAMPLE_QUOTA.items():
-        quota = F.when(F.col("lang") == lang, F.lit(q)).otherwise(quota)
+    bucket, quota = _quota_bucket()
     return (
-        docs.select("doc_id", "lang", (hi % 100).alias("bucket"))
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
         .filter(F.col("bucket") < quota)
     )

@@ -62,6 +62,21 @@ def footer_file(path: str, suffix: str = ".parquet") -> pq.ParquetFile:
     return pq.ParquetFile(filesystem.open_input_file(infos[0].path))
 
 
+def qualify_path(p: str, original: str) -> str:
+    """Reattach the scheme (and authority, for path-style filesystems like
+    HDFS) that pyarrow's FileSystem.from_uri strips from FileInfo.path.
+    Without this, a FileInfo path like 'bucket/key' (from s3://bucket/key)
+    shipped to an executor looks LOCAL to open_parquet's '://' test and is
+    opened against the worker's local disk — the remote branch was
+    unreachable. Local paths pass through untouched."""
+    if "://" not in original:
+        return p
+    scheme, rest = original.split("://", 1)
+    if p.startswith("/"):  # path-style URI (hdfs://host:port/...): keep authority
+        return f"{scheme}://{rest.split('/', 1)[0]}{p}"
+    return f"{scheme}://{p}"  # bucket-style (s3://bucket/key)
+
+
 def open_parquet(fpath: str) -> pq.ParquetFile:
     """Executor-side open: re-derives the filesystem from the path's scheme
     per task (filesystem handles don't serialize), local fast path for plain
@@ -75,7 +90,9 @@ def open_parquet(fpath: str) -> pq.ParquetFile:
 
 
 def list_parquet_files(path: str) -> list[str]:
-    return [i.path for i in resolve_files(path)[1]]
+    """Scheme-qualified file paths — safe to ship to executors or hand to
+    pyarrow's URI-inferring openers."""
+    return [qualify_path(i.path, path) for i in resolve_files(path)[1]]
 
 
 TARGET_TASK_BYTES = 256 << 20
@@ -97,11 +114,11 @@ def files_df(
     import math
 
     _, infos = resolve_files(path)
-    files = [i.path for i in infos]
+    files = [qualify_path(i.path, path) for i in infos]
     if not files:
         return spark.createDataFrame([], "path string")
     par = max(spark.sparkContext.defaultParallelism, 1)
-    sizes = {i.path: i.size for i in infos}
+    sizes = {qualify_path(i.path, path): i.size for i in infos}
     by_bytes = math.ceil(sum(sizes.values()) / max(target_bytes, 1))
     n_tasks = min(len(files), par * math.ceil(max(par, by_bytes) / par))
     groups: list[list[str]] = [[] for _ in range(n_tasks)]
@@ -245,10 +262,18 @@ def read_arrow_ipc(spark: SparkSession, path: str, ddl: str) -> DataFrame:
     pyarrow.ipc reads record batches inside the worker (zero-copy mmap),
     batches stream straight out — no driver materialization, no shuffle."""
 
+    def _open(fpath: str):
+        if "://" not in fpath:
+            return pa.memory_map(fpath, "r")  # local: zero-copy mmap
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(fpath)
+        return filesystem.open_input_file(p)
+
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for pdf in batches:
             for fpath in pdf.column(0).to_pylist():
-                with pa.memory_map(fpath, "r") as src:
+                with _open(fpath) as src:
                     reader = pa.ipc.open_file(src)
                     for i in range(reader.num_record_batches):
                         b = reader.get_batch(i)
@@ -263,6 +288,6 @@ def read_arrow_ipc(spark: SparkSession, path: str, ddl: str) -> DataFrame:
                         ]
                         yield pa.RecordBatch.from_arrays(cols, names=b.schema.names)
 
-    files = [i.path for i in resolve_files(path, suffix=".arrow")[1]]
+    files = [qualify_path(i.path, path) for i in resolve_files(path, suffix=".arrow")[1]]
     rdd = spark.sparkContext.parallelize([(f,) for f in files], max(len(files), 1))
     return spark.createDataFrame(rdd, "path string").mapInArrow(run, ddl)

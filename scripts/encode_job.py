@@ -80,9 +80,10 @@ def main(argv: list[str] | None = None) -> int:
 
         tokens = spark.read.parquet(args.input)
         keyed = ckpt.with_pkey(tokens, args.buckets)
-        on_disk = sum(i.size for i in pio.resolve_files(args.input)[1])
         if args.cache_input == "always" or (
-            args.cache_input == "auto" and on_disk < (8 << 30)
+            args.cache_input == "auto"
+            # list the input only when the decision actually needs its size
+            and sum(i.size for i in pio.resolve_files(args.input)[1]) < (8 << 30)
         ):
             keyed = keyed.cache()
         done_keys: set[int] = set()

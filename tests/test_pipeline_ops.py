@@ -95,18 +95,21 @@ class TestPackSequences:
         assert seq_ids == sorted(seq_ids)  # stream order preserved
         assert seq_ids[-1] > 0  # sf0.001 spans multiple sequences
 
-    def test_distributed_prefix_matches_single_partition(self, spark):
-        # the P-way prefix-sum path must equal the trivially-correct
-        # single-partition run of the same operator
-        many = {
-            (r["doc_id"], r["seq_id"], r["seq_offset"])
-            for r in pl.pack_sequences(spark, SF).collect()
-        }
-        one = {
-            (r["doc_id"], r["seq_id"], r["seq_offset"])
-            for r in pl.pack_sequences(spark, SF, cap=pl.PACK_CAP).coalesce(1).collect()
-        }
-        assert many == one
+    def test_prefix_sum_invariant_across_partitionings(self, spark):
+        # 1-partition _packed is trivially a sequential cumsum; 2/7/32-way
+        # runs exercise real partition boundaries and must agree exactly
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        t = docs.select(
+            "doc_id", pl._bpe_ish_token_count(docs["text"]).alias("n_tok")
+        )
+        runs = [
+            {
+                (r["doc_id"], r["seq_id"], r["seq_offset"])
+                for r in pl._packed(t, [], pl.PACK_CAP, n_parts=n).collect()
+            }
+            for n in (1, 2, 7, 32)
+        ]
+        assert all(r == runs[0] for r in runs[1:])
 
 
 class TestStratifiedSample:

@@ -191,3 +191,19 @@ def test_group_codec_metrics(spark, tokens):
     assert sum(r["n_values"] for r in rows) == t["n_values"]
     assert sum(r["enc_bytes"] for r in rows) <= t["enc_bytes"]
     encoded.unpersist()
+
+
+def test_qualify_path_reattaches_scheme_and_authority():
+    """pyarrow's FileSystem.from_uri strips the scheme from FileInfo.path;
+    executor-bound paths must get it back or remote files resolve locally."""
+    from parquet_to_arrow_spark.sources.io import qualify_path
+
+    assert qualify_path("/tmp/x.parquet", "/tmp/x.parquet") == "/tmp/x.parquet"
+    assert (
+        qualify_path("bucket/key/f.parquet", "s3://bucket/key")
+        == "s3://bucket/key/f.parquet"
+    )
+    assert (
+        qualify_path("/user/x/f.parquet", "hdfs://nn:8020/user/x")
+        == "hdfs://nn:8020/user/x/f.parquet"
+    )
