@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": sim.ann_lsh_topk,
         "ann_ivf_topk": sim.ann_ivf_topk,
         "embedding_near_dup_pairs": sim.embedding_near_dup_pairs,
+        "label_centroids": sim.label_centroids,
         # --- streaming (Structured Streaming drained via availableNow) ---
         "streaming_windowed_counts": _streaming_windowed_counts,
         "streaming_exact_dedup": _streaming_exact_dedup,
@@ -123,6 +124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": ts.winnow_fingerprints,
         "tfidf_top_terms": ts.tfidf_top_terms,
         "contamination_screen": ts.contamination_screen,
+        "repetition_stats": ts.repetition_stats,
+        "duplicated_ngrams": ts.duplicated_ngrams,
+        "doc_boilerplate_frac": ts.doc_boilerplate_frac,
+        "pii_redact": ts.pii_redact,
         # --- multimodal (real WAV/PPM container decode; codec formats stubbed) ---
         "media_meta": multimodal.media_meta,
         "media_audio_features": multimodal.media_audio_features,
@@ -425,6 +430,55 @@ def _audio_sql() -> str:
                     ELSE 0.0 END AS zcr,
                peak
         FROM agg"""
+
+
+# non-empty whitespace tokens — the twin of textstats._words
+_WORDS_SQL = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+
+def _kgram_sql(ws: str, k: int) -> str:
+    """Twin of textstats._word_kgrams: space-joined word k-grams of the list
+    expression ``ws`` (DuckDB generate_series(1, n<=0) is already empty, so
+    no short-doc guard is needed here)."""
+    if k == 1:
+        return ws
+    parts = " || ' ' || ".join(
+        f"{ws}[i+{j}]" if j else f"{ws}[i]" for j in range(k)
+    )
+    return f"list_transform(generate_series(1, len({ws}) - {k - 1}), i -> {parts})"
+
+
+def _repetition_sql() -> str:
+    """Twin of textstats.repetition_stats: per-k count/distinct/dup-fraction
+    over word k-grams."""
+    cols = []
+    for k, name in ((1, "word"), (2, "2gram"), (3, "3gram")):
+        g = _kgram_sql("ws", k)
+        cols.append(
+            f"CAST(len({g}) AS BIGINT) AS n_{name}s,\n"
+            f"CAST(len(list_distinct({g})) AS BIGINT) AS n_distinct_{name}s,\n"
+            f"round((len({g}) - len(list_distinct({g})))"
+            f" / nullif(len({g}), 0), 6) AS dup_{name}_frac"
+        )
+    body = ",\n".join(cols)
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)
+        SELECT doc_id, {body} FROM w"""
+
+
+def _pii_sql() -> str:
+    """Twin of textstats.pii_redact, generated from the SAME pattern table so
+    the two dialects cannot drift."""
+    from parquet_to_arrow_spark.operators.textstats import PII_PATTERNS
+
+    counts = ",\n".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"SELECT doc_id, {counts}, {red} AS clean_text FROM documents"
 
 
 _COSINE_SQL = """
@@ -948,6 +1002,46 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, w, score, row_number() OVER (
                     PARTITION BY doc_id ORDER BY score DESC, w) AS rank
                 FROM scored) WHERE rank <= 3""",
+        "repetition_stats": _repetition_sql(),
+        "duplicated_ngrams": f"""
+            WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct({_kgram_sql('ws', 3)})) AS gram
+                  FROM w)
+            SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+            FROM g GROUP BY gram HAVING count(*) >= 3""",
+        "doc_boilerplate_frac": f"""
+            WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+            d AS (SELECT doc_id, list_distinct({_kgram_sql('ws', 3)}) AS gs FROM w),
+            e AS (SELECT doc_id, unnest(gs) AS gram FROM d),
+            c AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 3),
+            h AS (SELECT doc_id, count(*) AS n_common
+                  FROM e JOIN c USING (gram) GROUP BY doc_id)
+            SELECT d.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_common,
+                   round(coalesce(h.n_common, 0) / nullif(len(gs), 0), 6)
+                       AS boilerplate_frac
+            FROM d LEFT JOIN h ON d.doc_id = h.doc_id""",
+        "pii_redact": _pii_sql(),
+        "label_centroids": """
+            WITH nv AS (
+                SELECT label, count(*) AS n_vecs,
+                       round(avg(sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                           AS avg_norm_r
+                FROM embeddings GROUP BY label
+            ), sel AS (
+                SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+                       unnest(embedding) AS val
+                FROM embeddings
+            ), cn AS (
+                SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm_r FROM (
+                    SELECT label, pos, avg(CAST(val AS DOUBLE)) AS m
+                    FROM sel GROUP BY label, pos)
+                GROUP BY label
+            )
+            SELECT nv.label, nv.n_vecs, nv.avg_norm_r, cn.centroid_norm_r
+            FROM nv JOIN cn USING (label)""",
         # --- multimodal ---
         "media_audio_features": _audio_sql(),
         "media_image_thumbnails": _thumb_sql(),

@@ -410,3 +410,39 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
     )
+
+
+def label_centroids(spark, sf_dir) -> DataFrame:
+    """Per-class embedding geometry: count, mean vector norm, and the norm
+    of the class centroid — the tightness/collapse diagnostics an embedding
+    pipeline monitors per label (centroid_norm ~ avg_norm means collapsed,
+    ~0 means isotropic).
+
+    Two independent aggregation shapes, both scale-linear: per-vector norms
+    are a zero-shuffle array fold (F.aggregate runs sequentially inside the
+    scan, matching the DuckDB list_sum twin); centroid components shuffle
+    (label, pos) rows — labels x dim keys, so the reduce state is tiny no
+    matter the corpus size, and partial aggregation absorbs the per-row
+    mass map-side."""
+    emb = _emb(spark, sf_dir)
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    stats = emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(nrm), 6).alias("avg_norm_r"),
+    )
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm_r"))
+    )
+    return stats.join(cent, "label").select(
+        "label", "n_vecs", "avg_norm_r", "centroid_norm_r"
+    )

@@ -161,6 +161,146 @@ def contamination_screen(spark, sf_dir, probes: tuple = CONTAMINATION_PROBES) ->
     )
 
 
+def _words(text):
+    """Non-empty whitespace tokens as an array column (split + filter, both
+    with exact DuckDB twins: string_split / list_filter)."""
+    return F.filter(F.split(text, " "), lambda w: F.length(w) > 0)
+
+
+def _word_kgrams(words, k: int):
+    """Word k-grams of an array column, space-joined. Guarded so short docs
+    yield an EMPTY array (Spark's sequence(1, 0) counts DOWN — [1, 0] — so
+    the n >= k branch must gate it; DuckDB's generate_series(1, 0) is
+    already empty)."""
+    if k == 1:
+        return words
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(spark, sf_dir) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1):
+    duplicate-word / duplicate-2-gram / duplicate-3-gram fractions.
+
+    Everything is per-row array arithmetic inside one projection — zero
+    shuffles, zero Python, runs at scan speed on any corpus size. The
+    fraction is (count - distinct)/count, the mass of repeated surface forms
+    a repetition filter thresholds on."""
+    docs = _docs(spark, sf_dir)
+    out = docs.select("doc_id", _words(F.col("text")).alias("__w"))
+    cols = [F.col("doc_id")]
+    for k, name in ((1, "word"), (2, "2gram"), (3, "3gram")):
+        grams = _word_kgrams(F.col("__w"), k)
+        n = F.size(grams).cast("long")
+        nd = F.size(F.array_distinct(grams)).cast("long")
+        cols += [
+            n.alias(f"n_{name}s"),
+            nd.alias(f"n_distinct_{name}s"),
+            F.round((n - nd) / F.nullif(n, F.lit(0)), 6).alias(f"dup_{name}_frac"),
+        ]
+    return out.select(*cols)
+
+
+# cross-document n-gram census parameters: gram length and the document
+# count at which a gram counts as boilerplate
+BOILER_K = 3
+BOILER_MIN_DOCS = 3
+
+
+def duplicated_ngrams(spark, sf_dir, k: int = BOILER_K, min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
+    """Cross-document duplicated-n-gram census — the discovery half of
+    substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): which word k-grams recur in >= min_docs
+    DISTINCT documents.
+
+    Scale shape: k-grams are deduplicated PER DOCUMENT with array_distinct
+    before the explode, so the single shuffle keys (gram) carry at most one
+    row per (doc, gram) and the count IS the document frequency — no
+    count-distinct state. Boilerplate grams (present in every doc) are
+    exactly the heavy keys partial aggregation absorbs map-side."""
+    docs = _docs(spark, sf_dir)
+    g = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_kgrams(_words(F.col("text")), k))).alias("gram"),
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def doc_boilerplate_frac(
+    spark, sf_dir, k: int = BOILER_K, min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """Per-document boilerplate load: the fraction of a doc's distinct word
+    k-grams that are corpus-common (in >= min_docs docs) — the removal half
+    of substring dedup, as a filterable score.
+
+    Per-doc totals come straight off the scan (size of the distinct-gram
+    array, no shuffle); only the (gram -> doc) hit-join shuffles, keyed the
+    same way as the census so the two aggregations pipeline."""
+    docs = _docs(spark, sf_dir)
+    with_grams = docs.select(
+        "doc_id", F.array_distinct(_word_kgrams(_words(F.col("text")), k)).alias("__g")
+    )
+    totals = with_grams.select("doc_id", F.size("__g").cast("long").alias("n_grams"))
+    exploded = with_grams.select("doc_id", F.explode("__g").alias("gram"))
+    common = (
+        exploded.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    hits = (
+        exploded.join(common, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        F.round(
+            F.coalesce(F.col("n_common"), F.lit(0)) / F.nullif(F.col("n_grams"), F.lit(0)),
+            6,
+        ).alias("boilerplate_frac"),
+    )
+
+
+# PII patterns — kept to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): no backreferences, no lookaround, no bounded
+# repetition ambiguity. Applied in this exact order on both sides.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\([0-9]{3}\) [0-9]{3}-[0-9]{4}|[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def pii_redact(spark, sf_dir) -> DataFrame:
+    """PII scrubbing: count and redact emails / IPv4 addresses / US-style
+    phone numbers. Counts are taken on the ORIGINAL text, then the patterns
+    rewrite sequentially (email first so an address's host part can't later
+    half-match as something else). One projection of JVM regex ops — scan
+    speed, no shuffle, no Python."""
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    cols = [F.col("doc_id")]
+    redacted = text
+    for name, pat, token in PII_PATTERNS:
+        cols.append(F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, token)
+    cols.append(redacted.alias("clean_text"))
+    return docs.select(*cols)
+
+
 # winnowing parameters: k-gram length and window size (Schleimer/Wilkerson/
 # Aiken, SIGMOD 2003 — the MOSS fingerprint selection)
 WINNOW_K = 8

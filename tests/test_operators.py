@@ -243,3 +243,101 @@ def test_winnow_fingerprints_matches_pure_python(spark):
     # guarantee: two docs sharing a >= w+k-1 char run share a fingerprint
     shared = "zqxwvutsrqponmlk"  # 16 chars >= 8+4-1
     assert winnow("AAA " + shared + " BBB") & winnow("CCCCC " + shared + " DD")
+
+
+def test_repetition_stats_matches_pure_python(spark, planted_docs):
+    """Operator vs an independent per-doc recompute, plus the planted
+    expectation that the 8x-repeated doc is overwhelmingly duplicated
+    3-grams while the short doc has none."""
+    from parquet_to_arrow_spark.operators.textstats import repetition_stats
+
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(f"{planted_docs}/documents.parquet").collect()}
+    out = {r["doc_id"]: r for r in repetition_stats(spark, planted_docs).collect()}
+
+    for doc_id, text in texts.items():
+        words = [w for w in text.split(" ") if w]
+        r = out[doc_id]
+        for k, name in ((1, "word"), (2, "2gram"), (3, "3gram")):
+            grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)] \
+                if len(words) >= k else []
+            assert r[f"n_{name}s"] == len(grams)
+            assert r[f"n_distinct_{name}s"] == len(set(grams))
+            want = round((len(grams) - len(set(grams))) / len(grams), 6) if grams else None
+            assert r[f"dup_{name}_frac"] == pytest.approx(want) if grams else r[f"dup_{name}_frac"] is None
+    assert out[1]["dup_3gram_frac"] > 0.8   # 8x-repeated boilerplate
+    assert out[5]["n_3grams"] == 0          # "short one" has two words
+
+
+def test_duplicated_ngrams_census_and_boilerplate_frac(spark, planted_docs):
+    """3-grams shared by the three planted near-identical docs must appear
+    in the census, and those docs must carry a high boilerplate fraction
+    while the unrelated doc carries zero."""
+    from parquet_to_arrow_spark.operators.textstats import (
+        doc_boilerplate_frac,
+        duplicated_ngrams,
+    )
+
+    census = {r["gram"]: r["n_docs"] for r in duplicated_ngrams(spark, planted_docs).collect()}
+    assert census.get("the quick brown") == 3  # docs 1, 2, 3
+    assert all(n >= 3 for n in census.values())
+
+    frac = {r["doc_id"]: r for r in doc_boilerplate_frac(spark, planted_docs).collect()}
+    assert frac[1]["boilerplate_frac"] == 1.0  # every 3-gram shared with 2 & 3
+    assert frac[2]["boilerplate_frac"] == 1.0
+    assert frac[4]["n_common"] == 0 and frac[4]["boilerplate_frac"] == 0.0
+    assert frac[5]["n_grams"] == 0 and frac[5]["boilerplate_frac"] is None
+
+
+def test_pii_redact_planted(spark, tmp_path):
+    """Planted emails / IPs / phone numbers are counted on the original text
+    and redacted in order; clean text keeps everything else verbatim."""
+    from pyspark.sql import Row
+
+    from parquet_to_arrow_spark.operators.textstats import pii_redact
+
+    rows = [
+        Row(doc_id=1, text="mail bob.smith+x@corp.example.org now", lang="en",
+            source="web", n_chars=1),
+        Row(doc_id=2, text="from 10.0.0.1 to 192.168.255.254 end", lang="en",
+            source="web", n_chars=1),
+        Row(doc_id=3, text="call 555-123-4567 or (555) 123-4567", lang="en",
+            source="web", n_chars=1),
+        Row(doc_id=4, text="nothing sensitive here", lang="en", source="web",
+            n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in pii_redact(spark, str(tmp_path)).collect()}
+
+    assert (out[1]["n_email"], out[1]["clean_text"]) == (1, "mail <EMAIL> now")
+    assert (out[2]["n_ipv4"], out[2]["clean_text"]) == (2, "from <IP> to <IP> end")
+    assert (out[3]["n_phone"], out[3]["clean_text"]) == (2, "call <PHONE> or <PHONE>")
+    r4 = out[4]
+    assert (r4["n_email"], r4["n_ipv4"], r4["n_phone"]) == (0, 0, 0)
+    assert r4["clean_text"] == "nothing sensitive here"
+
+
+def test_label_centroids_planted_geometry(spark, tmp_path):
+    """Two planted classes with hand-computable geometry: orthogonal unit
+    vectors (centroid norm 1/sqrt(2)) vs identical vectors (centroid norm =
+    vector norm — the collapse signature)."""
+    from pyspark.sql import Row
+
+    from parquet_to_arrow_spark.operators.similarity import label_centroids
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[0.0, 1.0], label=0),
+        Row(vec_id=3, embedding=[2.0, 0.0], label=1),
+        Row(vec_id=4, embedding=[2.0, 0.0], label=1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["label"]: r for r in label_centroids(spark, str(tmp_path)).collect()}
+
+    assert out[0]["n_vecs"] == 2
+    assert out[0]["avg_norm_r"] == pytest.approx(1.0)
+    assert out[0]["centroid_norm_r"] == pytest.approx(round(2**-0.5, 6))
+    assert out[1]["avg_norm_r"] == pytest.approx(2.0)
+    assert out[1]["centroid_norm_r"] == pytest.approx(2.0)
