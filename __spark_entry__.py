@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity as sim,
         textstats as ts,
     )
+    from parquet_to_arrow_spark.sources import iceberg
 
     return {
         # --- SURVEY.md §2 operator inventory ---
@@ -134,6 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_thumbnails": multimodal.media_image_thumbnails,
         "media_png_features": multimodal.media_png_features,
         "media_video_framesample": multimodal.media_video_framesample,
+        # --- iceberg metadata layer (engine-native snapshots) ---
+        "iceberg_roundtrip_documents": iceberg.iceberg_roundtrip_documents,
     }
 
 
@@ -1054,4 +1057,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents""",
         "media_video_framesample": _video_sql(),
+        # identity through the Iceberg snapshot walk (metadata-only commit of
+        # the same parquet file the oracle reads directly)
+        "iceberg_roundtrip_documents": """
+            SELECT doc_id, lang, source, n_chars FROM documents""",
     }

@@ -1,31 +1,37 @@
-"""Iceberg table source/sink (gated: jars not present in this image).
+"""Iceberg table source/sink.
 
-The north rule targets Iceberg tables of pre-tokenized sequences. This image
-has no iceberg-spark-runtime jar, so the connector is import-gated with the
-exact production wiring documented; everything else in the engine is
-storage-agnostic (encoded chunks + manifest are plain DataFrames).
+Two tiers, chosen at runtime:
 
-Production config (public Iceberg docs):
+1. **Jar-backed** (production cluster): the iceberg-spark runtime catalog —
+   `spark.read.format("iceberg")` / `df.writeTo(...).append()`. This image
+   ships no jar, so the wiring is documented here and exercised nowhere.
 
-    SparkSession.builder
-      .config("spark.sql.extensions",
-              "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
-      .config("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
-      .config("spark.sql.catalog.lake.type", "hadoop")   # or hive/rest
-      .config("spark.sql.catalog.lake.warehouse", "s3://bucket/warehouse")
+   SparkSession.builder
+     .config("spark.sql.extensions",
+             "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+     .config("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+     .config("spark.sql.catalog.lake.type", "hadoop")   # or hive/rest
+     .config("spark.sql.catalog.lake.warehouse", "s3://bucket/warehouse")
 
-With the catalog present:
-- scan:   spark.read.format("iceberg").load("lake.db.tokens") — or, for the
-  Arrow-native fast path, feed the snapshot's data-file list (from the
-  table's manifests) into sources/io.encode_parquet_dir.
-- sink:   encoded.writeTo("lake.db.tokens_encoded").append() — atomic commit
-  per encode run; the checkpoint table becomes an Iceberg table too and the
-  mark_done append joins the same transaction boundary.
+2. **Engine-native metadata** (sources/iceberg_meta): the engine's own
+   pure-Python Iceberg-v2 metadata layer — hadoop-style version-hint
+   commits, Avro manifest lists/manifests, snapshot time travel — over
+   ordinary Spark-written parquet data files. This is what actually runs
+   (and is tested) here: appends create real snapshots, reads resolve the
+   current snapshot's file list and hand it to the parquet scan, so
+   pushdown/pruning are untouched.
+
+A plain parquet directory (no metadata/ dir) still reads as a bare table —
+the pre-metadata fallback kept for compatibility.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+from . import iceberg_meta
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -36,15 +42,65 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_table(spark: SparkSession, table_or_path: str) -> DataFrame:
-    """Iceberg table if the runtime is present, else a parquet directory."""
+def is_metadata_table(path: str) -> bool:
+    return iceberg_meta.current_version(path) is not None
+
+
+def read_table(
+    spark: SparkSession, table_or_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Snapshot-consistent scan: jar catalog if present, else the engine's
+    metadata walk, else a bare parquet directory."""
     if iceberg_available(spark):
         return spark.read.format("iceberg").load(table_or_path)
+    if is_metadata_table(table_or_path):
+        return iceberg_meta.read_snapshot(spark, table_or_path, snapshot_id)
     return spark.read.parquet(table_or_path)
 
 
-def append(df: DataFrame, table_or_path: str) -> None:
+def append(df: DataFrame, table_or_path: str, summary: dict | None = None) -> int | None:
+    """Append as ONE new snapshot. Data files land under data/seq-<n>/ (a
+    deterministic per-sequence directory with overwrite semantics, so a
+    crashed append replays in place — same files, same snapshot id), then
+    the commit walks manifest -> manifest list -> metadata -> version-hint.
+    Returns the snapshot id (None on the jar path)."""
     if iceberg_available(df.sparkSession):
         df.writeTo(table_or_path).append()
-    else:
-        df.write.mode("append").parquet(table_or_path)
+        return None
+    meta = iceberg_meta.current_metadata(table_or_path)
+    seq = (meta["last-sequence-number"] + 1) if meta else 1
+    data_dir = os.path.join(table_or_path, "data", f"seq-{seq}")
+    df.write.mode("overwrite").parquet(data_dir)
+    return iceberg_meta.commit_parquet_dir(
+        table_or_path, data_dir, spark_schema=df.schema, summary=summary
+    )
+
+
+def committed_summaries(table_or_path: str) -> list[dict]:
+    """Snapshot summaries of the current history (empty for a non-table) —
+    resumable jobs read their own commit markers back from these."""
+    return [s.get("summary", {}) for s in iceberg_meta.snapshots(table_or_path)] \
+        if is_metadata_table(table_or_path) else []
+
+
+def iceberg_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: register the documents parquet as an Iceberg table
+    (metadata-only commit — the data file is referenced in place, zero
+    copies) and read it back through the snapshot walk. Identity through
+    the table format IS the check; the oracle is a plain SELECT."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    table = f"/tmp/iceberg_docs_{hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]}"
+    if not is_metadata_table(table):
+        pf = pq.ParquetFile(src)
+        iceberg_meta.commit_append(
+            table,
+            [iceberg_meta.DataFile(src, pf.metadata.num_rows, os.path.getsize(src))],
+            spark_schema=spark.read.parquet(src).schema,
+        )
+    return iceberg_meta.read_snapshot(spark, table).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -1,0 +1,452 @@
+"""Pure-Python Iceberg v2 table metadata: snapshots, manifests, time travel.
+
+The north rule targets Iceberg tables and this image carries neither the
+iceberg-spark runtime nor an avro library, so the engine implements the
+table-format METADATA layer itself from the public Iceberg Table Spec
+(format version 2): table-metadata JSON, Avro manifest lists and manifests
+(via sources/avro_io), hadoop-catalog style version-hint commits. Data
+files are ordinary parquet written by Spark — exactly what Iceberg tracks —
+so a jar-equipped cluster can adopt the same layout, and this sandbox can
+commit/append/time-travel/read without one.
+
+Spec conformance kept: field-ids on every schema field and every Avro
+manifest field (field-id props), v2 required manifest_file/manifest_entry
+fields, sequence-number inheritance semantics written explicitly, snapshot
+log + metadata log, atomic last-step version-hint swap.
+
+Deliberate scope cuts (documented, not hidden): unpartitioned specs only
+(partition = empty struct, spec-id 0), no delete files (content=0 only),
+no column stats in manifests (null-ed optional fields), JSON/Avro layout
+only validated by this module's own reader + byte-level Avro goldens in
+tests (no independent Iceberg reader exists in this image).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from . import avro_io
+
+FORMAT_VERSION = 2
+
+
+# ------------------------------------------------------------ avro schemas
+# Field ids per the Iceberg spec "Manifests" / "Manifest Lists" tables.
+
+
+def _f(name: str, fid: int, ftype, doc: str | None = None) -> dict:
+    d = {"name": name, "field-id": fid, "type": ftype}
+    if isinstance(ftype, list):
+        d["default"] = None
+    return d
+
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        _f("contains_null", 509, "boolean"),
+        _f("contains_nan", 518, ["null", "boolean"]),
+        _f("lower_bound", 510, ["null", "bytes"]),
+        _f("upper_bound", 511, ["null", "bytes"]),
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            _f("manifest_path", 500, "string"),
+            _f("manifest_length", 501, "long"),
+            _f("partition_spec_id", 502, "int"),
+            _f("content", 517, "int"),
+            _f("sequence_number", 515, "long"),
+            _f("min_sequence_number", 516, "long"),
+            _f("added_snapshot_id", 503, "long"),
+            _f("added_files_count", 504, "int"),
+            _f("existing_files_count", 505, "int"),
+            _f("deleted_files_count", 506, "int"),
+            _f("added_rows_count", 512, "long"),
+            _f("existing_rows_count", 513, "long"),
+            _f("deleted_rows_count", 514, "long"),
+            _f("partitions", 507, ["null", {"type": "array", "items": _FIELD_SUMMARY}]),
+        ],
+    }
+)
+
+_DATA_FILE = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        _f("content", 134, "int"),
+        _f("file_path", 100, "string"),
+        _f("file_format", 101, "string"),
+        # unpartitioned table: the partition struct has no fields
+        _f("partition", 102, {"type": "record", "name": "r102", "fields": []}),
+        _f("record_count", 103, "long"),
+        _f("file_size_in_bytes", 104, "long"),
+        _f("split_offsets", 132, ["null", {"type": "array", "items": "long"}]),
+        _f("sort_order_id", 140, ["null", "int"]),
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            _f("status", 0, "int"),  # 0 existing / 1 added / 2 deleted
+            _f("snapshot_id", 1, ["null", "long"]),
+            _f("sequence_number", 3, ["null", "long"]),
+            _f("file_sequence_number", 4, ["null", "long"]),
+            _f("data_file", 2, _DATA_FILE),
+        ],
+    }
+)
+
+
+# ------------------------------------------------------- schema conversion
+
+_SPARK_TO_ICEBERG = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "string": "string",
+    "boolean": "boolean",
+    "float": "float",
+    "double": "double",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def iceberg_schema(spark_schema, schema_id: int = 0) -> tuple[dict, int]:
+    """Iceberg struct schema (with field-ids) from a Spark StructType.
+    Returns (schema dict, last assigned column id). Element ids for arrays
+    continue the same counter, per the spec's unique-field-id rule."""
+    next_id = 0
+    fields = []
+
+    def alloc() -> int:
+        nonlocal next_id
+        next_id += 1
+        return next_id
+
+    pending = []  # (field dict, spark element type) for second-pass elements
+    for f in spark_schema.fields:
+        fid = alloc()
+        t = f.dataType.typeName()
+        if t == "array":
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": None,  # patched below once the element id exists
+                }
+            )
+            pending.append((fields[-1], f.dataType))
+        else:
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _SPARK_TO_ICEBERG[t],
+                }
+            )
+    for fld, dt in pending:
+        eid = alloc()
+        fld["type"] = {
+            "type": "list",
+            "element-id": eid,
+            "element": _SPARK_TO_ICEBERG[dt.elementType.typeName()],
+            "element-required": not dt.containsNull,
+        }
+    return (
+        {"type": "struct", "schema-id": schema_id, "fields": fields},
+        next_id,
+    )
+
+
+# ------------------------------------------------------------- table state
+
+
+@dataclass
+class DataFile:
+    path: str
+    record_count: int
+    file_size: int
+
+
+def _meta_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "metadata")
+
+
+def _hint_path(table_dir: str) -> str:
+    return os.path.join(_meta_dir(table_dir), "version-hint.text")
+
+
+def current_version(table_dir: str) -> int | None:
+    try:
+        with open(_hint_path(table_dir)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def current_metadata(table_dir: str) -> dict | None:
+    v = current_version(table_dir)
+    if v is None:
+        return None
+    with open(os.path.join(_meta_dir(table_dir), f"v{v}.metadata.json")) as f:
+        return json.load(f)
+
+
+def _table_uuid(table_dir: str) -> str:
+    return str(uuid.UUID(hashlib.md5(os.path.abspath(table_dir).encode()).hexdigest()))
+
+
+def _snapshot_id(table_uuid: str, seq: int, manifest_names: list[str]) -> int:
+    """Deterministic snapshot id — a retried commit of the same wave
+    produces the same snapshot, keeping the engine's exactly-once replay
+    semantics in the metadata layer too. Positive 63-bit."""
+    h = hashlib.md5(":".join([table_uuid, str(seq), *manifest_names]).encode())
+    return int.from_bytes(h.digest()[:8], "big") & ((1 << 63) - 1)
+
+
+def commit_append(
+    table_dir: str,
+    files: list[DataFile],
+    spark_schema=None,
+    ts_ms: int | None = None,
+    properties: dict | None = None,
+    summary: dict | None = None,
+) -> int:
+    """Append ``files`` as one new snapshot; returns the snapshot id.
+
+    Commit protocol (hadoop catalog): write the manifest, the manifest
+    list, and vN.metadata.json, then swap version-hint.text LAST via
+    rename — a crash before the swap leaves the previous snapshot current
+    and every already-written file inert (re-commit simply rewrites them:
+    all names are deterministic in (table, sequence number))."""
+    meta_dir = _meta_dir(table_dir)
+    os.makedirs(meta_dir, exist_ok=True)
+    prev = current_metadata(table_dir)
+    if prev is None:
+        if spark_schema is None:
+            raise ValueError("first commit needs the table schema")
+        schema, last_col = iceberg_schema(spark_schema)
+        base = {
+            "format-version": FORMAT_VERSION,
+            "table-uuid": _table_uuid(table_dir),
+            "location": os.path.abspath(table_dir),
+            "last-sequence-number": 0,
+            "last-updated-ms": 0,
+            "last-column-id": last_col,
+            "current-schema-id": 0,
+            "schemas": [schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": properties or {},
+            "current-snapshot-id": -1,
+            "refs": {},
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        version = 0
+    else:
+        base = prev
+        version = current_version(table_dir)
+
+    seq = base["last-sequence-number"] + 1
+    ts = int(ts_ms if ts_ms is not None else time.time() * 1000)
+    uid = base["table-uuid"]
+
+    # --- manifest (one per commit; names deterministic in (table, seq))
+    manifest_name = f"{uid}-seq{seq}-m0.avro"
+    manifest_path = os.path.join(meta_dir, manifest_name)
+    snap_id = _snapshot_id(uid, seq, [manifest_name])
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": os.path.abspath(f.path),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": f.record_count,
+                "file_size_in_bytes": f.file_size,
+                "split_offsets": None,
+                "sort_order_id": None,
+            },
+        }
+        for f in files
+    ]
+    manifest_bytes = avro_io.write_container(
+        MANIFEST_ENTRY_SCHEMA,
+        entries,
+        meta={
+            "schema": json.dumps(base["schemas"][base["current-schema-id"] if base["schemas"] else 0]),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": str(FORMAT_VERSION),
+            "content": "data",
+        },
+    )
+    with open(manifest_path, "wb") as f:
+        f.write(manifest_bytes)
+
+    # --- manifest list: previous snapshot's manifests + the new one
+    new_mf = {
+        "manifest_path": os.path.abspath(manifest_path),
+        "manifest_length": len(manifest_bytes),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(f.record_count for f in files),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": [],
+    }
+    prev_manifests: list[dict] = []
+    cur_id = base.get("current-snapshot-id", -1)
+    if cur_id and cur_id != -1:
+        cur_snap = next(s for s in base["snapshots"] if s["snapshot-id"] == cur_id)
+        _, prev_manifests = avro_io.read_container(
+            open(cur_snap["manifest-list"], "rb").read()
+        )
+    manifests = prev_manifests + [new_mf]
+    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-1-{uid}.avro")
+    with open(mlist_path, "wb") as f:
+        f.write(avro_io.write_container(MANIFEST_FILE_SCHEMA, manifests))
+
+    # --- new table metadata
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": os.path.abspath(mlist_path),
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(files)),
+            "added-records": str(sum(f.record_count for f in files)),
+            **{k: str(v) for k, v in (summary or {}).items()},
+        },
+        "schema-id": base["current-schema-id"],
+    }
+    if cur_id and cur_id != -1:
+        snapshot["parent-snapshot-id"] = cur_id
+    new_meta = dict(base)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = ts
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    new_meta["snapshots"] = base["snapshots"] + [snapshot]
+    new_meta["snapshot-log"] = base["snapshot-log"] + [
+        {"timestamp-ms": ts, "snapshot-id": snap_id}
+    ]
+    if version > 0:
+        new_meta["metadata-log"] = base["metadata-log"] + [
+            {
+                "timestamp-ms": base["last-updated-ms"],
+                "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+            }
+        ]
+    new_version = version + 1
+    with open(os.path.join(meta_dir, f"v{new_version}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, indent=2)
+
+    # --- the atomic step: version-hint rename is the commit point
+    tmp = _hint_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(new_version))
+    os.replace(tmp, _hint_path(table_dir))
+    return snap_id
+
+
+# ---------------------------------------------------------------- read side
+
+
+def snapshots(table_dir: str) -> list[dict]:
+    meta = current_metadata(table_dir)
+    return list(meta["snapshots"]) if meta else []
+
+
+def snapshot_files(table_dir: str, snapshot_id: int | None = None) -> list[DataFile]:
+    """Data files reachable from a snapshot (default: current), resolved
+    through manifest list -> manifests — the same two-hop walk an Iceberg
+    runtime performs."""
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    _, manifests = avro_io.read_container(open(snap["manifest-list"], "rb").read())
+    out: list[DataFile] = []
+    for mf in manifests:
+        _, entries = avro_io.read_container(open(mf["manifest_path"], "rb").read())
+        for e in entries:
+            if e["status"] != 2:  # skip DELETED
+                d = e["data_file"]
+                out.append(
+                    DataFile(d["file_path"], d["record_count"], d["file_size_in_bytes"])
+                )
+    return out
+
+
+def commit_parquet_dir(
+    table_dir: str,
+    parquet_dir: str,
+    spark_schema=None,
+    ts_ms: int | None = None,
+    summary: dict | None = None,
+) -> int:
+    """Commit every parquet file of a directory Spark just wrote as one
+    appended snapshot. Row counts come from the parquet footers — the same
+    numbers a cluster-side commit would take from task write stats; footer
+    reads are metadata-only and this runs once per commit, driver-side."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for name in sorted(os.listdir(parquet_dir)):
+        if name.endswith(".parquet"):
+            p = os.path.join(parquet_dir, name)
+            files.append(
+                DataFile(p, pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
+            )
+    return commit_append(
+        table_dir, files, spark_schema=spark_schema, ts_ms=ts_ms, summary=summary
+    )
+
+
+def read_snapshot(spark, table_dir: str, snapshot_id: int | None = None):
+    """Snapshot scan as a DataFrame: the resolved file list goes straight to
+    the parquet reader (pushdown/pruning intact). Time travel = pass an
+    older snapshot id."""
+    paths = [f.path for f in snapshot_files(table_dir, snapshot_id)]
+    if not paths:
+        schema = current_metadata(table_dir)["schemas"][0]
+        raise ValueError(f"snapshot has no data files (schema: {schema})")
+    return spark.read.parquet(*paths)

@@ -61,6 +61,13 @@ def main(argv: list[str] | None = None) -> int:
         "only option at 100 TB)",
     )
     p.add_argument("--cores", default=None, help="local[N] cores (default: env/all)")
+    p.add_argument(
+        "--iceberg-table",
+        default=None,
+        help="also commit encoded output to this Iceberg table (one snapshot "
+        "per wave, engine-native metadata; snapshot summaries double as "
+        "commit markers for resume)",
+    )
     args = p.parse_args(argv)
 
     from parquet_to_arrow_spark import checkpoint as ckpt
@@ -72,9 +79,36 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app="encode_job", cores=args.cores, chunk_rows=args.chunk_rows)
     t0 = time.time()
 
+    if args.iceberg_table:
+        from parquet_to_arrow_spark.sources import iceberg as ice
+        from parquet_to_arrow_spark.sources import iceberg_meta
+
     if args.mode == "fast":
         encoded = pio.encode_parquet_dir(spark, args.input, chunk_rows=args.chunk_rows)
         encoded.write.mode("append").option("compression", "zstd").parquet(args.output)
+        if args.iceberg_table:
+            # commit only the files this run added (append mode accretes)
+            known = (
+                {f.path for f in iceberg_meta.snapshot_files(args.iceberg_table)}
+                if ice.is_metadata_table(args.iceberg_table)
+                else set()
+            )
+            fresh = [
+                iceberg_meta.DataFile(i.path, 0, i.size)
+                for i in pio.resolve_files(args.output)[1]
+                if i.path not in known
+            ]
+            import pyarrow.parquet as pq
+
+            fresh = [
+                iceberg_meta.DataFile(
+                    f.path, pq.ParquetFile(f.path).metadata.num_rows, f.file_size
+                )
+                for f in fresh
+            ]
+            iceberg_meta.commit_append(
+                args.iceberg_table, fresh, spark_schema=encoded.schema
+            )
     else:
         from pyspark.sql import functions as F
 
@@ -91,6 +125,14 @@ def main(argv: list[str] | None = None) -> int:
             done = ckpt.read_done(spark, args.checkpoint)
             done_keys = {r["pkey"] for r in done.collect()}
             print(f"resume: {len(done_keys)} buckets already done", file=sys.stderr)
+        if args.iceberg_table:
+            # snapshot summaries are commit markers too: a wave whose
+            # iceberg commit landed but whose mark_done didn't (crash in
+            # between) must NOT replay — its snapshot already references
+            # the wave's files and a rewrite would orphan them
+            for s in ice.committed_summaries(args.iceberg_table):
+                if "buckets" in s:
+                    done_keys |= set(json.loads(s["buckets"]))
         pending_keys = sorted(set(range(args.buckets)) - done_keys)
         # wave-granular durability, exactly-once: each wave writes to a
         # DETERMINISTIC subdirectory (wave=<first bucket>) with overwrite
@@ -109,6 +151,16 @@ def main(argv: list[str] | None = None) -> int:
             )
             wave_dir = os.path.join(args.output, f"wave={keys[0]}")
             encoded.write.mode("overwrite").option("compression", "zstd").parquet(wave_dir)
+            if args.iceberg_table:
+                # commit BEFORE mark_done: the snapshot is the durable commit
+                # point (resume reads it back above), mark_done only feeds the
+                # checkpoint table's own consumers
+                iceberg_meta.commit_parquet_dir(
+                    args.iceberg_table,
+                    wave_dir,
+                    spark_schema=encoded.schema,
+                    summary={"wave": keys[0], "buckets": json.dumps(keys)},
+                )
             if args.checkpoint:
                 ckpt.mark_done(
                     spark.createDataFrame([(k,) for k in keys], "pkey int"), args.checkpoint

@@ -107,3 +107,52 @@ def test_keyed_no_cache_rescans_per_wave(job_spark, tmp_path):
     rep = diff_report(tokens, decoded)
     assert rep["equal"] and rep["n_left"] == N_ROWS, rep
     tokens.unpersist()
+
+
+def test_keyed_iceberg_commit_per_wave(job_spark, tmp_path):
+    """--iceberg-table commits one snapshot per wave with per-wave lineage
+    in the summary, the snapshot walk reads back the whole encoded table
+    bit-identically, and a crash BETWEEN the iceberg commit and mark_done
+    does not replay the wave (the snapshot is the commit marker)."""
+    from parquet_to_arrow_spark.sources import iceberg as ice
+    from parquet_to_arrow_spark.sources import iceberg_meta
+
+    spark = job_spark
+    tokens = synth_tokens_df(spark, N_ROWS, avg_tokens=32, n_partitions=4).cache()
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "iceberg")
+    tokens.write.mode("overwrite").parquet(inp)
+
+    args = [
+        "--input", inp, "--output", out, "--manifest", str(tmp_path / "man"),
+        "--checkpoint", ckpt, "--buckets", "8", "--mode", "keyed",
+        "--wave-size", "4", "--chunk-rows", "256", "--verify",
+        "--iceberg-table", tbl,
+    ]
+    assert encode_job.main(args) == 0
+
+    snaps = iceberg_meta.snapshots(tbl)
+    assert len(snaps) == 2  # one snapshot per wave
+    waves = [sorted(__import__("json").loads(s["summary"]["buckets"])) for s in snaps]
+    assert waves == [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+    # snapshot scan == direct parquet scan, decoded bit-identical
+    via_iceberg = ice.read_table(spark, tbl)
+    rep = diff_report(tokens, decode_chunks_df(via_iceberg))
+    assert rep["equal"] and rep["n_left"] == N_ROWS, rep
+    # time travel to wave 1 sees only buckets 0..3
+    first = ice.read_table(spark, tbl, snapshot_id=snaps[0]["snapshot-id"])
+    assert set(r["pkey"] for r in first.select("pkey").distinct().collect()) == {0, 1, 2, 3}
+
+    # crash window: checkpoint lost its second wave but the snapshot exists
+    # -> resume must SKIP (replaying would orphan the snapshot's files)
+    done_rows = [(k,) for k in range(4)]
+    shutil.rmtree(ckpt)
+    spark.createDataFrame(done_rows, "pkey int").write.parquet(ckpt)
+    assert encode_job.main(args) == 0
+    assert len(iceberg_meta.snapshots(tbl)) == 2  # no third snapshot
+    rep2 = diff_report(tokens, decode_chunks_df(ice.read_table(spark, tbl)))
+    assert rep2["equal"], rep2
+    tokens.unpersist()

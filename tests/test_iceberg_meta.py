@@ -1,0 +1,174 @@
+"""Iceberg metadata layer: Avro binary goldens, snapshot commits, time
+travel, crash-retry idempotence. No Iceberg jar / avro lib exists in this
+image, so the Avro layer is pinned against hand-computed spec bytes (the
+strongest independent check available) and the table layer against its own
+spec-shaped walk (version-hint -> metadata -> manifest list -> manifests)."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import pytest
+
+from parquet_to_arrow_spark.sources import avro_io, iceberg_meta as ice
+
+
+class TestAvroBinary:
+    def test_zigzag_varint_spec_bytes(self):
+        """Avro spec 'Binary Encoding': long is zigzag + base-128 varint.
+        The spec's own examples: 0->00, -1->01, 1->02, -2->03, 2->04,
+        -64->7f, 64->80 01."""
+        cases = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03", 2: b"\x04",
+                 -64: b"\x7f", 64: b"\x80\x01", 8192: b"\x80\x80\x01"}
+        for n, want in cases.items():
+            out = io.BytesIO()
+            avro_io.write_long(out, n)
+            assert out.getvalue() == want, n
+            assert avro_io.read_long(io.BytesIO(want)) == n
+
+    def test_record_encoding_spec_bytes(self):
+        """The spec's worked example: record {a: long, b: string} with
+        a=27, b='foo' encodes to 36 06 66 6f 6f."""
+        schema = json.dumps({
+            "type": "record", "name": "test",
+            "fields": [{"name": "a", "type": "long"},
+                       {"name": "b", "type": "string"}],
+        })
+        out = io.BytesIO()
+        avro_io.write_datum(out, avro_io.parse_schema(schema), {"a": 27, "b": "foo"})
+        assert out.getvalue() == b"\x36\x06\x66\x6f\x6f"
+
+    def test_container_roundtrip_all_types(self):
+        schema = json.dumps({
+            "type": "record", "name": "t", "fields": [
+                {"name": "l", "type": "long"},
+                {"name": "i", "type": "int"},
+                {"name": "s", "type": "string"},
+                {"name": "b", "type": "boolean"},
+                {"name": "d", "type": "double"},
+                {"name": "by", "type": "bytes"},
+                {"name": "u", "type": ["null", "long"]},
+                {"name": "arr", "type": {"type": "array", "items": "long"}},
+                {"name": "m", "type": {"type": "map", "values": "string"}},
+                {"name": "nested", "type": {
+                    "type": "record", "name": "n",
+                    "fields": [{"name": "x", "type": "int"}]}},
+            ],
+        })
+        rows = [
+            {"l": -(1 << 62), "i": 42, "s": "héllo", "b": True, "d": 2.5,
+             "by": b"\x00\xff", "u": None, "arr": [1, -2, 3],
+             "m": {"k1": "v1", "k2": "v2"}, "nested": {"x": 7}},
+            {"l": 0, "i": -1, "s": "", "b": False, "d": -0.0,
+             "by": b"", "u": 99, "arr": [], "m": {}, "nested": {"x": 0}},
+        ]
+        data = avro_io.write_container(schema, rows)
+        assert data[:4] == b"Obj\x01"
+        meta, back = avro_io.read_container(data)
+        assert json.loads(meta["avro.schema"]) == json.loads(schema)
+        assert back == rows
+
+    def test_write_is_deterministic(self):
+        schema = json.dumps({"type": "record", "name": "t",
+                             "fields": [{"name": "a", "type": "long"}]})
+        rows = [{"a": i} for i in range(100)]
+        assert avro_io.write_container(schema, rows) == avro_io.write_container(schema, rows)
+
+    def test_manifest_schemas_roundtrip(self):
+        entry = {
+            "status": 1, "snapshot_id": 123, "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0, "file_path": "/tmp/x.parquet",
+                "file_format": "PARQUET", "partition": {},
+                "record_count": 10, "file_size_in_bytes": 999,
+                "split_offsets": None, "sort_order_id": None,
+            },
+        }
+        _, back = avro_io.read_container(
+            avro_io.write_container(ice.MANIFEST_ENTRY_SCHEMA, [entry]))
+        assert back == [entry]
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, f"text-{i}", [1, 2, i]) for i in range(20)],
+        "doc_id long, text string, tokens array<int>",
+    )
+
+
+class TestIcebergTable:
+    def test_commit_read_and_time_travel(self, spark, docs_df, tmp_path):
+        table = str(tmp_path / "table")
+        d1 = str(tmp_path / "wave1")
+        d2 = str(tmp_path / "wave2")
+        docs_df.filter("doc_id < 12").coalesce(2).write.parquet(d1)
+        docs_df.filter("doc_id >= 12").coalesce(1).write.parquet(d2)
+
+        s1 = ice.commit_parquet_dir(table, d1, spark_schema=docs_df.schema, ts_ms=1000)
+        assert ice.read_snapshot(spark, table).count() == 12
+
+        s2 = ice.commit_parquet_dir(table, d2, ts_ms=2000)
+        assert s1 != s2
+        # current snapshot sees both waves; time travel sees only wave 1
+        assert ice.read_snapshot(spark, table).count() == 20
+        assert ice.read_snapshot(spark, table, snapshot_id=s1).count() == 12
+        ids = {r["doc_id"] for r in ice.read_snapshot(spark, table, s1).collect()}
+        assert ids == set(range(12))
+
+        snaps = ice.snapshots(table)
+        assert [s["sequence-number"] for s in snaps] == [1, 2]
+        assert snaps[1]["parent-snapshot-id"] == s1
+        # manifest-list walk agrees with the footers
+        files = ice.snapshot_files(table)
+        assert sum(f.record_count for f in files) == 20
+        assert all(os.path.getsize(f.path) == f.file_size for f in files)
+
+    def test_metadata_spec_shape(self, spark, docs_df, tmp_path):
+        """v2 required fields present; schema carries field-ids; array
+        element id continues the column counter."""
+        table = str(tmp_path / "table")
+        d1 = str(tmp_path / "w")
+        docs_df.write.parquet(d1)
+        ice.commit_parquet_dir(table, d1, spark_schema=docs_df.schema, ts_ms=1)
+        meta = ice.current_metadata(table)
+        for key in ("format-version", "table-uuid", "last-sequence-number",
+                    "schemas", "partition-specs", "sort-orders",
+                    "current-snapshot-id", "snapshots", "snapshot-log"):
+            assert key in meta, key
+        assert meta["format-version"] == 2
+        fields = meta["schemas"][0]["fields"]
+        assert [f["id"] for f in fields] == [1, 2, 3]
+        assert fields[2]["type"]["element-id"] == 4
+        assert meta["last-column-id"] == 4
+        # every manifest_file / manifest_entry avro field carries a field-id
+        for schema_json in (ice.MANIFEST_FILE_SCHEMA, ice.MANIFEST_ENTRY_SCHEMA):
+            for f in json.loads(schema_json)["fields"]:
+                assert "field-id" in f
+
+    def test_crash_retry_is_idempotent(self, spark, docs_df, tmp_path):
+        """A commit that crashed after writing manifests but BEFORE the
+        version-hint swap replays to the SAME snapshot id and files — the
+        wave-replay invariant, extended to the metadata layer."""
+        table = str(tmp_path / "table")
+        d1 = str(tmp_path / "w1")
+        docs_df.write.parquet(d1)
+        s1 = ice.commit_parquet_dir(table, d1, spark_schema=docs_df.schema, ts_ms=1)
+
+        hint = ice._hint_path(table)
+        before = open(hint).read()
+        s1b = ice.commit_parquet_dir(table, d1, ts_ms=1)  # "retry" against v1
+        # roll the hint back to simulate the crash-before-swap, then retry
+        with open(hint, "w") as f:
+            f.write(before)
+        s1c = ice.commit_parquet_dir(table, d1, ts_ms=1)
+        assert s1b != s1  # a real second append is a new snapshot...
+        assert s1c == s1b  # ...but the replayed one reproduces it exactly
+        assert ice.read_snapshot(spark, table).count() == 40
+
+    def test_empty_snapshot_read_raises(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            ice.snapshot_files(str(tmp_path / "nope"))
