@@ -224,7 +224,9 @@ def duplicated_ngrams(spark, sf_dir, k: int = BOILER_K, min_docs: int = BOILER_M
     row per (doc, gram) and the count IS the document frequency — no
     count-distinct state. Boilerplate grams (present in every doc) are
     exactly the heavy keys partial aggregation absorbs map-side."""
-    docs = _docs(spark, sf_dir)
+    from .dedup import _spread
+
+    docs = _spread(_docs(spark, sf_dir))
     g = docs.select(
         "doc_id",
         F.explode(F.array_distinct(_word_kgrams(_words(F.col("text")), k))).alias("gram"),
@@ -246,7 +248,9 @@ def doc_boilerplate_frac(
     Per-doc totals come straight off the scan (size of the distinct-gram
     array, no shuffle); only the (gram -> doc) hit-join shuffles, keyed the
     same way as the census so the two aggregations pipeline."""
-    docs = _docs(spark, sf_dir)
+    from .dedup import _spread
+
+    docs = _spread(_docs(spark, sf_dir))
     with_grams = docs.select(
         "doc_id", F.array_distinct(_word_kgrams(_words(F.col("text")), k)).alias("__g")
     )

@@ -113,3 +113,46 @@ def test_stratified_sample_is_scan_plus_filter(spark):
 
     plan = plan_of(stratified_sample(spark, SF))
     assert "Exchange" not in plan  # stateless filter: zero shuffles
+
+
+def test_repetition_and_pii_are_zero_shuffle(spark):
+    """Per-doc array arithmetic and regex redaction must stay scan-shaped:
+    no Exchange anywhere — these run at scan speed on any corpus size."""
+    from parquet_to_arrow_spark.operators.textstats import pii_redact, repetition_stats
+
+    for op in (repetition_stats, pii_redact):
+        plan = plan_of(op(spark, SF))
+        assert "Exchange" not in plan, op.__name__
+        assert "pythonUDF" not in plan.lower(), op.__name__  # all JVM-side
+
+
+def test_duplicated_ngrams_aggregates_partial(spark):
+    """The census groupBy(gram) must combine map-side (boilerplate grams are
+    the heavy keys) and shuffle at most once."""
+    from parquet_to_arrow_spark.operators.textstats import duplicated_ngrams
+
+    import re
+
+    plan = plan_of(duplicated_ngrams(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    # operator headers "(n) Exchange" count each exchange once (the tree
+    # section repeats them); allowed: the gram shuffle + the small-input
+    # _spread repartition
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange <= 2, plan
+
+
+def test_iceberg_snapshot_scan_keeps_pushdown(spark, tmp_path):
+    """A snapshot read resolves to a parquet scan, so projection pruning
+    still reaches ReadSchema — the metadata layer adds no plan barrier."""
+    from parquet_to_arrow_spark.sources import iceberg_meta as ice
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text", "id * 2 AS other"
+    )
+    d = str(tmp_path / "w")
+    df.write.parquet(d)
+    ice.commit_parquet_dir(str(tmp_path / "tbl"), d, spark_schema=df.schema, ts_ms=1)
+    scan = ice.read_snapshot(spark, str(tmp_path / "tbl")).select("doc_id")
+    read_schema = [ln for ln in plan_of(scan).splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "other" not in read_schema
