@@ -450,3 +450,96 @@ def read_snapshot(spark, table_dir: str, snapshot_id: int | None = None):
         schema = current_metadata(table_dir)["schemas"][0]
         raise ValueError(f"snapshot has no data files (schema: {schema})")
     return spark.read.parquet(*paths)
+
+
+# ----------------------------------------------------------- maintenance
+
+
+def expire_snapshots(
+    table_dir: str, keep_last: int = 1, remove: bool = False, ts_ms: int | None = None
+) -> dict:
+    """Expire all but the last ``keep_last`` snapshots (the current one is
+    always kept) — the table-hygiene pass a long-lived 100 TB table needs so
+    metadata and manifest counts stay bounded by retention, not job count.
+
+    Writes a new metadata version (atomic version-hint swap, like commits).
+    Manifest lists of expired snapshots — and manifests no surviving
+    snapshot references — become removable; data files are never touched
+    here (append-only tables share data files across snapshots via manifest
+    reuse; see orphan_files for data-level hygiene). Dry-run by default:
+    ``remove=True`` actually unlinks."""
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    snaps = meta["snapshots"]
+    keep = snaps[-max(keep_last, 1):]
+    expired = [s for s in snaps if s not in keep]
+    keep_ids = {s["snapshot-id"] for s in keep}
+    assert meta["current-snapshot-id"] in keep_ids
+
+    live_manifests: set[str] = set()
+    for s in keep:
+        _, mfs = avro_io.read_container(open(s["manifest-list"], "rb").read())
+        live_manifests |= {m["manifest_path"] for m in mfs}
+    removable: list[str] = [s["manifest-list"] for s in expired]
+    for s in expired:
+        _, mfs = avro_io.read_container(open(s["manifest-list"], "rb").read())
+        removable += [
+            m["manifest_path"] for m in mfs if m["manifest_path"] not in live_manifests
+        ]
+    removable = sorted(set(removable))
+
+    ts = int(ts_ms if ts_ms is not None else time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["snapshots"] = keep
+    new_meta["snapshot-log"] = [
+        e for e in meta["snapshot-log"] if e["snapshot-id"] in keep_ids
+    ]
+    new_meta["last-updated-ms"] = ts
+    version = current_version(table_dir)
+    new_version = version + 1
+    meta_dir = _meta_dir(table_dir)
+    with open(os.path.join(meta_dir, f"v{new_version}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, indent=2)
+    tmp = _hint_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(new_version))
+    os.replace(tmp, _hint_path(table_dir))
+
+    if remove:
+        for p in removable:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+    return {
+        "expired_snapshot_ids": [s["snapshot-id"] for s in expired],
+        "kept_snapshot_ids": sorted(keep_ids),
+        "removable_files": removable,
+        "removed": remove,
+    }
+
+
+def orphan_files(table_dir: str, data_dir: str | None = None) -> list[str]:
+    """Parquet files under the table's data directory that NO live snapshot
+    references — crash leftovers from writes whose commit never landed.
+    Listing only (deletion is the operator's call, after a grace period, as
+    in Iceberg's own remove_orphan_files action)."""
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    referenced: set[str] = set()
+    for s in meta["snapshots"]:
+        _, mfs = avro_io.read_container(open(s["manifest-list"], "rb").read())
+        for m in mfs:
+            _, entries = avro_io.read_container(open(m["manifest_path"], "rb").read())
+            referenced |= {e["data_file"]["file_path"] for e in entries}
+    root = data_dir or os.path.join(table_dir, "data")
+    found: list[str] = []
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.abspath(os.path.join(dirpath, n))
+                if p not in referenced:
+                    found.append(p)
+    return sorted(found)

@@ -172,3 +172,45 @@ class TestIcebergTable:
     def test_empty_snapshot_read_raises(self, spark, tmp_path):
         with pytest.raises(FileNotFoundError):
             ice.snapshot_files(str(tmp_path / "nope"))
+
+
+class TestMaintenance:
+    def _three_commits(self, spark, docs_df, tmp_path):
+        from parquet_to_arrow_spark.sources import iceberg_meta as ice
+
+        table = str(tmp_path / "table")
+        sids = []
+        for i, (lo, hi) in enumerate([(0, 7), (7, 14), (14, 20)]):
+            d = str(tmp_path / f"w{i}")
+            docs_df.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.parquet(d)
+            sids.append(ice.commit_parquet_dir(
+                table, d, spark_schema=docs_df.schema, ts_ms=1000 + i))
+        return table, sids
+
+    def test_expire_keeps_current_and_bounds_metadata(self, spark, docs_df, tmp_path):
+        from parquet_to_arrow_spark.sources import iceberg_meta as ice
+
+        table, sids = self._three_commits(spark, docs_df, tmp_path)
+        rep = ice.expire_snapshots(table, keep_last=1, remove=True, ts_ms=9000)
+        assert rep["expired_snapshot_ids"] == sids[:2]
+        assert ice.snapshots(table)[0]["snapshot-id"] == sids[2]
+        # current snapshot still reads everything (data files shared forward)
+        assert ice.read_snapshot(spark, table).count() == 20
+        # expired manifest lists are gone; live manifests survive
+        for p in rep["removable_files"]:
+            assert not __import__("os").path.exists(p)
+        with pytest.raises(StopIteration):
+            ice.snapshot_files(table, snapshot_id=sids[0])
+
+    def test_orphan_files_lists_uncommitted_leftovers(self, spark, docs_df, tmp_path):
+        import os
+
+        from parquet_to_arrow_spark.sources import iceberg_meta as ice
+
+        table, _ = self._three_commits(spark, docs_df, tmp_path)
+        data_root = str(tmp_path)
+        assert ice.orphan_files(table, data_dir=data_root) == []
+        stray = os.path.join(data_root, "w0", "part-crashed-leftover.parquet")
+        with open(stray, "wb") as f:
+            f.write(b"PAR1junkPAR1")
+        assert ice.orphan_files(table, data_dir=data_root) == [os.path.abspath(stray)]
