@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_ngrams": ts.duplicated_ngrams,
         "doc_boilerplate_frac": ts.doc_boilerplate_frac,
         "pii_redact": ts.pii_redact,
+        "unigram_logprob": ts.unigram_logprob,
+        "source_kl_drift": ts.source_kl_drift,
         # --- multimodal (real WAV/PPM container decode; codec formats stubbed) ---
         "media_meta": multimodal.media_meta,
         "media_audio_features": multimodal.media_audio_features,
@@ -1026,6 +1028,35 @@ def oracle_sql() -> dict[str, str]:
                        AS boilerplate_frac
             FROM d LEFT JOIN h ON d.doc_id = h.doc_id""",
         "pii_redact": _pii_sql(),
+        "unigram_logprob": """
+            WITH w2 AS (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents) WHERE length(w) > 0
+            ), vocab AS (SELECT w, count(*) AS cnt FROM w2 GROUP BY w),
+            tot AS (SELECT count(*) AS c FROM w2)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   round(sum(ln(CAST(cnt AS DOUBLE) / c)) / count(*), 6)
+                       AS avg_logprob_r
+            FROM w2 JOIN vocab USING (w) CROSS JOIN tot
+            GROUP BY doc_id""",
+        "source_kl_drift": """
+            WITH w2 AS (
+                SELECT source, w FROM (
+                    SELECT source, unnest(string_split(text, ' ')) AS w
+                    FROM documents) WHERE length(w) > 0
+            ), sw AS (SELECT source, w, count(*) AS c_sw FROM w2 GROUP BY source, w),
+            st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS c_s FROM sw GROUP BY source),
+            wc AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+            tot AS (SELECT count(*) AS c_all FROM w2)
+            SELECT sw.source,
+                   CAST(max(c_s) AS BIGINT) AS n_words,
+                   CAST(count(DISTINCT sw.w) AS BIGINT) AS n_distinct_words,
+                   round(sum((CAST(c_sw AS DOUBLE) / c_s)
+                         * ln((CAST(c_sw AS DOUBLE) / c_s)
+                               / (CAST(c_w AS DOUBLE) / c_all))), 6) AS kl_r
+            FROM sw JOIN st USING (source) JOIN wc USING (w) CROSS JOIN tot
+            GROUP BY sw.source""",
         "label_centroids": """
             WITH nv AS (
                 SELECT label, count(*) AS n_vecs,

@@ -305,6 +305,65 @@ def pii_redact(spark, sf_dir) -> DataFrame:
     return docs.select(*cols)
 
 
+def unigram_logprob(spark, sf_dir) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's own
+    unigram LM — the classic cheap perplexity proxy quality filters
+    threshold on (docs of improbable words score low).
+
+    Scale shape, same as TF-IDF: one explode, one vocabulary-sized count
+    aggregation, one join back on the word dimension (Spark broadcasts a
+    small vocab; a 10^9-type vocabulary shuffles — both correct), one
+    per-doc aggregation. avg_logprob = sum(ln(count(w)/total))/n_words."""
+    from .dedup import _spread
+
+    docs = _spread(_docs(spark, sf_dir))
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = float(words.count())  # one scalar job, like tfidf's n_docs
+    scored = words.join(vocab, "w").withColumn(
+        "lp", F.log(F.col("cnt").cast("double") / F.lit(total))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.round(F.sum("lp") / F.count("*"), 6).alias("avg_logprob_r"),
+    )
+
+
+def source_kl_drift(spark, sf_dir) -> DataFrame:
+    """Per-source distribution drift: KL(p_source || p_corpus) over the word
+    unigram distributions — the mixture-monitoring metric a training-data
+    pipeline tracks per corpus slice.
+
+    Everything after the explode is vocabulary-sized: counts per (source,
+    word), counts per word, two scalar-ish joins, then a per-source sum.
+    KL = sum_w p_s(w) * ln(p_s(w) / p(w)) — finite by construction since
+    every word of a source is in the corpus."""
+    from .dedup import _spread
+
+    docs = _spread(_docs(spark, sf_dir))
+    words = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    sw = words.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
+    wc = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    c_all = float(words.count())
+    joined = sw.join(s_tot, "source").join(wc, "w")
+    p_s = F.col("c_sw").cast("double") / F.col("c_s").cast("double")
+    p = F.col("c_w").cast("double") / F.lit(c_all)
+    return (
+        joined.withColumn("term", p_s * F.log(p_s / p))
+        .groupBy("source")
+        .agg(
+            F.max("c_s").cast("long").alias("n_words"),
+            F.countDistinct("w").cast("long").alias("n_distinct_words"),
+            F.round(F.sum("term"), 6).alias("kl_r"),
+        )
+    )
+
+
 # winnowing parameters: k-gram length and window size (Schleimer/Wilkerson/
 # Aiken, SIGMOD 2003 — the MOSS fingerprint selection)
 WINNOW_K = 8

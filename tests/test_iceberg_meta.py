@@ -214,3 +214,36 @@ class TestMaintenance:
         with open(stray, "wb") as f:
             f.write(b"PAR1junkPAR1")
         assert ice.orphan_files(table, data_dir=data_root) == [os.path.abspath(stray)]
+
+
+class TestAvroProperty:
+    def test_roundtrip_random_records(self):
+        """Hypothesis: any record of the supported types round-trips through
+        the container format byte-exactly."""
+        from hypothesis import given, settings, strategies as st
+
+        schema = json.dumps({
+            "type": "record", "name": "t", "fields": [
+                {"name": "l", "type": "long"},
+                {"name": "s", "type": "string"},
+                {"name": "u", "type": ["null", "long"]},
+                {"name": "arr", "type": {"type": "array", "items": "long"}},
+                {"name": "by", "type": "bytes"},
+            ],
+        })
+        longs = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+        rec = st.fixed_dictionaries({
+            "l": longs,
+            "s": st.text(max_size=40),
+            "u": st.one_of(st.none(), longs),
+            "arr": st.lists(longs, max_size=8),
+            "by": st.binary(max_size=20),
+        })
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(rec, max_size=10))
+        def check(rows):
+            _, back = avro_io.read_container(avro_io.write_container(schema, rows))
+            assert back == rows
+
+        check()

@@ -341,3 +341,61 @@ def test_label_centroids_planted_geometry(spark, tmp_path):
     assert out[0]["centroid_norm_r"] == pytest.approx(round(2**-0.5, 6))
     assert out[1]["avg_norm_r"] == pytest.approx(2.0)
     assert out[1]["centroid_norm_r"] == pytest.approx(2.0)
+
+
+def test_unigram_logprob_matches_pure_python(spark, tmp_path):
+    """Exact per-doc average log-prob under the corpus unigram LM on a
+    hand-checkable corpus; the common-word doc must outscore the rare-word
+    doc."""
+    import math
+
+    from pyspark.sql import Row
+
+    from parquet_to_arrow_spark.operators.textstats import unigram_logprob
+
+    rows = [
+        Row(doc_id=1, text="a a a a", lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text="a a b", lang="en", source="s", n_chars=1),
+        Row(doc_id=3, text="rare", lang="en", source="s", n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in unigram_logprob(spark, str(tmp_path)).collect()}
+
+    counts = {"a": 6, "b": 1, "rare": 1}
+    total = 8.0
+    for doc_id, words in ((1, ["a"] * 4), (2, ["a", "a", "b"]), (3, ["rare"])):
+        want = round(sum(math.log(counts[w] / total) for w in words) / len(words), 6)
+        assert out[doc_id]["n_words"] == len(words)
+        assert out[doc_id]["avg_logprob_r"] == pytest.approx(want, abs=1e-9)
+    assert out[1]["avg_logprob_r"] > out[3]["avg_logprob_r"]
+
+
+def test_source_kl_drift_zero_for_identical_distribution(spark, tmp_path):
+    """A source distributed exactly like the corpus has KL 0; a skewed
+    source is strictly positive, matching the hand-computed value."""
+    import math
+
+    from pyspark.sql import Row
+
+    from parquet_to_arrow_spark.operators.textstats import source_kl_drift
+
+    # both sources: 2x "x", 1x "y" -> each equals the corpus distribution
+    rows = [
+        Row(doc_id=1, text="x x y", lang="en", source="s1", n_chars=1),
+        Row(doc_id=2, text="x x y", lang="en", source="s2", n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/d1/documents.parquet")
+    out = {r["source"]: r for r in source_kl_drift(spark, f"{tmp_path}/d1").collect()}
+    assert out["s1"]["kl_r"] == 0.0 and out["s2"]["kl_r"] == 0.0
+
+    rows = [
+        Row(doc_id=1, text="x x x y", lang="en", source="even", n_chars=1),
+        Row(doc_id=2, text="x y y y", lang="en", source="skew", n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/d2/documents.parquet")
+    out = {r["source"]: r for r in source_kl_drift(spark, f"{tmp_path}/d2").collect()}
+    # corpus: x=4/8, y=4/8; 'skew': x=1/4, y=3/4
+    want = round(0.25 * math.log(0.25 / 0.5) + 0.75 * math.log(0.75 / 0.5), 6)
+    assert out["skew"]["kl_r"] == pytest.approx(want, abs=1e-9)
+    assert out["skew"]["n_words"] == 4 and out["skew"]["n_distinct_words"] == 2
+    assert out["even"]["kl_r"] > 0.0  # mirrored skew
