@@ -291,3 +291,25 @@ def read_arrow_ipc(spark: SparkSession, path: str, ddl: str) -> DataFrame:
     files = [qualify_path(i.path, path) for i in resolve_files(path, suffix=".arrow")[1]]
     rdd = spark.sparkContext.parallelize([(f,) for f in files], max(len(files), 1))
     return spark.createDataFrame(rdd, "path string").mapInArrow(run, ddl)
+
+
+def write_bucketed_table(
+    df, table_name: str, path: str, key: str = "doc_id", n_buckets: int = 64
+) -> None:
+    """Bucketed external table: hash-bucketed by ``key`` into ``n_buckets``
+    files per partition, sorted within buckets.
+
+    The 100 TB co-location technique the brief names explicitly: two tables
+    bucketed the same way join WITHOUT an Exchange on either side (the scan
+    itself satisfies the join's distribution requirement), so a repeated
+    join against a huge keyed corpus — dedup verdicts, per-doc stats,
+    packing metadata — pays the shuffle once at write time instead of on
+    every query. Pinned by tests/test_plans.py."""
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table_name)
+    )

@@ -156,3 +156,28 @@ def test_iceberg_snapshot_scan_keeps_pushdown(spark, tmp_path):
     scan = ice.read_snapshot(spark, str(tmp_path / "tbl")).select("doc_id")
     read_schema = [ln for ln in plan_of(scan).splitlines() if "ReadSchema" in ln][0]
     assert "doc_id" in read_schema and "other" not in read_schema
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed the same way must SortMergeJoin with ZERO
+    exchanges — the write-once-join-many co-location pattern."""
+    import re
+
+    from parquet_to_arrow_spark.sources.io import write_bucketed_table
+
+    a = spark.range(10_000).selectExpr("id AS doc_id", "id * 2 AS n_tok")
+    b = spark.range(10_000).selectExpr("id AS doc_id", "id % 7 AS verdict")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(a, "bt_a", str(tmp_path / "a"), n_buckets=8)
+        write_bucketed_table(b, "bt_b", str(tmp_path / "b"), n_buckets=8)
+        j = spark.table("bt_a").join(spark.table("bt_b"), "doc_id")
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan, plan
+        assert re.findall(r"^\(\d+\) Exchange", plan, re.M) == [], plan
+        assert j.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
