@@ -181,6 +181,10 @@ def iceberg_schema(spark_schema, schema_id: int = 0) -> tuple[dict, int]:
 # ------------------------------------------------------------- table state
 
 
+class CommitConflict(RuntimeError):
+    """A different writer committed this metadata version first."""
+
+
 @dataclass
 class DataFile:
     path: str
@@ -231,8 +235,19 @@ def commit_append(
     ts_ms: int | None = None,
     properties: dict | None = None,
     summary: dict | None = None,
+    replace_on: str | None = None,
 ) -> int:
     """Append ``files`` as one new snapshot; returns the snapshot id.
+
+    ``replace_on``: a summary key naming a logical partition (e.g. "wave").
+    When a PRIOR snapshot carries the same value for that key, its manifests
+    are dropped from the inherited manifest list — the commit is an
+    OVERWRITE of that logical partition, not an append. This is what makes
+    a re-committed wave idempotent end to end: a duplicate job (zombie
+    racing its own resume — observed under kill-9 soaks) re-writes the wave
+    directory with fresh file names, and without replacement the current
+    snapshot would keep BOTH manifests: double counts plus stale paths from
+    the loser's overwritten files.
 
     Commit protocol (hadoop catalog): write the manifest, the manifest
     list, and vN.metadata.json, then swap version-hint.text LAST via
@@ -276,8 +291,17 @@ def commit_append(
     ts = int(ts_ms if ts_ms is not None else time.time() * 1000)
     uid = base["table-uuid"]
 
-    # --- manifest (one per commit; names deterministic in (table, seq))
-    manifest_name = f"{uid}-seq{seq}-m0.avro"
+    # --- manifest: name is CONTENT-ADDRESSED (digest of the file list), so
+    # a crash replay reproduces the same name byte-identically while a
+    # different concurrent commit at the same sequence writes a DIFFERENT
+    # manifest — it can never clobber files a winning commit references
+    # (its own become unreferenced orphans). The snapshot id inherits the
+    # digest, which is what lets the metadata-create conflict check below
+    # tell "replay of this very commit" apart from "someone else won".
+    digest = hashlib.md5(
+        "\n".join(f"{f.path}:{f.file_size}:{f.record_count}" for f in files).encode()
+    ).hexdigest()[:12]
+    manifest_name = f"{uid}-seq{seq}-{digest}-m0.avro"
     manifest_path = os.path.join(meta_dir, manifest_name)
     snap_id = _snapshot_id(uid, seq, [manifest_name])
     entries = [
@@ -337,6 +361,19 @@ def commit_append(
         _, prev_manifests = avro_io.read_container(
             open(cur_snap["manifest-list"], "rb").read()
         )
+    operation = "append"
+    if replace_on and summary and replace_on in summary:
+        replaced_ids = {
+            s["snapshot-id"]
+            for s in base["snapshots"]
+            if s.get("summary", {}).get(replace_on) == str(summary[replace_on])
+        }
+        n_before = len(prev_manifests)
+        prev_manifests = [
+            m for m in prev_manifests if m["added_snapshot_id"] not in replaced_ids
+        ]
+        if len(prev_manifests) != n_before:
+            operation = "overwrite"
     manifests = prev_manifests + [new_mf]
     mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-1-{uid}.avro")
     with open(mlist_path, "wb") as f:
@@ -349,7 +386,7 @@ def commit_append(
         "timestamp-ms": ts,
         "manifest-list": os.path.abspath(mlist_path),
         "summary": {
-            "operation": "append",
+            "operation": operation,
             "added-data-files": str(len(files)),
             "added-records": str(sum(f.record_count for f in files)),
             **{k: str(v) for k, v in (summary or {}).items()},
@@ -375,11 +412,40 @@ def commit_append(
             }
         ]
     new_version = version + 1
-    with open(os.path.join(meta_dir, f"v{new_version}.metadata.json"), "w") as f:
-        json.dump(new_meta, f, indent=2)
+    meta_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    # Optimistic concurrency (the hadoop catalog's create-if-absent rename):
+    # only ONE writer may create v{N+1}. Because snapshot ids are a pure
+    # function of (table, sequence, manifests), a CRASH REPLAY of this very
+    # commit reproduces the existing file's snapshot id and is welcomed
+    # through (the hint just gets repaired); a DIFFERENT concurrent commit
+    # collides with a different id and is rejected — the caller must
+    # re-read table state and retry at the next sequence number. This is
+    # what turns two uncoordinated writers from silent lineage corruption
+    # (observed: duplicate wave snapshots with racing file listings) into a
+    # detected conflict.
+    payload = json.dumps(new_meta, indent=2)
+    try:
+        fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+    except FileExistsError:
+        try:
+            with open(meta_path) as f:
+                existing = json.load(f)
+            existing_id = existing.get("current-snapshot-id")
+        except (json.JSONDecodeError, OSError):
+            existing_id = None  # torn write from a crashed attempt
+        if existing_id == snap_id or existing_id is None:
+            with open(meta_path, "w") as f:
+                f.write(payload)  # replay: re-complete the crashed commit
+        else:
+            raise CommitConflict(
+                f"{meta_path} already committed by a concurrent writer "
+                f"(snapshot {existing_id}, ours {snap_id}); re-read and retry"
+            ) from None
 
     # --- the atomic step: version-hint rename is the commit point
-    tmp = _hint_path(table_dir) + ".tmp"
+    tmp = _hint_path(table_dir) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(str(new_version))
     os.replace(tmp, _hint_path(table_dir))
@@ -422,6 +488,7 @@ def commit_parquet_dir(
     spark_schema=None,
     ts_ms: int | None = None,
     summary: dict | None = None,
+    replace_on: str | None = None,
 ) -> int:
     """Commit every parquet file of a directory Spark just wrote as one
     appended snapshot. Row counts come from the parquet footers — the same
@@ -437,7 +504,12 @@ def commit_parquet_dir(
                 DataFile(p, pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
             )
     return commit_append(
-        table_dir, files, spark_schema=spark_schema, ts_ms=ts_ms, summary=summary
+        table_dir,
+        files,
+        spark_schema=spark_schema,
+        ts_ms=ts_ms,
+        summary=summary,
+        replace_on=replace_on,
     )
 
 

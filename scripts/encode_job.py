@@ -160,6 +160,9 @@ def main(argv: list[str] | None = None) -> int:
                     wave_dir,
                     spark_schema=encoded.schema,
                     summary={"wave": keys[0], "buckets": json.dumps(keys)},
+                    # a replayed/duplicated wave OVERWRITES its prior
+                    # manifest instead of double-appending it
+                    replace_on="wave",
                 )
             if args.checkpoint:
                 ckpt.mark_done(

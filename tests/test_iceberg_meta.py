@@ -247,3 +247,67 @@ class TestAvroProperty:
             assert back == rows
 
         check()
+
+
+class TestConcurrentCommit:
+    def test_conflicting_writer_is_rejected_replay_is_not(self, spark, docs_df, tmp_path):
+        """Two uncoordinated writers racing the same metadata version: the
+        loser gets CommitConflict (and its content-addressed manifest files
+        never clobber the winner's), while a byte-level replay of the SAME
+        commit passes through and repairs the hint. This is the failure mode
+        a real kill-9 soak exposed: a zombie job racing its own resume."""
+        from parquet_to_arrow_spark.sources.iceberg_meta import CommitConflict
+
+        table = str(tmp_path / "table")
+        da, db = str(tmp_path / "a"), str(tmp_path / "b")
+        docs_df.filter("doc_id < 10").write.parquet(da)
+        docs_df.filter("doc_id >= 10").write.parquet(db)
+        s1 = ice.commit_parquet_dir(table, da, spark_schema=docs_df.schema, ts_ms=1)
+        s2 = ice.commit_parquet_dir(table, db, ts_ms=2)
+
+        # stale writer: thinks v1 is current, tries to commit DIFFERENT
+        # content at version 2 — must be rejected, table state untouched
+        hint = ice._hint_path(table)
+        with open(hint, "w") as f:
+            f.write("1")
+        with pytest.raises(CommitConflict):
+            ice.commit_parquet_dir(table, da, ts_ms=3)
+        with open(hint, "w") as f:
+            f.write("2")
+        assert [s["snapshot-id"] for s in ice.snapshots(table)] == [s1, s2]
+        assert ice.read_snapshot(spark, table).count() == 20
+
+        # replay of the SAME second commit (crash before hint swap): ok
+        with open(hint, "w") as f:
+            f.write("1")
+        assert ice.commit_parquet_dir(table, db, ts_ms=2) == s2
+        assert ice.read_snapshot(spark, table).count() == 20
+
+
+    def test_replace_on_makes_wave_recommit_an_overwrite(self, spark, docs_df, tmp_path):
+        """Committing the same logical wave twice (duplicate job / replay
+        with fresh file names) must REPLACE the prior wave manifest: the
+        current snapshot sees each wave exactly once, no stale paths, and
+        the recommit's operation reads 'overwrite'."""
+        table = str(tmp_path / "table")
+        w0a, w0b, w1 = (str(tmp_path / n) for n in ("w0a", "w0b", "w1"))
+        docs_df.filter("doc_id < 10").write.parquet(w0a)
+        docs_df.filter("doc_id < 10").write.parquet(w0b)  # same rows, new files
+        docs_df.filter("doc_id >= 10").write.parquet(w1)
+
+        ice.commit_parquet_dir(table, w0a, spark_schema=docs_df.schema,
+                               ts_ms=1, summary={"wave": 0}, replace_on="wave")
+        ice.commit_parquet_dir(table, w1, ts_ms=2,
+                               summary={"wave": 1}, replace_on="wave")
+        ice.commit_parquet_dir(table, w0b, ts_ms=3,
+                               summary={"wave": 0}, replace_on="wave")
+
+        snaps = ice.snapshots(table)
+        assert [s["summary"]["operation"] for s in snaps] == [
+            "append", "append", "overwrite"]
+        files = ice.snapshot_files(table)
+        assert sum(f.record_count for f in files) == 20  # not 30
+        for f in files:
+            assert os.path.exists(f.path)  # no stale paths from wave 0a
+        assert not any(f.path.startswith(w0a) for f in files)
+        assert ice.read_snapshot(spark, table).count() == 20
