@@ -55,6 +55,64 @@ def run_incremental_encode(spark, input_dir, output_dir, checkpoint_dir) -> None
     q.awaitTermination()
 
 
+def incremental_encode_to_iceberg(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    chunk_rows: int | None = None,
+) -> StreamingQuery:
+    """Incremental encode whose sink is an ICEBERG SNAPSHOT PER MICRO-BATCH.
+
+    Exactly-once end to end, the way Iceberg's own Spark streaming sink
+    does it: every snapshot records its epoch id, and the sink SKIPS any
+    epoch at or below the last committed one — a crash between the commit
+    and the stream checkpoint advancing replays the epoch, hits the
+    recorded id, and becomes a no-op. replace_on='batch' backstops the
+    skip (a half-written replay overwrites itself, never double-appends).
+    The one unrecoverable operator error — deleting the STREAM checkpoint
+    while keeping the table — degrades safely: old content re-batched
+    under replayed epoch ids is skipped, the table keeps its exact state
+    (same caveat as the real sink, which stores the batch id in snapshot
+    properties for precisely this dedupe)."""
+    from ..sources import iceberg_meta
+
+    stream = (
+        spark.readStream.schema(TOKENS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df, epoch_id: int) -> None:
+        import os
+
+        committed = [
+            int(s["summary"]["batch"])
+            for s in iceberg_meta.snapshots(table_dir)
+            if "batch" in s.get("summary", {})
+        ]
+        if committed and epoch_id <= max(committed):
+            return  # replayed epoch: already durable in the table
+        kw = {"chunk_rows": chunk_rows} if chunk_rows else {}
+        encoded = encode_tokens_df(batch_df, **kw)
+        data_dir = os.path.join(table_dir, "data", f"batch-{epoch_id}")
+        encoded.write.mode("overwrite").parquet(data_dir)
+        iceberg_meta.commit_parquet_dir(
+            table_dir,
+            data_dir,
+            spark_schema=encoded.schema,
+            summary={"batch": epoch_id},
+            replace_on="batch",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str):
     """Event-time windowed aggregation via Structured Streaming: watermark +
     tumbling window over the events table, drained with availableNow into a

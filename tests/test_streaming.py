@@ -142,3 +142,53 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
 
     out = {r["keep_id"]: r["n_copies"] for r in streaming_exact_dedup(spark, sf).collect()}
     assert out == {2: 3, 1: 2, 6: 1}  # min doc_id wins, copies counted globally
+
+
+def test_incremental_encode_to_iceberg_exactly_once(spark, tmp_path):
+    """Micro-batches land as snapshots; draining with no new data adds no
+    snapshot; a FRESH stream checkpoint replays old epoch ids and the
+    replace_on='batch' commits overwrite instead of double-appending — the
+    table always equals the landing directory exactly."""
+    from parquet_to_arrow_spark.decode import decode_chunks_df
+    from parquet_to_arrow_spark.sources import iceberg_meta as ice
+    from parquet_to_arrow_spark.sources.synth import synth_tokens_df
+    from parquet_to_arrow_spark.streaming.incremental import incremental_encode_to_iceberg
+    from parquet_to_arrow_spark.verify import diff_report
+
+    land = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    ck = str(tmp_path / "ck")
+    first = synth_tokens_df(spark, 400, n_partitions=2).cache()
+    first.write.mode("append").parquet(land)
+
+    incremental_encode_to_iceberg(spark, land, table, ck).awaitTermination()
+    n1 = len(ice.snapshots(table))
+    assert n1 >= 1
+    dec = decode_chunks_df(ice.read_snapshot(spark, table))
+    assert diff_report(first, dec)["equal"]
+
+    # drain again, nothing new: no snapshot added
+    incremental_encode_to_iceberg(spark, land, table, ck).awaitTermination()
+    assert len(ice.snapshots(table)) == n1
+
+    # more data, same checkpoint: appended exactly once
+    # rows are deterministic per row id, so synth(600) extends synth(400)
+    second = (synth_tokens_df(spark, 600, n_partitions=1)
+              .filter("doc_id >= 'doc-000000000400'").cache())
+    second.write.mode("append").parquet(land)
+    incremental_encode_to_iceberg(spark, land, table, ck).awaitTermination()
+    total = first.union(second)
+    assert diff_report(total, decode_chunks_df(ice.read_snapshot(spark, table)))["equal"]
+
+    # lost stream checkpoint: epoch ids restart at 0 and all history
+    # re-batches under them — the recorded batch ids make every replayed
+    # epoch a no-op, so the table keeps its exact state (not 2x)
+    import shutil
+
+    shutil.rmtree(ck)
+    n_before = len(ice.snapshots(table))
+    incremental_encode_to_iceberg(spark, land, table, ck).awaitTermination()
+    assert len(ice.snapshots(table)) == n_before
+    rep = diff_report(total, decode_chunks_df(ice.read_snapshot(spark, table)))
+    assert rep["equal"], rep
+    first.unpersist(); second.unpersist()
