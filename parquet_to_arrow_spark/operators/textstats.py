@@ -320,8 +320,10 @@ def unigram_logprob(spark, sf_dir) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.length("w") > 0)
-    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
-    total = float(words.count())  # one scalar job, like tfidf's n_docs
+    # vocab is cached (vocabulary-sized) so the scalar-total job and the
+    # scoring join share ONE corpus explode — never a second pass
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt")).cache()
+    total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
     scored = words.join(vocab, "w").withColumn(
         "lp", F.log(F.col("cnt").cast("double") / F.lit(total))
     )
@@ -346,10 +348,11 @@ def source_kl_drift(spark, sf_dir) -> DataFrame:
     words = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.length("w") > 0)
-    sw = words.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    sw = words.groupBy("source", "w").agg(F.count("*").alias("c_sw")).cache()
     s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
     wc = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
-    c_all = float(words.count())
+    # corpus total from the (source, word)-sized frame, not a corpus re-scan
+    c_all = float(wc.agg(F.sum("c_w")).collect()[0][0])
     joined = sw.join(s_tot, "source").join(wc, "w")
     p_s = F.col("c_sw").cast("double") / F.col("c_s").cast("double")
     p = F.col("c_w").cast("double") / F.lit(c_all)
