@@ -80,35 +80,56 @@ MANIFEST_FILE_SCHEMA = json.dumps(
     }
 )
 
-_DATA_FILE = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        _f("content", 134, "int"),
-        _f("file_path", 100, "string"),
-        _f("file_format", 101, "string"),
-        # unpartitioned table: the partition struct has no fields
-        _f("partition", 102, {"type": "record", "name": "r102", "fields": []}),
-        _f("record_count", 103, "long"),
-        _f("file_size_in_bytes", 104, "long"),
-        _f("split_offsets", 132, ["null", {"type": "array", "items": "long"}]),
-        _f("sort_order_id", 140, ["null", "int"]),
-    ],
-}
+# iceberg type -> avro type for identity-partition value fields
+_ICEBERG_TO_AVRO = {"string": "string", "long": "long", "int": "int",
+                    "boolean": "boolean", "double": "double", "float": "float",
+                    "date": "int"}
 
-MANIFEST_ENTRY_SCHEMA = json.dumps(
-    {
+
+def manifest_entry_schema(partition_fields: list[tuple[str, str]] | None = None) -> str:
+    """manifest_entry Avro schema for a table's partition spec: the r102
+    partition struct carries one nullable field per identity-partition
+    column (spec field-ids from 1000, matching the partition-spec JSON);
+    an unpartitioned table gets the empty struct."""
+    pf = [
+        {
+            "name": name,
+            "field-id": 1000 + i,
+            "type": ["null", _ICEBERG_TO_AVRO[itype]],
+            "default": None,
+        }
+        for i, (name, itype) in enumerate(partition_fields or [])
+    ]
+    data_file = {
         "type": "record",
-        "name": "manifest_entry",
+        "name": "r2",
         "fields": [
-            _f("status", 0, "int"),  # 0 existing / 1 added / 2 deleted
-            _f("snapshot_id", 1, ["null", "long"]),
-            _f("sequence_number", 3, ["null", "long"]),
-            _f("file_sequence_number", 4, ["null", "long"]),
-            _f("data_file", 2, _DATA_FILE),
+            _f("content", 134, "int"),
+            _f("file_path", 100, "string"),
+            _f("file_format", 101, "string"),
+            _f("partition", 102, {"type": "record", "name": "r102", "fields": pf}),
+            _f("record_count", 103, "long"),
+            _f("file_size_in_bytes", 104, "long"),
+            _f("split_offsets", 132, ["null", {"type": "array", "items": "long"}]),
+            _f("sort_order_id", 140, ["null", "int"]),
         ],
     }
-)
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                _f("status", 0, "int"),  # 0 existing / 1 added / 2 deleted
+                _f("snapshot_id", 1, ["null", "long"]),
+                _f("sequence_number", 3, ["null", "long"]),
+                _f("file_sequence_number", 4, ["null", "long"]),
+                _f("data_file", 2, data_file),
+            ],
+        }
+    )
+
+
+MANIFEST_ENTRY_SCHEMA = manifest_entry_schema()
 
 
 # ------------------------------------------------------- schema conversion
@@ -190,6 +211,7 @@ class DataFile:
     path: str
     record_count: int
     file_size: int
+    partition: dict | None = None  # identity-partition values, if any
 
 
 def _meta_dir(table_dir: str) -> str:
@@ -216,6 +238,32 @@ def current_metadata(table_dir: str) -> dict | None:
         return json.load(f)
 
 
+def _coerce(v, itype: str):
+    """Partition value to its column type (path-parsed values arrive as
+    strings)."""
+    if v is None:
+        return None
+    if itype in ("long", "int", "date"):
+        return int(v)
+    if itype in ("double", "float"):
+        return float(v)
+    if itype == "boolean":
+        return v if isinstance(v, bool) else str(v).lower() == "true"
+    return str(v)
+
+
+def _partition_fields(meta: dict) -> list[tuple[str, str]]:
+    """[(column name, iceberg type)] of the default partition spec."""
+    spec = next(
+        s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
+    )
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    by_id = {f["id"]: f for f in schema["fields"]}
+    return [(f["name"], by_id[f["source-id"]]["type"]) for f in spec["fields"]]
+
+
 def _table_uuid(table_dir: str) -> str:
     return str(uuid.UUID(hashlib.md5(os.path.abspath(table_dir).encode()).hexdigest()))
 
@@ -236,8 +284,14 @@ def commit_append(
     properties: dict | None = None,
     summary: dict | None = None,
     replace_on: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append ``files`` as one new snapshot; returns the snapshot id.
+
+    ``partition_by`` (first commit only): identity-partition the table by
+    these columns — the spec gets transform "identity" fields (ids from
+    1000), each manifest entry carries the file's partition values, and
+    snapshot_files can then PRUNE files by partition without opening them.
 
     ``replace_on``: a summary key naming a logical partition (e.g. "wave").
     When a PRIOR snapshot carries the same value for that key, its manifests
@@ -261,6 +315,16 @@ def commit_append(
         if spark_schema is None:
             raise ValueError("first commit needs the table schema")
         schema, last_col = iceberg_schema(spark_schema)
+        by_name = {f["name"]: f for f in schema["fields"]}
+        spec_fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": by_name[c]["id"],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(partition_by or [])
+        ]
         base = {
             "format-version": FORMAT_VERSION,
             "table-uuid": _table_uuid(table_dir),
@@ -271,8 +335,8 @@ def commit_append(
             "current-schema-id": 0,
             "schemas": [schema],
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": properties or {},
@@ -304,6 +368,7 @@ def commit_append(
     manifest_name = f"{uid}-seq{seq}-{digest}-m0.avro"
     manifest_path = os.path.join(meta_dir, manifest_name)
     snap_id = _snapshot_id(uid, seq, [manifest_name])
+    pfields = _partition_fields(base)
     entries = [
         {
             "status": 1,  # ADDED
@@ -314,7 +379,10 @@ def commit_append(
                 "content": 0,
                 "file_path": os.path.abspath(f.path),
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": {
+                    name: _coerce((f.partition or {}).get(name), itype)
+                    for name, itype in pfields
+                },
                 "record_count": f.record_count,
                 "file_size_in_bytes": f.file_size,
                 "split_offsets": None,
@@ -324,7 +392,7 @@ def commit_append(
         for f in files
     ]
     manifest_bytes = avro_io.write_container(
-        MANIFEST_ENTRY_SCHEMA,
+        manifest_entry_schema(pfields),
         entries,
         meta={
             "schema": json.dumps(base["schemas"][base["current-schema-id"] if base["schemas"] else 0]),
@@ -460,25 +528,44 @@ def snapshots(table_dir: str) -> list[dict]:
     return list(meta["snapshots"]) if meta else []
 
 
-def snapshot_files(table_dir: str, snapshot_id: int | None = None) -> list[DataFile]:
+def snapshot_files(
+    table_dir: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> list[DataFile]:
     """Data files reachable from a snapshot (default: current), resolved
     through manifest list -> manifests — the same two-hop walk an Iceberg
-    runtime performs."""
+    runtime performs.
+
+    ``partition_filter`` ({column: value}) prunes files by their manifest
+    partition values — a selective scan never opens, lists, or stats the
+    other partitions' files, which is the point of the table format at
+    100 TB."""
     meta = current_metadata(table_dir)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_dir}")
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
     _, manifests = avro_io.read_container(open(snap["manifest-list"], "rb").read())
+    pf = partition_filter or {}
     out: list[DataFile] = []
     for mf in manifests:
         _, entries = avro_io.read_container(open(mf["manifest_path"], "rb").read())
         for e in entries:
-            if e["status"] != 2:  # skip DELETED
-                d = e["data_file"]
-                out.append(
-                    DataFile(d["file_path"], d["record_count"], d["file_size_in_bytes"])
+            if e["status"] == 2:  # DELETED
+                continue
+            d = e["data_file"]
+            part = d.get("partition") or {}
+            if any(part.get(k) != v for k, v in pf.items()):
+                continue
+            out.append(
+                DataFile(
+                    d["file_path"],
+                    d["record_count"],
+                    d["file_size_in_bytes"],
+                    partition=part or None,
                 )
+            )
     return out
 
 
@@ -489,39 +576,94 @@ def commit_parquet_dir(
     ts_ms: int | None = None,
     summary: dict | None = None,
     replace_on: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit every parquet file of a directory Spark just wrote as one
     appended snapshot. Row counts come from the parquet footers — the same
     numbers a cluster-side commit would take from task write stats; footer
-    reads are metadata-only and this runs once per commit, driver-side."""
+    reads are metadata-only and this runs once per commit, driver-side.
+
+    Hive-style ``key=value`` subdirectories (Spark's partitionBy layout)
+    become the files' identity-partition values."""
+    from urllib.parse import unquote
+
     import pyarrow.parquet as pq
 
     files = []
-    for name in sorted(os.listdir(parquet_dir)):
-        if name.endswith(".parquet"):
-            p = os.path.join(parquet_dir, name)
-            files.append(
-                DataFile(p, pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
-            )
-    return commit_append(
+    for dirpath, _, names in os.walk(parquet_dir):
+        part: dict = {}
+        rel = os.path.relpath(dirpath, parquet_dir)
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    part[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                p = os.path.join(dirpath, name)
+                files.append(
+                    DataFile(
+                        p,
+                        pq.ParquetFile(p).metadata.num_rows,
+                        os.path.getsize(p),
+                        partition=dict(part) or None,
+                    )
+                )
+    files.sort(key=lambda f: f.path)
+    sid = commit_append(
         table_dir,
         files,
         spark_schema=spark_schema,
         ts_ms=ts_ms,
         summary=summary,
         replace_on=replace_on,
+        partition_by=partition_by,
     )
+    return sid
 
 
-def read_snapshot(spark, table_dir: str, snapshot_id: int | None = None):
-    """Snapshot scan as a DataFrame: the resolved file list goes straight to
-    the parquet reader (pushdown/pruning intact). Time travel = pass an
-    older snapshot id."""
-    paths = [f.path for f in snapshot_files(table_dir, snapshot_id)]
-    if not paths:
-        schema = current_metadata(table_dir)["schemas"][0]
-        raise ValueError(f"snapshot has no data files (schema: {schema})")
-    return spark.read.parquet(*paths)
+_ICEBERG_TO_SPARK = {"string": "string", "long": "long", "int": "int",
+                     "boolean": "boolean", "double": "double", "float": "float"}
+
+
+def read_snapshot(
+    spark,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+):
+    """Snapshot scan as a DataFrame: the resolved (and partition-pruned)
+    file list goes straight to the parquet reader. For a partitioned table
+    the partition columns — not stored in the data files, per the hive
+    layout — are re-attached as typed literals per partition group (robust
+    across multi-root wave/batch directories where a single basePath does
+    not exist). Time travel = pass an older snapshot id."""
+    from pyspark.sql import functions as F
+
+    meta = current_metadata(table_dir)
+    files = snapshot_files(table_dir, snapshot_id, partition_filter)
+    if not files:
+        raise ValueError(
+            f"snapshot has no data files matching {partition_filter} "
+            f"(schema: {meta['schemas'][0]})"
+        )
+    pfields = _partition_fields(meta)
+    if not pfields:
+        return spark.read.parquet(*[f.path for f in files])
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple((f.partition or {}).get(name) for name, _ in pfields)
+        groups.setdefault(key, []).append(f.path)
+    parts = []
+    for key, paths in sorted(groups.items()):
+        df = spark.read.parquet(*paths)
+        for (name, itype), v in zip(pfields, key):
+            df = df.withColumn(name, F.lit(v).cast(_ICEBERG_TO_SPARK[itype]))
+        parts.append(df)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 # ----------------------------------------------------------- maintenance

@@ -311,3 +311,63 @@ class TestConcurrentCommit:
             assert os.path.exists(f.path)  # no stale paths from wave 0a
         assert not any(f.path.startswith(w0a) for f in files)
         assert ice.read_snapshot(spark, table).count() == 20
+
+
+class TestPartitionedTable:
+    def test_identity_partition_commit_prune_and_read(self, spark, tmp_path):
+        """Identity-partitioned commits: spec/field-ids in metadata,
+        partition values in manifests, file-level pruning by filter, and a
+        snapshot read that re-attaches the partition column — counts equal
+        a direct groupBy of the source data."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}", ["web", "books", "code"][i % 3]) for i in range(30)],
+            "doc_id long, text string, source string",
+        )
+        d = str(tmp_path / "w")
+        df.write.partitionBy("source").parquet(d)
+        table = str(tmp_path / "table")
+        ice.commit_parquet_dir(
+            table, d, spark_schema=df.schema, ts_ms=1, partition_by=["source"]
+        )
+
+        meta = ice.current_metadata(table)
+        spec = meta["partition-specs"][0]["fields"]
+        assert spec == [{"name": "source", "transform": "identity",
+                         "source-id": 3, "field-id": 1000}]
+
+        # pruning: the filtered walk returns ONLY that partition's files
+        all_files = ice.snapshot_files(table)
+        web_files = ice.snapshot_files(table, partition_filter={"source": "web"})
+        assert 0 < len(web_files) < len(all_files)
+        assert all(f.partition == {"source": "web"} for f in web_files)
+        assert sum(f.record_count for f in web_files) == 10
+
+        # read: partition column restored, full and pruned
+        full = ice.read_snapshot(spark, table)
+        assert full.count() == 30
+        got = {r["source"]: r["n"] for r in
+               full.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert got == {"web": 10, "books": 10, "code": 10}
+        web = ice.read_snapshot(spark, table, partition_filter={"source": "web"})
+        assert {r["doc_id"] % 3 for r in web.collect()} == {0}
+
+    def test_partitioned_appends_accumulate(self, spark, tmp_path):
+        df1 = spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8)], "doc_id long, text string, bucket int")
+        df2 = spark.createDataFrame(
+            [(3, "c", 7)], "doc_id long, text string, bucket int")
+        d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+        df1.write.partitionBy("bucket").parquet(d1)
+        df2.write.partitionBy("bucket").parquet(d2)
+        table = str(tmp_path / "table")
+        ice.commit_parquet_dir(table, d1, spark_schema=df1.schema, ts_ms=1,
+                               partition_by=["bucket"])
+        ice.commit_parquet_dir(table, d2, ts_ms=2)
+        # int-typed partition values survive the path round trip
+        seven = ice.snapshot_files(table, partition_filter={"bucket": 7})
+        assert sum(f.record_count for f in seven) == 2
+        got = ice.read_snapshot(spark, table, partition_filter={"bucket": 7})
+        assert {r["doc_id"] for r in got.collect()} == {1, 3}
+        assert dict(got.dtypes)["bucket"] == "int"
