@@ -156,3 +156,31 @@ def test_keyed_iceberg_commit_per_wave(job_spark, tmp_path):
     rep2 = diff_report(tokens, decode_chunks_df(ice.read_table(spark, tbl)))
     assert rep2["equal"], rep2
     tokens.unpersist()
+
+
+def test_fast_mode_iceberg_commits_only_new_files(job_spark, tmp_path):
+    """fast mode appends files per run; the iceberg commit must add each
+    run's files exactly once (known-file diff), so every data file is
+    referenced by exactly one ADDED manifest entry."""
+    from collections import Counter
+
+    from parquet_to_arrow_spark.sources import iceberg_meta as ice
+
+    spark = job_spark
+    tokens = synth_tokens_df(spark, 500, avg_tokens=32, n_partitions=2)
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    tbl = str(tmp_path / "tbl")
+    tokens.write.parquet(inp)
+
+    args = ["--input", inp, "--output", out, "--manifest", str(tmp_path / "man"),
+            "--mode", "fast", "--chunk-rows", "256", "--iceberg-table", tbl]
+    assert encode_job.main(args) == 0
+    n1 = len(ice.snapshot_files(tbl))
+    assert encode_job.main(args) == 0  # append semantics: second run = new files
+
+    files = ice.snapshot_files(tbl)
+    assert len(files) > n1
+    counts = Counter(f.path for f in files)
+    assert all(c == 1 for c in counts.values()), counts  # no double-commits
+    assert len(ice.orphan_files(tbl, data_dir=out)) == 0

@@ -371,3 +371,34 @@ class TestPartitionedTable:
         got = ice.read_snapshot(spark, table, partition_filter={"bucket": 7})
         assert {r["doc_id"] for r in got.collect()} == {1, 3}
         assert dict(got.dtypes)["bucket"] == "int"
+
+
+class TestCli:
+    def test_cli_commands_roundtrip(self, spark, docs_df, tmp_path, capsys):
+        import sys
+
+        sys.path.insert(0, "tools")
+        import iceberg_cli
+
+        table = str(tmp_path / "table")
+        d = str(tmp_path / "w")
+        docs_df.write.parquet(d)
+        ice.commit_parquet_dir(table, d, spark_schema=docs_df.schema, ts_ms=1)
+
+        assert iceberg_cli.main(["snapshots", table]) == 0
+        snaps = json.loads(capsys.readouterr().out)
+        assert len(snaps) == 1 and snaps[0]["operation"] == "append"
+
+        assert iceberg_cli.main(["files", table]) == 0
+        files = json.loads(capsys.readouterr().out)
+        assert files["total_records"] == 20
+
+        assert iceberg_cli.main(["history", table]) == 0
+        hist = json.loads(capsys.readouterr().out)
+        assert hist["current_version"] == 1 and hist["last_sequence_number"] == 1
+
+        assert iceberg_cli.main(["orphans", table, "--data-dir", d]) == 0
+        assert json.loads(capsys.readouterr().out)["orphans"] == []
+
+        assert iceberg_cli.main(["expire", table, "--keep", "1"]) == 0
+        assert json.loads(capsys.readouterr().out)["expired_snapshot_ids"] == []

@@ -1,0 +1,98 @@
+"""Iceberg table inspection/maintenance CLI (engine-native metadata).
+
+Usage:
+    python tools/iceberg_cli.py snapshots <table_dir>
+    python tools/iceberg_cli.py files <table_dir> [--snapshot ID] [--partition k=v ...]
+    python tools/iceberg_cli.py history <table_dir>
+    python tools/iceberg_cli.py expire <table_dir> --keep N [--remove]
+    python tools/iceberg_cli.py orphans <table_dir> [--data-dir DIR]
+
+Every command prints one JSON document to stdout — pipe into jq or a
+monitoring job. Pure metadata: no Spark session is started.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_to_arrow_spark.sources import iceberg_meta as ice  # noqa: E402
+
+
+def _parse_partition(pairs: list[str]) -> dict:
+    out: dict = {}
+    for p in pairs:
+        k, v = p.split("=", 1)
+        out[k] = int(v) if v.lstrip("-").isdigit() else v
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("snapshots", "files", "history", "expire", "orphans"):
+        s = sub.add_parser(name)
+        s.add_argument("table")
+        if name == "files":
+            s.add_argument("--snapshot", type=int, default=None)
+            s.add_argument("--partition", action="append", default=[])
+        if name == "expire":
+            s.add_argument("--keep", type=int, required=True)
+            s.add_argument("--remove", action="store_true")
+        if name == "orphans":
+            s.add_argument("--data-dir", default=None)
+    args = p.parse_args(argv)
+
+    if args.cmd == "snapshots":
+        out = [
+            {
+                "snapshot_id": s["snapshot-id"],
+                "sequence_number": s["sequence-number"],
+                "timestamp_ms": s["timestamp-ms"],
+                "operation": s["summary"].get("operation"),
+                "summary": s["summary"],
+            }
+            for s in ice.snapshots(args.table)
+        ]
+    elif args.cmd == "files":
+        files = ice.snapshot_files(
+            args.table, args.snapshot, _parse_partition(args.partition) or None
+        )
+        out = {
+            "n_files": len(files),
+            "total_records": sum(f.record_count for f in files),
+            "total_bytes": sum(f.file_size for f in files),
+            "files": [
+                {
+                    "path": f.path,
+                    "records": f.record_count,
+                    "bytes": f.file_size,
+                    "partition": f.partition,
+                }
+                for f in files
+            ],
+        }
+    elif args.cmd == "history":
+        meta = ice.current_metadata(args.table)
+        out = {
+            "table_uuid": meta["table-uuid"],
+            "current_snapshot_id": meta["current-snapshot-id"],
+            "last_sequence_number": meta["last-sequence-number"],
+            "current_version": ice.current_version(args.table),
+            "snapshot_log": meta["snapshot-log"],
+            "partition_spec": meta["partition-specs"][meta["default-spec-id"]],
+        }
+    elif args.cmd == "expire":
+        out = ice.expire_snapshots(args.table, keep_last=args.keep, remove=args.remove)
+    else:  # orphans
+        out = {"orphans": ice.orphan_files(args.table, data_dir=args.data_dir)}
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
