@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": ts.pii_redact,
         "unigram_logprob": ts.unigram_logprob,
         "source_kl_drift": ts.source_kl_drift,
+        "quality_filter": ts.quality_filter,
         # --- multimodal (real WAV/PPM container decode; codec formats stubbed) ---
         "media_meta": multimodal.media_meta,
         "media_audio_features": multimodal.media_audio_features,
@@ -1028,6 +1029,18 @@ def oracle_sql() -> dict[str, str]:
                        AS boilerplate_frac
             FROM d LEFT JOIN h ON d.doc_id = h.doc_id""",
         "pii_redact": _pii_sql(),
+        "quality_filter": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1
+                            AS BIGINT) AS n_words
+                FROM documents
+            ), t AS (
+                SELECT lang, round(quantile_cont(n_words, 0.1), 6) AS thr
+                FROM s GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.n_words, t.thr
+            FROM s JOIN t USING (lang) WHERE s.n_words >= t.thr""",
         "unigram_logprob": """
             WITH w2 AS (
                 SELECT doc_id, w FROM (

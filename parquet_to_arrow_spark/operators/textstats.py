@@ -305,6 +305,32 @@ def pii_redact(spark, sf_dir) -> DataFrame:
     return docs.select(*cols)
 
 
+def quality_filter(spark, sf_dir, pct: float = 0.1) -> DataFrame:
+    """Quantile-threshold quality gate: keep documents whose word count
+    reaches their LANGUAGE's pct-quantile — the per-slice adaptive filter
+    (fixed global thresholds over- or under-prune small languages).
+
+    Thresholds are one tiny per-language aggregate broadcast back onto the
+    scan. This uses EXACT interpolating percentile so the DuckDB
+    quantile_cont oracle matches bit-for-bit; on a 100 TB corpus swap in
+    approx_percentile(col, p, 10000) — same plan shape, bounded memory,
+    the standard accuracy/exactness trade (exact percentile sorts each
+    group's values in the aggregation buffer)."""
+    docs = _docs(spark, sf_dir)
+    n_words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    ).cast("long")
+    scored = docs.select("doc_id", "lang", n_words.alias("n_words"))
+    thr = scored.groupBy("lang").agg(
+        F.round(F.percentile("n_words", F.lit(pct)), 6).alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .filter(F.col("n_words") >= F.col("thr"))
+        .select("doc_id", "lang", "n_words", "thr")
+    )
+
+
 def unigram_logprob(spark, sf_dir) -> DataFrame:
     """Per-document average unigram log-probability under the corpus's own
     unigram LM — the classic cheap perplexity proxy quality filters

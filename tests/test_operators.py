@@ -399,3 +399,29 @@ def test_source_kl_drift_zero_for_identical_distribution(spark, tmp_path):
     assert out["skew"]["kl_r"] == pytest.approx(want, abs=1e-9)
     assert out["skew"]["n_words"] == 4 and out["skew"]["n_distinct_words"] == 2
     assert out["even"]["kl_r"] > 0.0  # mirrored skew
+
+
+def test_quality_filter_per_language_threshold(spark, tmp_path):
+    """Each language gets its OWN p10 word-count threshold; a short doc
+    survives in a short-doc language but the same length is pruned in a
+    long-doc language."""
+    from pyspark.sql import Row
+
+    from parquet_to_arrow_spark.operators.textstats import quality_filter
+
+    rows = (
+        # 'short' lang: word counts 2..11 -> p10 threshold ~2.9
+        [Row(doc_id=i, text=" ".join(["w"] * (2 + i)), lang="short", source="s",
+             n_chars=1) for i in range(10)]
+        # 'long' lang: word counts 100..109 -> threshold ~100.9
+        + [Row(doc_id=100 + i, text=" ".join(["w"] * (100 + i)), lang="long",
+               source="s", n_chars=1) for i in range(10)]
+    )
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    kept = {r["doc_id"]: r for r in quality_filter(spark, str(tmp_path)).collect()}
+
+    assert 0 not in kept          # 2 words < short-lang threshold
+    assert 5 in kept              # 7 words passes short-lang threshold
+    assert 100 not in kept        # 100 words < long-lang threshold (100.9)
+    assert 109 in kept
+    assert kept[5]["thr"] != kept[109]["thr"]  # genuinely per-language
