@@ -86,6 +86,31 @@ _ICEBERG_TO_AVRO = {"string": "string", "long": "long", "int": "int",
                     "date": "int"}
 
 
+def _bounds_field(name: str, fid: int, rec: str, kid: int, vid: int) -> dict:
+    """map<int, binary> in Iceberg's avro form: an array of key/value
+    records with spec field-ids (lower_bounds 125: k126/v127, upper_bounds
+    128: k129/v130)."""
+    return _f(
+        name,
+        fid,
+        [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": rec,
+                    "fields": [
+                        _f("key", kid, "int"),
+                        _f("value", vid, "bytes"),
+                    ],
+                },
+            },
+        ],
+    )
+
+
 def manifest_entry_schema(partition_fields: list[tuple[str, str]] | None = None) -> str:
     """manifest_entry Avro schema for a table's partition spec: the r102
     partition struct carries one nullable field per identity-partition
@@ -110,6 +135,8 @@ def manifest_entry_schema(partition_fields: list[tuple[str, str]] | None = None)
             _f("partition", 102, {"type": "record", "name": "r102", "fields": pf}),
             _f("record_count", 103, "long"),
             _f("file_size_in_bytes", 104, "long"),
+            _bounds_field("lower_bounds", 125, "k126_v127", 126, 127),
+            _bounds_field("upper_bounds", 128, "k129_v130", 129, 130),
             _f("split_offsets", 132, ["null", {"type": "array", "items": "long"}]),
             _f("sort_order_id", 140, ["null", "int"]),
         ],
@@ -212,6 +239,8 @@ class DataFile:
     record_count: int
     file_size: int
     partition: dict | None = None  # identity-partition values, if any
+    lower_bounds: dict | None = None  # {field_id: raw python value}
+    upper_bounds: dict | None = None
 
 
 def _meta_dir(table_dir: str) -> str:
@@ -236,6 +265,43 @@ def current_metadata(table_dir: str) -> dict | None:
         return None
     with open(os.path.join(_meta_dir(table_dir), f"v{v}.metadata.json")) as f:
         return json.load(f)
+
+
+import struct as _struct
+
+
+def encode_bound(v, itype: str) -> bytes:
+    """Iceberg single-value binary serialization (spec Appendix D):
+    little-endian fixed width for numerics, UTF-8 for strings."""
+    if itype == "long":
+        return _struct.pack("<q", int(v))
+    if itype in ("int", "date"):
+        return _struct.pack("<i", int(v))
+    if itype == "double":
+        return _struct.pack("<d", float(v))
+    if itype == "float":
+        return _struct.pack("<f", float(v))
+    if itype == "boolean":
+        return b"\x01" if v else b"\x00"
+    if itype == "string":
+        return str(v).encode("utf-8")
+    raise ValueError(f"no bound serialization for {itype}")
+
+
+def decode_bound(b: bytes, itype: str):
+    if itype == "long":
+        return _struct.unpack("<q", b)[0]
+    if itype in ("int", "date"):
+        return _struct.unpack("<i", b)[0]
+    if itype == "double":
+        return _struct.unpack("<d", b)[0]
+    if itype == "float":
+        return _struct.unpack("<f", b)[0]
+    if itype == "boolean":
+        return b == b"\x01"
+    if itype == "string":
+        return b.decode("utf-8")
+    raise ValueError(f"no bound serialization for {itype}")
 
 
 def _coerce(v, itype: str):
@@ -369,6 +435,22 @@ def commit_append(
     manifest_path = os.path.join(meta_dir, manifest_name)
     snap_id = _snapshot_id(uid, seq, [manifest_name])
     pfields = _partition_fields(base)
+    cur_schema = next(
+        s for s in base["schemas"] if s["schema-id"] == base["current-schema-id"]
+    )
+    types_by_id = {
+        f["id"]: f["type"] for f in cur_schema["fields"] if isinstance(f["type"], str)
+    }
+
+    def _bmap(bounds: dict | None):
+        if not bounds:
+            return None
+        return [
+            {"key": fid, "value": encode_bound(v, types_by_id[fid])}
+            for fid, v in sorted(bounds.items())
+            if fid in types_by_id and v is not None
+        ]
+
     entries = [
         {
             "status": 1,  # ADDED
@@ -385,6 +467,8 @@ def commit_append(
                 },
                 "record_count": f.record_count,
                 "file_size_in_bytes": f.file_size,
+                "lower_bounds": _bmap(f.lower_bounds),
+                "upper_bounds": _bmap(f.upper_bounds),
                 "split_offsets": None,
                 "sort_order_id": None,
             },
@@ -532,20 +616,37 @@ def snapshot_files(
     table_dir: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    range_filter: dict | None = None,
 ) -> list[DataFile]:
     """Data files reachable from a snapshot (default: current), resolved
     through manifest list -> manifests — the same two-hop walk an Iceberg
     runtime performs.
 
     ``partition_filter`` ({column: value}) prunes files by their manifest
-    partition values — a selective scan never opens, lists, or stats the
-    other partitions' files, which is the point of the table format at
-    100 TB."""
+    partition values; ``range_filter`` ({column: (lo, hi)}, inclusive,
+    None = unbounded side) prunes by the manifests' column min/max bounds
+    — files whose recorded range cannot intersect the predicate are never
+    opened, listed, or stat-ed. Both are metadata-only skips; files
+    WITHOUT bounds for a filtered column are conservatively kept, and the
+    caller still applies the row-level predicate (skipping is an
+    optimization, exactly as in Iceberg)."""
     meta = current_metadata(table_dir)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_dir}")
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    ids_by_name = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema["fields"]
+        if isinstance(f["type"], str)
+    }
+    rf = {
+        ids_by_name[name][0]: (lo, hi, ids_by_name[name][1])
+        for name, (lo, hi) in (range_filter or {}).items()
+    }
     _, manifests = avro_io.read_container(open(snap["manifest-list"], "rb").read())
     pf = partition_filter or {}
     out: list[DataFile] = []
@@ -558,15 +659,44 @@ def snapshot_files(
             part = d.get("partition") or {}
             if any(part.get(k) != v for k, v in pf.items()):
                 continue
+            lo_b = {b["key"]: b["value"] for b in d.get("lower_bounds") or []}
+            hi_b = {b["key"]: b["value"] for b in d.get("upper_bounds") or []}
+            skip = False
+            for fid, (lo, hi, itype) in rf.items():
+                if fid in lo_b and hi is not None and decode_bound(lo_b[fid], itype) > hi:
+                    skip = True
+                    break
+                if fid in hi_b and lo is not None and decode_bound(hi_b[fid], itype) < lo:
+                    skip = True
+                    break
+            if skip:
+                continue
             out.append(
                 DataFile(
                     d["file_path"],
                     d["record_count"],
                     d["file_size_in_bytes"],
                     partition=part or None,
+                    lower_bounds={
+                        k: decode_bound(v, _fid_type(schema, k))
+                        for k, v in lo_b.items()
+                        if _fid_type(schema, k)
+                    } or None,
+                    upper_bounds={
+                        k: decode_bound(v, _fid_type(schema, k))
+                        for k, v in hi_b.items()
+                        if _fid_type(schema, k)
+                    } or None,
                 )
             )
     return out
+
+
+def _fid_type(schema: dict, fid: int) -> str | None:
+    for f in schema["fields"]:
+        if f["id"] == fid and isinstance(f["type"], str):
+            return f["type"]
+    return None
 
 
 def commit_parquet_dir(
@@ -584,10 +714,62 @@ def commit_parquet_dir(
     reads are metadata-only and this runs once per commit, driver-side.
 
     Hive-style ``key=value`` subdirectories (Spark's partitionBy layout)
-    become the files' identity-partition values."""
+    become the files' identity-partition values. Column min/max from the
+    parquet footers land in the manifest as Iceberg lower/upper bounds —
+    the inputs to file-level min-max skipping (snapshot_files
+    range_filter)."""
     from urllib.parse import unquote
 
     import pyarrow.parquet as pq
+
+    meta = current_metadata(table_dir)
+    if meta is not None:
+        schema = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+    else:
+        if spark_schema is None:
+            raise ValueError("first commit needs the table schema")
+        schema, _ = iceberg_schema(spark_schema)
+    ids_by_name = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema["fields"]
+        if isinstance(f["type"], str) and f["type"] in _ICEBERG_TO_AVRO
+    }
+
+    def _footer_bounds(md) -> tuple[dict, dict]:
+        lo: dict = {}
+        hi: dict = {}
+        seen_all: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in ids_by_name:
+                    continue
+                st = col.statistics
+                ok = st is not None and st.has_min_max
+                if ok and ids_by_name[name][1] == "string":
+                    # parquet may TRUNCATE long string stats; an inexact
+                    # upper bound under-prunes correctness-fatally, so only
+                    # trust explicitly-exact (or clearly untruncated) values
+                    exact = getattr(st, "is_max_value_exact", None)
+                    if exact is None:
+                        exact = len(st.min) < 60 and len(st.max) < 60
+                    ok = bool(exact)
+                seen_all[name] = seen_all.get(name, True) and ok
+                if ok:
+                    fid = ids_by_name[name][0]
+                    lo[fid] = st.min if fid not in lo else min(lo[fid], st.min)
+                    hi[fid] = st.max if fid not in hi else max(hi[fid], st.max)
+        # a column missing stats in ANY row group has no trustworthy bound
+        for name, ok in seen_all.items():
+            if not ok:
+                fid = ids_by_name[name][0]
+                lo.pop(fid, None)
+                hi.pop(fid, None)
+        return lo, hi
 
     files = []
     for dirpath, _, names in os.walk(parquet_dir):
@@ -601,12 +783,16 @@ def commit_parquet_dir(
         for name in sorted(names):
             if name.endswith(".parquet"):
                 p = os.path.join(dirpath, name)
+                md = pq.ParquetFile(p).metadata
+                lo, hi = _footer_bounds(md)
                 files.append(
                     DataFile(
                         p,
-                        pq.ParquetFile(p).metadata.num_rows,
+                        md.num_rows,
                         os.path.getsize(p),
                         partition=dict(part) or None,
+                        lower_bounds=lo or None,
+                        upper_bounds=hi or None,
                     )
                 )
     files.sort(key=lambda f: f.path)
@@ -631,6 +817,7 @@ def read_snapshot(
     table_dir: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    range_filter: dict | None = None,
 ):
     """Snapshot scan as a DataFrame: the resolved (and partition-pruned)
     file list goes straight to the parquet reader. For a partitioned table
@@ -641,7 +828,7 @@ def read_snapshot(
     from pyspark.sql import functions as F
 
     meta = current_metadata(table_dir)
-    files = snapshot_files(table_dir, snapshot_id, partition_filter)
+    files = snapshot_files(table_dir, snapshot_id, partition_filter, range_filter)
     if not files:
         raise ValueError(
             f"snapshot has no data files matching {partition_filter} "

@@ -84,6 +84,8 @@ class TestAvroBinary:
                 "content": 0, "file_path": "/tmp/x.parquet",
                 "file_format": "PARQUET", "partition": {},
                 "record_count": 10, "file_size_in_bytes": 999,
+                "lower_bounds": [{"key": 1, "value": b"\x01" * 8}],
+                "upper_bounds": None,
                 "split_offsets": None, "sort_order_id": None,
             },
         }
@@ -402,3 +404,47 @@ class TestCli:
 
         assert iceberg_cli.main(["expire", table, "--keep", "1"]) == 0
         assert json.loads(capsys.readouterr().out)["expired_snapshot_ids"] == []
+
+
+class TestMinMaxBounds:
+    def test_bounds_recorded_and_roundtrip(self):
+        assert ice.encode_bound(-5, "long") == (-5).to_bytes(8, "little", signed=True)
+        assert ice.decode_bound(ice.encode_bound(3.5, "double"), "double") == 3.5
+        assert ice.decode_bound(ice.encode_bound("abc", "string"), "string") == "abc"
+        assert ice.decode_bound(ice.encode_bound(True, "boolean"), "boolean") is True
+
+    def test_range_filter_skips_disjoint_files(self, spark, tmp_path):
+        """Three files with disjoint doc_id ranges: a range predicate must
+        prune at the manifest walk (no file opens), and the pruned read
+        plus the row predicate returns exactly the right rows."""
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(300)], "doc_id long, text string"
+        )
+        d = str(tmp_path / "w")
+        # one file per 100-id block
+        df.repartitionByRange(3, "doc_id").write.parquet(d)
+        table = str(tmp_path / "table")
+        ice.commit_parquet_dir(table, d, spark_schema=df.schema, ts_ms=1)
+
+        all_files = ice.snapshot_files(table)
+        assert len(all_files) == 3
+        assert all(f.lower_bounds and f.upper_bounds for f in all_files)
+        # ids 0..299 split by range: [150, 160] intersects exactly one file
+        hit = ice.snapshot_files(table, range_filter={"doc_id": (150, 160)})
+        assert len(hit) == 1
+        lo, hi = list(hit[0].lower_bounds.values())[0], list(hit[0].upper_bounds.values())[0]
+        assert lo <= 150 and hi >= 160
+
+        got = (
+            ice.read_snapshot(spark, table, range_filter={"doc_id": (150, 160)})
+            .filter("doc_id BETWEEN 150 AND 160")
+            .count()
+        )
+        assert got == 11
+        # half-open filters: (None, 99) and (200, None)
+        low = ice.snapshot_files(table, range_filter={"doc_id": (None, 99)})
+        high = ice.snapshot_files(table, range_filter={"doc_id": (200, None)})
+        assert len(low) == 1 and len(high) == 1
+        # a column with no bounds recorded is conservatively kept
+        none = ice.snapshot_files(table, range_filter={"text": ("zzz", None)})
+        assert len(none) <= 3  # strings bounded too: may prune, never errors
