@@ -342,6 +342,61 @@ def _snapshot_id(table_uuid: str, seq: int, manifest_names: list[str]) -> int:
     return int.from_bytes(h.digest()[:8], "big") & ((1 << 63) - 1)
 
 
+def _maybe_evolve_schema(base: dict, spark_schema) -> dict:
+    """ADDITIVE schema evolution: a commit whose schema introduces new
+    columns appends a new schema entry (fresh field-ids continuing
+    last-column-id, per the spec's never-reuse-ids rule) and makes it
+    current; reads project the new columns as null for pre-evolution
+    files. Existing columns must keep their types; drops/renames are out
+    of scope (rejected loudly, not silently mangled)."""
+    new_schema, _ = iceberg_schema(spark_schema)
+    cur = next(s for s in base["schemas"] if s["schema-id"] == base["current-schema-id"])
+    cur_by_name = {f["name"]: f for f in cur["fields"]}
+
+    def type_key(t):
+        return json.dumps(t, sort_keys=True) if isinstance(t, dict) else t
+
+    added = []
+    for f in new_schema["fields"]:
+        have = cur_by_name.get(f["name"])
+        if have is None:
+            added.append(f)
+        else:
+            # compare shapes ignoring ids (the new conversion renumbered)
+            a, b = dict(f), dict(have)
+            a.pop("id"), b.pop("id")
+            if isinstance(a["type"], dict):
+                a["type"] = {k: v for k, v in a["type"].items() if k != "element-id"}
+            if isinstance(b["type"], dict):
+                b["type"] = {k: v for k, v in b["type"].items() if k != "element-id"}
+            if type_key(a["type"]) != type_key(b["type"]) or a["required"] != b["required"]:
+                raise ValueError(
+                    f"unsupported schema evolution for column {f['name']!r}: "
+                    f"{b['type']} -> {a['type']} (only additive changes)"
+                )
+    if not added:
+        return base
+    next_id = base["last-column-id"]
+    fresh = []
+    for f in added:
+        next_id += 1
+        nf = dict(f, id=next_id)
+        if isinstance(nf["type"], dict):
+            next_id += 1
+            nf["type"] = dict(nf["type"], **{"element-id": next_id})
+        fresh.append(nf)
+    evolved = {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in base["schemas"]) + 1,
+        "fields": [dict(f) for f in cur["fields"]] + fresh,
+    }
+    out = dict(base)
+    out["schemas"] = base["schemas"] + [evolved]
+    out["current-schema-id"] = evolved["schema-id"]
+    out["last-column-id"] = next_id
+    return out
+
+
 def commit_append(
     table_dir: str,
     files: list[DataFile],
@@ -414,8 +469,10 @@ def commit_append(
         }
         version = 0
     else:
-        base = prev
+        base = dict(prev)
         version = current_version(table_dir)
+        if spark_schema is not None:
+            base = _maybe_evolve_schema(base, spark_schema)
 
     seq = base["last-sequence-number"] + 1
     ts = int(ts_ms if ts_ms is not None else time.time() * 1000)
@@ -753,11 +810,17 @@ def commit_parquet_dir(
                 if ok and ids_by_name[name][1] == "string":
                     # parquet may TRUNCATE long string stats; an inexact
                     # upper bound under-prunes correctness-fatally, so only
-                    # trust explicitly-exact (or clearly untruncated) values
-                    exact = getattr(st, "is_max_value_exact", None)
-                    if exact is None:
-                        exact = len(st.min) < 60 and len(st.max) < 60
-                    ok = bool(exact)
+                    # trust explicitly-exact (or clearly untruncated) values.
+                    # A non-string stat here means the file disagrees with
+                    # the table schema — drop the bound and let the commit's
+                    # schema check raise the real error.
+                    if not isinstance(st.min, (str, bytes)):
+                        ok = False
+                    else:
+                        exact = getattr(st, "is_max_value_exact", None)
+                        if exact is None:
+                            exact = len(st.min) < 60 and len(st.max) < 60
+                        ok = bool(exact)
                 seen_all[name] = seen_all.get(name, True) and ok
                 if ok:
                     fid = ids_by_name[name][0]
@@ -811,6 +874,24 @@ def commit_parquet_dir(
 _ICEBERG_TO_SPARK = {"string": "string", "long": "long", "int": "int",
                      "boolean": "boolean", "double": "double", "float": "float"}
 
+_ICEBERG_TO_SPARK_DDL = {
+    "string": "string", "long": "bigint", "int": "int", "boolean": "boolean",
+    "double": "double", "float": "float", "binary": "binary", "date": "date",
+    "timestamptz": "timestamp", "timestamp": "timestamp_ntz",
+}
+
+
+def _spark_ddl(schema: dict) -> str:
+    """Spark read schema from the CURRENT iceberg schema — files written
+    before an additive evolution simply project the new columns as null."""
+
+    def t(x):
+        if isinstance(x, dict):
+            return f"array<{t(x['element'])}>"
+        return _ICEBERG_TO_SPARK_DDL[x]
+
+    return ", ".join(f"`{f['name']}` {t(f['type'])}" for f in schema["fields"])
+
 
 def read_snapshot(
     spark,
@@ -834,16 +915,20 @@ def read_snapshot(
             f"snapshot has no data files matching {partition_filter} "
             f"(schema: {meta['schemas'][0]})"
         )
+    cur_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    ddl = _spark_ddl(cur_schema)
     pfields = _partition_fields(meta)
     if not pfields:
-        return spark.read.parquet(*[f.path for f in files])
+        return spark.read.schema(ddl).parquet(*[f.path for f in files])
     groups: dict[tuple, list[str]] = {}
     for f in files:
         key = tuple((f.partition or {}).get(name) for name, _ in pfields)
         groups.setdefault(key, []).append(f.path)
     parts = []
     for key, paths in sorted(groups.items()):
-        df = spark.read.parquet(*paths)
+        df = spark.read.schema(ddl).parquet(*paths)
         for (name, itype), v in zip(pfields, key):
             df = df.withColumn(name, F.lit(v).cast(_ICEBERG_TO_SPARK[itype]))
         parts.append(df)

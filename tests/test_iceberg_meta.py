@@ -448,3 +448,47 @@ class TestMinMaxBounds:
         # a column with no bounds recorded is conservatively kept
         none = ice.snapshot_files(table, range_filter={"text": ("zzz", None)})
         assert len(none) <= 3  # strings bounded too: may prune, never errors
+
+
+class TestSchemaEvolution:
+    def test_additive_column_projects_null_for_old_files(self, spark, tmp_path):
+        """Commit v1 with (doc_id, text); commit v2 adding lang: the table
+        schema evolves with a FRESH field id, old files read lang as null,
+        and bounds for the new column only exist on new files."""
+        table = str(tmp_path / "table")
+        d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+        df2 = spark.createDataFrame(
+            [(3, "c", "en"), (4, "d", "de")], "doc_id long, text string, lang string")
+        df1.write.parquet(d1)
+        df2.write.parquet(d2)
+        ice.commit_parquet_dir(table, d1, spark_schema=df1.schema, ts_ms=1)
+        ice.commit_parquet_dir(table, d2, spark_schema=df2.schema, ts_ms=2)
+
+        meta = ice.current_metadata(table)
+        assert len(meta["schemas"]) == 2 and meta["current-schema-id"] == 1
+        lang = [f for f in meta["schemas"][1]["fields"] if f["name"] == "lang"][0]
+        assert lang["id"] == 3 and meta["last-column-id"] == 3
+        # ids of pre-existing columns unchanged
+        assert [f["id"] for f in meta["schemas"][1]["fields"]] == [1, 2, 3]
+
+        rows = {r["doc_id"]: r["lang"]
+                for r in ice.read_snapshot(spark, table).collect()}
+        assert rows == {1: None, 2: None, 3: "en", 4: "de"}
+
+        # same-schema recommit is a no-op on the schema list
+        d3 = str(tmp_path / "w3")
+        df2.write.parquet(d3)
+        ice.commit_parquet_dir(table, d3, spark_schema=df2.schema, ts_ms=3)
+        assert len(ice.current_metadata(table)["schemas"]) == 2
+
+    def test_type_change_is_rejected(self, spark, tmp_path):
+        table = str(tmp_path / "table")
+        d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+        df1 = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        df2 = spark.createDataFrame([(2, 9)], "doc_id long, text long")
+        df1.write.parquet(d1)
+        df2.write.parquet(d2)
+        ice.commit_parquet_dir(table, d1, spark_schema=df1.schema, ts_ms=1)
+        with pytest.raises(ValueError, match="unsupported schema evolution"):
+            ice.commit_parquet_dir(table, d2, spark_schema=df2.schema, ts_ms=2)
