@@ -77,7 +77,7 @@ def _measure_encode(cores: int, n_rows: int, reps: int = 2) -> dict:
     # understated round-1 throughput by ~35% at 32 cores. A long-lived
     # cluster is always at steady state; measure that.
     encode_parquet_dir(spark, path).count()
-    best = None
+    times = []
     for _ in range(reps):
         t0 = time.time()
         row = (
@@ -89,10 +89,11 @@ def _measure_encode(cores: int, n_rows: int, reps: int = 2) -> dict:
             )
             .collect()[0]
         )
-        dt = time.time() - t0
-        if best is None or dt < best:
-            best = dt
+        times.append(time.time() - t0)
     spark.stop()
+    times.sort()
+    best = times[0]
+    median = times[len(times) // 2]
     raw_gib = row["raw"] / (1 << 30)
     return {
         "cores": cores,
@@ -102,6 +103,7 @@ def _measure_encode(cores: int, n_rows: int, reps: int = 2) -> dict:
         "ratio": round(row["raw"] / max(row["enc"], 1), 3),
         "seconds": round(best, 3),
         "gib_per_s": round(raw_gib / best, 4),
+        "gib_per_s_median": round(raw_gib / median, 4),
     }
 
 
@@ -220,13 +222,17 @@ def main() -> None:
         rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", str(max(BENCH_ROWS, 4_000_000))))
         lo = _measure_encode(n, rows, reps=3)
         hi = _measure_encode(4 * n, rows, reps=3)
-        eff = (hi["gib_per_s"] / lo["gib_per_s"]) / 4.0
+        # MEDIAN per leg for the ratio: best-of-N is noise-ASYMMETRIC here —
+        # one lucky-fast 1-core rep deflates the efficiency by 10-20% on
+        # this shared box (observed 0.78 vs 0.85 across clean runs), while
+        # medians of the same legs agree run to run
+        eff = (hi["gib_per_s_median"] / lo["gib_per_s_median"]) / 4.0
         result["scaling"] = {
             "n_cores": lo["cores"],
             "n4_cores": hi["cores"],
             "rows": rows,
-            "gib_per_s_n": lo["gib_per_s"],
-            "gib_per_s_4n": hi["gib_per_s"],
+            "gib_per_s_n": lo["gib_per_s_median"],
+            "gib_per_s_4n": hi["gib_per_s_median"],
             "efficiency": round(eff, 3),
         }
 

@@ -305,6 +305,20 @@ def pii_redact(spark, sf_dir) -> DataFrame:
     return docs.select(*cols)
 
 
+# the single cached frame the statistics operators pin (the pipeline._packed
+# pattern): each new call releases the previous call's cache so a long
+# driver sweep cannot accumulate executor storage
+_cached_stats: list = []
+
+
+def _swap_cached(df: DataFrame) -> DataFrame:
+    while _cached_stats:
+        _cached_stats.pop().unpersist()
+    df = df.cache()
+    _cached_stats.append(df)
+    return df
+
+
 def quality_filter(spark, sf_dir, pct: float = 0.1) -> DataFrame:
     """Quantile-threshold quality gate: keep documents whose word count
     reaches their LANGUAGE's pct-quantile — the per-slice adaptive filter
@@ -347,8 +361,9 @@ def unigram_logprob(spark, sf_dir) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.length("w") > 0)
     # vocab is cached (vocabulary-sized) so the scalar-total job and the
-    # scoring join share ONE corpus explode — never a second pass
-    vocab = words.groupBy("w").agg(F.count("*").alias("cnt")).cache()
+    # scoring join share ONE corpus explode — never a second pass; the
+    # one-slot guard stops caches accumulating across a long query sweep
+    vocab = _swap_cached(words.groupBy("w").agg(F.count("*").alias("cnt")))
     total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
     scored = words.join(vocab, "w").withColumn(
         "lp", F.log(F.col("cnt").cast("double") / F.lit(total))
@@ -374,7 +389,7 @@ def source_kl_drift(spark, sf_dir) -> DataFrame:
     words = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.length("w") > 0)
-    sw = words.groupBy("source", "w").agg(F.count("*").alias("c_sw")).cache()
+    sw = _swap_cached(words.groupBy("source", "w").agg(F.count("*").alias("c_sw")))
     s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
     wc = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
     # corpus total from the (source, word)-sized frame, not a corpus re-scan

@@ -59,17 +59,24 @@ def read_table(
 
 
 def append(df: DataFrame, table_or_path: str, summary: dict | None = None) -> int | None:
-    """Append as ONE new snapshot. Data files land under data/seq-<n>/ (a
-    deterministic per-sequence directory with overwrite semantics, so a
-    crashed append replays in place — same files, same snapshot id), then
-    the commit walks manifest -> manifest list -> metadata -> version-hint.
-    Returns the snapshot id (None on the jar path)."""
+    """Append as ONE new snapshot. Data files land under a UNIQUE
+    data/seq-<n>-<nonce>/ directory per attempt — two racing appends can
+    therefore never overwrite each other's files; the loser of the
+    metadata race gets CommitConflict and its directory becomes orphan
+    files (listed by iceberg_meta.orphan_files, reclaimed after a grace
+    period, exactly Iceberg's own model). A crashed attempt likewise
+    leaves only orphans, never a half-visible snapshot. Returns the
+    snapshot id (None on the jar path)."""
     if iceberg_available(df.sparkSession):
         df.writeTo(table_or_path).append()
         return None
+    import uuid
+
     meta = iceberg_meta.current_metadata(table_or_path)
     seq = (meta["last-sequence-number"] + 1) if meta else 1
-    data_dir = os.path.join(table_or_path, "data", f"seq-{seq}")
+    data_dir = os.path.join(
+        table_or_path, "data", f"seq-{seq}-{uuid.uuid4().hex[:8]}"
+    )
     df.write.mode("overwrite").parquet(data_dir)
     return iceberg_meta.commit_parquet_dir(
         table_or_path, data_dir, spark_schema=df.schema, summary=summary
@@ -93,7 +100,12 @@ def iceberg_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "documents.parquet")
-    table = f"/tmp/iceberg_docs_{hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]}"
+    # key the scratch table by the source file's identity AND content stamp
+    # (size + mtime) so a regenerated corpus re-commits instead of serving
+    # stale metadata, and by uid so users on a shared box cannot collide
+    st = os.stat(src)
+    stamp = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}"
+    table = f"/tmp/iceberg_docs_{hashlib.md5(stamp.encode()).hexdigest()[:12]}"
     if not is_metadata_table(table):
         pf = pq.ParquetFile(src)
         iceberg_meta.commit_append(

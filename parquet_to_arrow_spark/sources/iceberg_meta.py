@@ -251,20 +251,41 @@ def _hint_path(table_dir: str) -> str:
     return os.path.join(_meta_dir(table_dir), "version-hint.text")
 
 
-def current_version(table_dir: str) -> int | None:
+def _resolve_state(table_dir: str) -> tuple[int | None, dict | None]:
+    """(version, metadata) of the table — hadoop-catalog semantics: the
+    HIGHEST parseable vN.metadata.json on disk is current; creating that
+    file IS the commit, and version-hint.text is only a fast-path hint.
+    This is what makes a crash between metadata creation and the hint swap
+    a COMPLETED commit rather than a replay trap: the next reader (or the
+    resuming job's marker scan) lists the file and sees the snapshot. A
+    torn metadata file from a mid-write crash parses as garbage and is
+    skipped (the commit path overwrites it)."""
+    meta_dir = _meta_dir(table_dir)
+    versions: list[int] = []
     try:
-        with open(_hint_path(table_dir)) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
-        return None
+        for name in os.listdir(meta_dir):
+            if name.startswith("v") and name.endswith(".metadata.json"):
+                try:
+                    versions.append(int(name[1:].split(".")[0]))
+                except ValueError:
+                    pass
+    except OSError:
+        return None, None
+    for v in sorted(versions, reverse=True):
+        try:
+            with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as f:
+                return v, json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue  # torn write from a crashed committer
+    return None, None
+
+
+def current_version(table_dir: str) -> int | None:
+    return _resolve_state(table_dir)[0]
 
 
 def current_metadata(table_dir: str) -> dict | None:
-    v = current_version(table_dir)
-    if v is None:
-        return None
-    with open(os.path.join(_meta_dir(table_dir), f"v{v}.metadata.json")) as f:
-        return json.load(f)
+    return _resolve_state(table_dir)[1]
 
 
 import struct as _struct
@@ -276,6 +297,12 @@ def encode_bound(v, itype: str) -> bytes:
     if itype == "long":
         return _struct.pack("<q", int(v))
     if itype in ("int", "date"):
+        if itype == "date" and not isinstance(v, int):
+            import datetime
+
+            if isinstance(v, str):
+                v = datetime.date.fromisoformat(v)
+            v = (v - datetime.date(1970, 1, 1)).days  # spec: days from epoch
         return _struct.pack("<i", int(v))
     if itype == "double":
         return _struct.pack("<d", float(v))
@@ -352,6 +379,14 @@ def _maybe_evolve_schema(base: dict, spark_schema) -> dict:
     new_schema, _ = iceberg_schema(spark_schema)
     cur = next(s for s in base["schemas"] if s["schema-id"] == base["current-schema-id"])
     cur_by_name = {f["name"]: f for f in cur["fields"]}
+    new_names = {f["name"] for f in new_schema["fields"]}
+    missing = sorted(n for n in cur_by_name if n not in new_names)
+    if missing:
+        raise ValueError(
+            f"unsupported schema evolution: existing columns {missing} are "
+            "absent from the committed schema (drops/renames are out of "
+            "scope; only additive changes)"
+        )
 
     def type_key(t):
         return json.dumps(t, sort_keys=True) if isinstance(t, dict) else t
@@ -424,11 +459,13 @@ def commit_append(
     snapshot would keep BOTH manifests: double counts plus stale paths from
     the loser's overwritten files.
 
-    Commit protocol (hadoop catalog): write the manifest, the manifest
-    list, and vN.metadata.json, then swap version-hint.text LAST via
-    rename — a crash before the swap leaves the previous snapshot current
-    and every already-written file inert (re-commit simply rewrites them:
-    all names are deterministic in (table, sequence number))."""
+    Commit protocol (hadoop catalog): write the manifest and manifest
+    list, then CREATE v{N+1}.metadata.json exclusively — that creation is
+    the commit point (version resolution lists metadata files; the
+    version-hint is only a fast-path hint refreshed afterwards). A crash
+    before the metadata create leaves only unreferenced manifest/data
+    files (orphans); a crash after it is a completed commit the resuming
+    job discovers through its snapshot-summary markers."""
     meta_dir = _meta_dir(table_dir)
     os.makedirs(meta_dir, exist_ok=True)
     prev = current_metadata(table_dir)
@@ -571,18 +608,31 @@ def commit_append(
             open(cur_snap["manifest-list"], "rb").read()
         )
     operation = "append"
+    updated_props = dict(base.get("properties", {}))
     if replace_on and summary and replace_on in summary:
+        key = str(summary[replace_on])
         replaced_ids = {
             s["snapshot-id"]
             for s in base["snapshots"]
-            if s.get("summary", {}).get(replace_on) == str(summary[replace_on])
+            if s.get("summary", {}).get(replace_on) == key
         }
+        # the properties index maps logical key -> its live manifest PATH,
+        # surviving snapshot expiry (which drops the snapshot entries the
+        # id-based match needs but inherits their manifests forward)
+        idx_prop = f"replace-index-{replace_on}"
+        index = json.loads(updated_props.get(idx_prop, "{}"))
+        replaced_paths = {index[key]} if key in index else set()
         n_before = len(prev_manifests)
         prev_manifests = [
-            m for m in prev_manifests if m["added_snapshot_id"] not in replaced_ids
+            m
+            for m in prev_manifests
+            if m["added_snapshot_id"] not in replaced_ids
+            and m["manifest_path"] not in replaced_paths
         ]
         if len(prev_manifests) != n_before:
             operation = "overwrite"
+        index[key] = os.path.abspath(manifest_path)
+        updated_props[idx_prop] = json.dumps(index)
     manifests = prev_manifests + [new_mf]
     mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-1-{uid}.avro")
     with open(mlist_path, "wb") as f:
@@ -605,6 +655,7 @@ def commit_append(
     if cur_id and cur_id != -1:
         snapshot["parent-snapshot-id"] = cur_id
     new_meta = dict(base)
+    new_meta["properties"] = updated_props
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = ts
     new_meta["current-snapshot-id"] = snap_id
@@ -634,6 +685,9 @@ def commit_append(
     # detected conflict.
     payload = json.dumps(new_meta, indent=2)
     try:
+        # creating v{N+1} IS the commit (version resolution lists metadata
+        # files, hadoop-catalog style); O_EXCL makes exactly one racing
+        # writer win this version
         fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:
             f.write(payload)
@@ -643,17 +697,18 @@ def commit_append(
                 existing = json.load(f)
             existing_id = existing.get("current-snapshot-id")
         except (json.JSONDecodeError, OSError):
-            existing_id = None  # torn write from a crashed attempt
+            existing_id = None  # torn write from a crashed committer
         if existing_id == snap_id or existing_id is None:
             with open(meta_path, "w") as f:
-                f.write(payload)  # replay: re-complete the crashed commit
+                f.write(payload)  # byte-replay / torn-file recovery
         else:
             raise CommitConflict(
                 f"{meta_path} already committed by a concurrent writer "
                 f"(snapshot {existing_id}, ours {snap_id}); re-read and retry"
             ) from None
 
-    # --- the atomic step: version-hint rename is the commit point
+    # hint swap is a fast-path convenience, NOT the commit point — a crash
+    # right here leaves a committed table (resolution lists v{new_version})
     tmp = _hint_path(table_dir) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(str(new_version))
@@ -910,15 +965,14 @@ def read_snapshot(
 
     meta = current_metadata(table_dir)
     files = snapshot_files(table_dir, snapshot_id, partition_filter, range_filter)
-    if not files:
-        raise ValueError(
-            f"snapshot has no data files matching {partition_filter} "
-            f"(schema: {meta['schemas'][0]})"
-        )
     cur_schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
     )
     ddl = _spark_ddl(cur_schema)
+    if not files:
+        # every file pruned (or an empty snapshot): an empty TYPED frame,
+        # not an error — probing an absent partition is a normal query
+        return spark.createDataFrame([], ddl)
     pfields = _partition_fields(meta)
     if not pfields:
         return spark.read.schema(ddl).parquet(*[f.path for f in files])
@@ -985,9 +1039,18 @@ def expire_snapshots(
     version = current_version(table_dir)
     new_version = version + 1
     meta_dir = _meta_dir(table_dir)
-    with open(os.path.join(meta_dir, f"v{new_version}.metadata.json"), "w") as f:
-        json.dump(new_meta, f, indent=2)
-    tmp = _hint_path(table_dir) + ".tmp"
+    meta_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    try:
+        # same exclusive-create protocol as commits: expiry racing a
+        # concurrent commit must NOT silently overwrite its snapshot
+        fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(new_meta, indent=2))
+    except FileExistsError:
+        raise CommitConflict(
+            f"{meta_path} committed concurrently; re-run expiry"
+        ) from None
+    tmp = _hint_path(table_dir) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(str(new_version))
     os.replace(tmp, _hint_path(table_dir))

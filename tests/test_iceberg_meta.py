@@ -151,25 +151,34 @@ class TestIcebergTable:
             for f in json.loads(schema_json)["fields"]:
                 assert "field-id" in f
 
-    def test_crash_retry_is_idempotent(self, spark, docs_df, tmp_path):
-        """A commit that crashed after writing manifests but BEFORE the
-        version-hint swap replays to the SAME snapshot id and files — the
-        wave-replay invariant, extended to the metadata layer."""
+    def test_crash_before_hint_swap_is_already_committed(self, spark, docs_df, tmp_path):
+        """Hadoop-catalog semantics: creating vN.metadata.json IS the
+        commit. A crash before the version-hint swap (stale/mangled hint)
+        changes nothing — resolution lists the metadata files — and a torn
+        metadata file from a mid-write crash is skipped on read and
+        recovered by the next commit."""
         table = str(tmp_path / "table")
         d1 = str(tmp_path / "w1")
         docs_df.write.parquet(d1)
-        s1 = ice.commit_parquet_dir(table, d1, spark_schema=docs_df.schema, ts_ms=1)
+        ice.commit_parquet_dir(table, d1, spark_schema=docs_df.schema, ts_ms=1)
+        s2 = ice.commit_parquet_dir(table, d1, ts_ms=2)
 
         hint = ice._hint_path(table)
-        before = open(hint).read()
-        s1b = ice.commit_parquet_dir(table, d1, ts_ms=1)  # "retry" against v1
-        # roll the hint back to simulate the crash-before-swap, then retry
         with open(hint, "w") as f:
-            f.write(before)
-        s1c = ice.commit_parquet_dir(table, d1, ts_ms=1)
-        assert s1b != s1  # a real second append is a new snapshot...
-        assert s1c == s1b  # ...but the replayed one reproduces it exactly
+            f.write("1")  # crashed-before-swap / stale hint
+        assert ice.current_version(table) == 2  # listing wins
+        assert ice.snapshots(table)[-1]["snapshot-id"] == s2
         assert ice.read_snapshot(spark, table).count() == 40
+
+        # torn v3 from a crashed committer: skipped by readers...
+        torn = os.path.join(ice._meta_dir(table), "v3.metadata.json")
+        with open(torn, "w") as f:
+            f.write('{"half written')
+        assert ice.current_version(table) == 2
+        # ...and the next commit recovers the slot
+        ice.commit_parquet_dir(table, d1, ts_ms=3)
+        assert ice.current_version(table) == 3
+        assert ice.read_snapshot(spark, table).count() == 60
 
     def test_empty_snapshot_read_raises(self, spark, tmp_path):
         with pytest.raises(FileNotFoundError):
@@ -252,12 +261,13 @@ class TestAvroProperty:
 
 
 class TestConcurrentCommit:
-    def test_conflicting_writer_is_rejected_replay_is_not(self, spark, docs_df, tmp_path):
-        """Two uncoordinated writers racing the same metadata version: the
-        loser gets CommitConflict (and its content-addressed manifest files
-        never clobber the winner's), while a byte-level replay of the SAME
-        commit passes through and repairs the hint. This is the failure mode
-        a real kill-9 soak exposed: a zombie job racing its own resume."""
+    def test_conflicting_writer_is_rejected(self, spark, docs_df, tmp_path, monkeypatch):
+        """Two uncoordinated writers racing the same metadata version (both
+        resolved state BEFORE the other's commit landed): the loser's
+        exclusive metadata create fails with a different snapshot id and
+        raises CommitConflict; its content-addressed manifests never
+        clobber the winner's. The observed trigger is a kill-9 zombie job
+        racing its own resume."""
         from parquet_to_arrow_spark.sources.iceberg_meta import CommitConflict
 
         table = str(tmp_path / "table")
@@ -265,24 +275,15 @@ class TestConcurrentCommit:
         docs_df.filter("doc_id < 10").write.parquet(da)
         docs_df.filter("doc_id >= 10").write.parquet(db)
         s1 = ice.commit_parquet_dir(table, da, spark_schema=docs_df.schema, ts_ms=1)
-        s2 = ice.commit_parquet_dir(table, db, ts_ms=2)
+        stale = ice._resolve_state(table)  # writer B reads state here...
+        s2 = ice.commit_parquet_dir(table, db, ts_ms=2)  # ...writer A wins v2
 
-        # stale writer: thinks v1 is current, tries to commit DIFFERENT
-        # content at version 2 — must be rejected, table state untouched
-        hint = ice._hint_path(table)
-        with open(hint, "w") as f:
-            f.write("1")
+        monkeypatch.setattr(ice, "_resolve_state", lambda _t: stale)
         with pytest.raises(CommitConflict):
-            ice.commit_parquet_dir(table, da, ts_ms=3)
-        with open(hint, "w") as f:
-            f.write("2")
-        assert [s["snapshot-id"] for s in ice.snapshots(table)] == [s1, s2]
-        assert ice.read_snapshot(spark, table).count() == 20
+            ice.commit_parquet_dir(table, da, ts_ms=3)  # B commits off stale state
+        monkeypatch.undo()
 
-        # replay of the SAME second commit (crash before hint swap): ok
-        with open(hint, "w") as f:
-            f.write("1")
-        assert ice.commit_parquet_dir(table, db, ts_ms=2) == s2
+        assert [s["snapshot-id"] for s in ice.snapshots(table)] == [s1, s2]
         assert ice.read_snapshot(spark, table).count() == 20
 
 
@@ -492,3 +493,75 @@ class TestSchemaEvolution:
         ice.commit_parquet_dir(table, d1, spark_schema=df1.schema, ts_ms=1)
         with pytest.raises(ValueError, match="unsupported schema evolution"):
             ice.commit_parquet_dir(table, d2, spark_schema=df2.schema, ts_ms=2)
+
+
+class TestReviewRegressions:
+    def test_replace_on_survives_snapshot_expiry(self, spark, docs_df, tmp_path):
+        """The properties replace-index keeps wave overwrites idempotent
+        even after expiry removed the wave's snapshot entry (the id-based
+        match alone would double-append)."""
+        table = str(tmp_path / "table")
+        w0a, w0b, w1 = (str(tmp_path / n) for n in ("w0a", "w0b", "w1"))
+        docs_df.filter("doc_id < 10").write.parquet(w0a)
+        docs_df.filter("doc_id < 10").write.parquet(w0b)
+        docs_df.filter("doc_id >= 10").write.parquet(w1)
+        ice.commit_parquet_dir(table, w0a, spark_schema=docs_df.schema,
+                               ts_ms=1, summary={"wave": 0}, replace_on="wave")
+        ice.commit_parquet_dir(table, w1, ts_ms=2,
+                               summary={"wave": 1}, replace_on="wave")
+        ice.expire_snapshots(table, keep_last=1, ts_ms=3)
+        # zombie replay of wave 0 AFTER its snapshot entry is gone
+        ice.commit_parquet_dir(table, w0b, ts_ms=4,
+                               summary={"wave": 0}, replace_on="wave")
+        files = ice.snapshot_files(table)
+        assert sum(f.record_count for f in files) == 20  # not 30
+        assert all(os.path.exists(f.path) for f in files)
+        assert ice.read_snapshot(spark, table).count() == 20
+
+    def test_empty_filter_result_is_typed_empty_frame(self, spark, docs_df, tmp_path):
+        df = spark.createDataFrame([(1, "a", "en")],
+                                   "doc_id long, text string, lang string")
+        d = str(tmp_path / "w")
+        df.write.partitionBy("lang").parquet(d)
+        table = str(tmp_path / "table")
+        ice.commit_parquet_dir(table, d, spark_schema=df.schema, ts_ms=1,
+                               partition_by=["lang"])
+        empty = ice.read_snapshot(spark, table, partition_filter={"lang": "xx"})
+        assert empty.count() == 0
+        assert set(empty.columns) == {"doc_id", "text", "lang"}
+
+    def test_date_bound_serialization(self):
+        import datetime
+
+        d = datetime.date(1970, 1, 11)
+        assert ice.decode_bound(ice.encode_bound(d, "date"), "date") == 10
+        assert ice.decode_bound(ice.encode_bound("1970-01-11", "date"), "date") == 10
+
+    def test_schema_subset_commit_is_rejected(self, spark, tmp_path):
+        """A commit whose schema silently DROPS a column must fail loudly
+        (a renamed column would otherwise read as all-null forever)."""
+        table = str(tmp_path / "table")
+        d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+        df1 = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        df2 = spark.createDataFrame([(2, "b")], "doc_id long, body string")
+        df1.write.parquet(d1)
+        df2.write.parquet(d2)
+        ice.commit_parquet_dir(table, d1, spark_schema=df1.schema, ts_ms=1)
+        with pytest.raises(ValueError, match="absent from the committed schema"):
+            ice.commit_parquet_dir(table, d2, spark_schema=df2.schema, ts_ms=2)
+
+    def test_expiry_racing_commit_is_detected(self, spark, docs_df, tmp_path, monkeypatch):
+        from parquet_to_arrow_spark.sources.iceberg_meta import CommitConflict
+
+        table = str(tmp_path / "table")
+        d = str(tmp_path / "w")
+        docs_df.write.parquet(d)
+        ice.commit_parquet_dir(table, d, spark_schema=docs_df.schema, ts_ms=1)
+        ice.commit_parquet_dir(table, d, ts_ms=2)
+        stale = ice._resolve_state(table)
+        s3 = ice.commit_parquet_dir(table, d, ts_ms=3)  # a writer lands v3
+        monkeypatch.setattr(ice, "_resolve_state", lambda _t: stale)
+        with pytest.raises(CommitConflict):
+            ice.expire_snapshots(table, keep_last=1, ts_ms=4)
+        monkeypatch.undo()
+        assert ice.snapshots(table)[-1]["snapshot-id"] == s3  # commit intact
