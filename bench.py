@@ -16,7 +16,8 @@ Env:
 Scaling methodology (BASELINE.md): no multi-node cluster exists in this
 sandbox, so the two "cluster sizes" are the same encode job at local[N] and
 local[4N] over identical deterministic input; efficiency =
-(throughput_4N / throughput_N) / 4.
+(throughput_4N / throughput_N) / 4, best-of-3 per leg, N=2 by default
+(1-core legs are hostage to the box's ~2 cores of ambient invisible load).
 """
 
 from __future__ import annotations
@@ -211,29 +212,37 @@ def main() -> None:
 
     if SCALING:
         # The sandbox box is memory-bandwidth-bound above ~8 concurrent
-        # kernel processes (see BENCH/BASELINE.md for the full 1..32 curve),
-        # so the N vs 4N pair sits where the hardware can still scale:
-        # N=1 -> 4N=4 by default (override with SPARK_GRAFT_SCALE_N); both points
-        # sit below the saturation knee, so the ratio reflects the engine,
-        # not the memory wall.
-        n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+        # kernel processes (see BENCH/BASELINE.md for the full 1..32 curve)
+        # AND carries ~2 cores of invisible background load (microVM
+        # neighbors; load avg ~2 with no visible process). The N vs 4N pair
+        # therefore defaults to 2 -> 8: below the memory-wall knee, and a
+        # 2-core leg absorbs the ambient load that held 1-core legs hostage
+        # (observed: 1-core reps swinging 30 s..86 s on identical work while
+        # 2-core reps agree to <1%). Override with SPARK_GRAFT_SCALE_N.
+        n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         # 4M rows (3.46 GiB): long enough legs that this shared box's
         # run-to-run noise (±20%) averages out inside best-of-3
         rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", str(max(BENCH_ROWS, 4_000_000))))
-        lo = _measure_encode(n, rows, reps=3)
+        # one extra rep on the slow leg: its min drives the ratio and each
+        # additional sample tightens it against ambient-load outliers
+        lo = _measure_encode(n, rows, reps=4)
         hi = _measure_encode(4 * n, rows, reps=3)
-        # MEDIAN per leg for the ratio: best-of-N is noise-ASYMMETRIC here —
-        # one lucky-fast 1-core rep deflates the efficiency by 10-20% on
-        # this shared box (observed 0.78 vs 0.85 across clean runs), while
-        # medians of the same legs agree run to run
-        eff = (hi["gib_per_s_median"] / lo["gib_per_s_median"]) / 4.0
+        # best (min time) per leg estimates each configuration's capability
+        # under ambient contention; medians ride along so dispersion is
+        # visible in the recorded JSON
+        eff = (hi["gib_per_s"] / lo["gib_per_s"]) / 4.0
         result["scaling"] = {
             "n_cores": lo["cores"],
             "n4_cores": hi["cores"],
             "rows": rows,
-            "gib_per_s_n": lo["gib_per_s_median"],
-            "gib_per_s_4n": hi["gib_per_s_median"],
+            "gib_per_s_n": lo["gib_per_s"],
+            "gib_per_s_4n": hi["gib_per_s"],
+            "gib_per_s_n_median": lo["gib_per_s_median"],
+            "gib_per_s_4n_median": hi["gib_per_s_median"],
             "efficiency": round(eff, 3),
+            "efficiency_median": round(
+                (hi["gib_per_s_median"] / lo["gib_per_s_median"]) / 4.0, 3
+            ),
         }
 
     print(json.dumps(result))
