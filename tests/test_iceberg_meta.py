@@ -565,3 +565,25 @@ class TestReviewRegressions:
             ice.expire_snapshots(table, keep_last=1, ts_ms=4)
         monkeypatch.undo()
         assert ice.snapshots(table)[-1]["snapshot-id"] == s3  # commit intact
+
+
+class TestIncremental:
+    def test_added_files_between_snapshots(self, spark, docs_df, tmp_path):
+        """A downstream consumer tracking its last snapshot id reads ONLY
+        files appended since — across single and multi-snapshot gaps, and
+        an up-to-date consumer gets an empty typed frame."""
+        table = str(tmp_path / "table")
+        sids = []
+        for i, (lo, hi) in enumerate([(0, 7), (7, 14), (14, 20)]):
+            d = str(tmp_path / f"w{i}")
+            docs_df.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.parquet(d)
+            sids.append(ice.commit_parquet_dir(
+                table, d, spark_schema=docs_df.schema, ts_ms=1000 + i))
+
+        assert sum(f.record_count for f in ice.added_files(table, None)) == 20
+        inc = ice.read_incremental(spark, table, sids[0])
+        assert {r["doc_id"] for r in inc.collect()} == set(range(7, 20))
+        inc2 = ice.read_incremental(spark, table, sids[1], to_snapshot_id=sids[2])
+        assert {r["doc_id"] for r in inc2.collect()} == set(range(14, 20))
+        empty = ice.read_incremental(spark, table, sids[2])
+        assert empty.count() == 0 and "doc_id" in empty.columns
