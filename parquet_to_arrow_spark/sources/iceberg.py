@@ -47,14 +47,21 @@ def is_metadata_table(path: str) -> bool:
 
 
 def read_table(
-    spark: SparkSession, table_or_path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_or_path: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+    range_filter: dict | None = None,
 ) -> DataFrame:
     """Snapshot-consistent scan: jar catalog if present, else the engine's
-    metadata walk, else a bare parquet directory."""
+    metadata walk (with manifest-level partition/min-max file skipping),
+    else a bare parquet directory."""
     if iceberg_available(spark):
         return spark.read.format("iceberg").load(table_or_path)
     if is_metadata_table(table_or_path):
-        return iceberg_meta.read_snapshot(spark, table_or_path, snapshot_id)
+        return iceberg_meta.read_snapshot(
+            spark, table_or_path, snapshot_id, partition_filter, range_filter
+        )
     return spark.read.parquet(table_or_path)
 
 

@@ -495,6 +495,32 @@ class TestSchemaEvolution:
             ice.commit_parquet_dir(table, d2, spark_schema=df2.schema, ts_ms=2)
 
 
+    def test_cli_orphan_removal_respects_grace_period(self, spark, docs_df, tmp_path, capsys):
+        import os
+        import sys
+
+        sys.path.insert(0, "tools")
+        import iceberg_cli
+
+        table = str(tmp_path / "table")
+        d = str(tmp_path / "w")
+        docs_df.write.parquet(d)
+        ice.commit_parquet_dir(table, d, spark_schema=docs_df.schema, ts_ms=1)
+        fresh = os.path.join(d, "part-inflight.parquet")
+        stale = os.path.join(d, "part-crashed.parquet")
+        for p in (fresh, stale):
+            with open(p, "wb") as f:
+                f.write(b"PAR1x")
+        os.utime(stale, (1, 1))  # ancient mtime
+
+        assert iceberg_cli.main(["orphans", table, "--data-dir", d,
+                                 "--remove-older-than-min", "60"]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["removed"] == [os.path.abspath(stale)]
+        assert not os.path.exists(stale)
+        assert os.path.exists(fresh)  # inside the grace period: kept
+
+
 class TestReviewRegressions:
     def test_replace_on_survives_snapshot_expiry(self, spark, docs_df, tmp_path):
         """The properties replace-index keeps wave overwrites idempotent

@@ -45,6 +45,14 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--remove", action="store_true")
         if name == "orphans":
             s.add_argument("--data-dir", default=None)
+            s.add_argument(
+                "--remove-older-than-min",
+                type=float,
+                default=None,
+                help="delete orphans whose mtime is older than this many "
+                "minutes (the grace period protects in-flight writes whose "
+                "commit has not landed yet)",
+            )
     args = p.parse_args(argv)
 
     if args.cmd == "snapshots":
@@ -89,7 +97,20 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "expire":
         out = ice.expire_snapshots(args.table, keep_last=args.keep, remove=args.remove)
     else:  # orphans
-        out = {"orphans": ice.orphan_files(args.table, data_dir=args.data_dir)}
+        import time
+
+        orphans = ice.orphan_files(args.table, data_dir=args.data_dir)
+        removed = []
+        if args.remove_older_than_min is not None:
+            cutoff = time.time() - args.remove_older_than_min * 60
+            for p in orphans:
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                        removed.append(p)
+                except FileNotFoundError:
+                    pass
+        out = {"orphans": orphans, "removed": removed}
     print(json.dumps(out, indent=2))
     return 0
 
