@@ -76,6 +76,41 @@ class TestAvroBinary:
         rows = [{"a": i} for i in range(100)]
         assert avro_io.write_container(schema, rows) == avro_io.write_container(schema, rows)
 
+    def test_deflate_codec_read(self):
+        """Externally-written Avro files commonly use the deflate codec;
+        the reader must inflate blocks (raw zlib, spec 'Required Codecs')."""
+        import hashlib
+        import zlib
+
+        schema = json.dumps({"type": "record", "name": "t",
+                             "fields": [{"name": "a", "type": "long"}]})
+        rows = [{"a": i} for i in range(50)]
+        plain = avro_io.write_container(schema, rows)
+        # rebuild the container with the one block deflated
+        buf = io.BytesIO(plain)
+        assert buf.read(4) == b"Obj\x01"
+        meta, _ = avro_io.read_container(plain)
+        sync = hashlib.md5(schema.encode()).digest()
+        body = io.BytesIO()
+        for r in rows:
+            avro_io.write_datum(body, avro_io.parse_schema(schema), r)
+        deflated = zlib.compress(body.getvalue())[2:-4]  # raw: strip zlib wrapper
+        out = io.BytesIO()
+        out.write(b"Obj\x01")
+        hdr = {"avro.schema": schema, "avro.codec": "deflate"}
+        avro_io.write_long(out, len(hdr))
+        for k, v in hdr.items():
+            avro_io._write_bytes(out, k.encode())
+            avro_io._write_bytes(out, v.encode())
+        avro_io.write_long(out, 0)
+        out.write(sync)
+        avro_io.write_long(out, len(rows))
+        avro_io.write_long(out, len(deflated))
+        out.write(deflated)
+        out.write(sync)
+        _, back = avro_io.read_container(out.getvalue())
+        assert back == rows
+
     def test_manifest_schemas_roundtrip(self):
         entry = {
             "status": 1, "snapshot_id": 123, "sequence_number": 1,
