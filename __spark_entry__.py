@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_self_compare": rel.diff_self_compare,
         "agg_stats_by_source": rel.agg_stats_by_source,
         "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
         "window_top3_per_supplier": rel.window_top3_per_supplier,
         "topk_orders": rel.topk_orders,
         "customers_without_orders": rel.customers_without_orders,
@@ -533,6 +535,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""",
+        "q3_shipping_priority": f"""
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice AS {dec}) *
+                            (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))) AS DOUBLE)
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, orderdate, l_orderkey
+            LIMIT 10""",
+        "q6_forecast_revenue": f"""
+            SELECT CAST(sum(CAST(l_extendedprice AS {dec}) *
+                            CAST(l_discount AS {dec})) AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.02 AND l_discount <= 0.08
+              AND l_quantity < 24""",
         "window_top3_per_supplier": """
             SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (
                 SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -318,3 +318,53 @@ def price_percentiles(spark, sf_dir) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+def q3_shipping_priority(spark, sf_dir) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue per urgent order, top 10. The two dimension-side filters reach
+    the scans (pushdown) and the small filtered sides hash-join into the
+    lineitem scan; decimal-exact revenue cast to double for the oracle."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q6_forecast_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H Q6 shape: the pure filter-and-sum forecast — every predicate
+    pushes to the parquet scan, zero joins, one scalar out."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
