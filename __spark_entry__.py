@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": rel.revenue_by_nation,
         "events_hourly_rollup": rel.events_hourly_rollup,
         "sessionize_events": rel.sessionize_events,
+        "event_funnel": rel.event_funnel,
         "pivot_qty_by_status": rel.pivot_qty_by_status,
         "rollup_counts": rel.rollup_counts,
         "price_histogram": rel.price_histogram,
@@ -609,6 +610,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "event_funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+                  JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.vt
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+                  JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.ct
+                  GROUP BY e.user_id)
+            SELECT u.user_id,
+                   epoch_us(v.vt) AS view_us,
+                   epoch_us(c.ct) AS click_us,
+                   epoch_us(p.pt) AS purchase_us,
+                   (p.pt IS NOT NULL) AS converted
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v USING (user_id)
+            LEFT JOIN c USING (user_id)
+            LEFT JOIN p USING (user_id)""",
         "sessionize_events": """
             WITH g AS (
                 SELECT user_id, event_id, ts,

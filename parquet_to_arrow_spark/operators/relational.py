@@ -368,3 +368,47 @@ def q6_forecast_revenue(spark, sf_dir) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+def event_funnel(spark, sf_dir) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: each stage's
+    first event must occur strictly AFTER the previous stage's (min-ts
+    sequential matching, the standard funnel semantics).
+
+    Three user-keyed aggregations chained by broadcast-friendly joins —
+    per-user state is three timestamps, so the shuffle stays narrow at any
+    event volume; timestamps surface as epoch microseconds so the oracle
+    hash is engine-independent."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("vt")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("ct")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("vt").alias("view_us"),
+            F.unix_micros("ct").alias("click_us"),
+            F.unix_micros("pt").alias("purchase_us"),
+            F.col("pt").isNotNull().alias("converted"),
+        )
+    )

@@ -425,3 +425,36 @@ def test_quality_filter_per_language_threshold(spark, tmp_path):
     assert 100 not in kept        # 100 words < long-lang threshold (100.9)
     assert 109 in kept
     assert kept[5]["thr"] != kept[109]["thr"]  # genuinely per-language
+
+
+def test_event_funnel_requires_strict_ordering(spark, tmp_path):
+    """A click BEFORE the first view must not advance the funnel; only
+    stage events strictly after the previous stage count."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from parquet_to_arrow_spark.operators.relational import event_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # user 1: view(1) -> click(2) -> purchase(3): converts
+        Row(event_id=1, ts=s(1), user_id=1, event_type="view", value=0.0, props=""),
+        Row(event_id=2, ts=s(2), user_id=1, event_type="click", value=0.0, props=""),
+        Row(event_id=3, ts=s(3), user_id=1, event_type="purchase", value=0.0, props=""),
+        # user 2: click(1) BEFORE view(2), purchase(3): click must not count
+        Row(event_id=4, ts=s(1), user_id=2, event_type="click", value=0.0, props=""),
+        Row(event_id=5, ts=s(2), user_id=2, event_type="view", value=0.0, props=""),
+        Row(event_id=6, ts=s(3), user_id=2, event_type="purchase", value=0.0, props=""),
+        # user 3: purchase before click: stops at click
+        Row(event_id=7, ts=s(1), user_id=3, event_type="view", value=0.0, props=""),
+        Row(event_id=8, ts=s(2), user_id=3, event_type="purchase", value=0.0, props=""),
+        Row(event_id=9, ts=s(3), user_id=3, event_type="click", value=0.0, props=""),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r["user_id"]: r for r in event_funnel(spark, str(tmp_path)).collect()}
+
+    assert out[1]["converted"] is True
+    assert out[2]["click_us"] is None and out[2]["converted"] is False
+    assert out[3]["click_us"] is not None and out[3]["purchase_us"] is None
