@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": rel.events_hourly_rollup,
         "sessionize_events": rel.sessionize_events,
         "event_funnel": rel.event_funnel,
+        "retention_cohorts": rel.retention_cohorts,
         "pivot_qty_by_status": rel.pivot_qty_by_status,
         "rollup_counts": rel.rollup_counts,
         "price_histogram": rel.price_histogram,
@@ -610,6 +611,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "retention_cohorts": """
+            WITH ev AS (
+                SELECT user_id, event_type,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events
+            ), cohort AS (
+                SELECT user_id, min(week) AS cohort_week FROM ev
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), active AS (SELECT DISTINCT user_id, week FROM ev)
+            SELECT cohort_week, (week - cohort_week) AS week_offset,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM active JOIN cohort USING (user_id)
+            WHERE week >= cohort_week
+            GROUP BY 1, 2""",
         "event_funnel": """
             WITH v AS (SELECT user_id, min(ts) AS vt FROM events
                        WHERE event_type = 'view' GROUP BY user_id),

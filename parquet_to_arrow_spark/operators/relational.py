@@ -412,3 +412,33 @@ def event_funnel(spark, sf_dir) -> DataFrame:
             F.col("pt").isNotNull().alias("converted"),
         )
     )
+
+
+def retention_cohorts(spark, sf_dir) -> DataFrame:
+    """Weekly retention matrix: users grouped by signup week (their first
+    'signup' event), counted as retained in each later week they have ANY
+    event. The cohort triangle every product-analytics engine ships.
+
+    Weeks are integer offsets from epoch (floor(epoch_us / week_us)) so
+    the bucketing is engine-exact; per-user state is one signup week, the
+    activity set is distinct (user, week) — both narrow shuffles."""
+    week_us = 7 * 24 * 3600 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / week_us)
+        .cast("long")
+        .alias("week"),
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    active = ev.select("user_id", "week").distinct()
+    return (
+        active.join(cohort, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

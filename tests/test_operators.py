@@ -458,3 +458,39 @@ def test_event_funnel_requires_strict_ordering(spark, tmp_path):
     assert out[1]["converted"] is True
     assert out[2]["click_us"] is None and out[2]["converted"] is False
     assert out[3]["click_us"] is not None and out[3]["purchase_us"] is None
+
+
+def test_retention_cohorts_planted_matrix(spark, tmp_path):
+    """Hand-built two-cohort timeline: week-0 counts equal cohort sizes,
+    retention drops exactly as planted, and users without a signup event
+    never enter the matrix."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from parquet_to_arrow_spark.operators.relational import retention_cohorts
+
+    base = dt.datetime(2024, 1, 4)  # mid-week; offsets in whole weeks
+    w = lambda k: base + dt.timedelta(weeks=k)  # noqa: E731
+    rows = [
+        # cohort A (week 0): users 1, 2 sign up; user 1 active weeks 1 and 2
+        Row(event_id=1, ts=w(0), user_id=1, event_type="signup", value=0.0, props=""),
+        Row(event_id=2, ts=w(0), user_id=2, event_type="signup", value=0.0, props=""),
+        Row(event_id=3, ts=w(1), user_id=1, event_type="click", value=0.0, props=""),
+        Row(event_id=4, ts=w(2), user_id=1, event_type="view", value=0.0, props=""),
+        # cohort B (week 1): user 3 signs up, active week 2
+        Row(event_id=5, ts=w(1), user_id=3, event_type="signup", value=0.0, props=""),
+        Row(event_id=6, ts=w(2), user_id=3, event_type="purchase", value=0.0, props=""),
+        # user 4 never signs up: excluded entirely
+        Row(event_id=7, ts=w(0), user_id=4, event_type="click", value=0.0, props=""),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(spark, str(tmp_path)).collect()}
+
+    weeks = sorted({cw for cw, _ in out})
+    a, b = weeks[0], weeks[1]
+    assert b == a + 1
+    assert out[(a, 0)] == 2 and out[(a, 1)] == 1 and out[(a, 2)] == 1
+    assert out[(b, 0)] == 1 and out[(b, 1)] == 1
+    assert sum(n for (cw, _), n in out.items() if cw not in (a, b)) == 0
