@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": rel.sessionize_events,
         "event_funnel": rel.event_funnel,
         "retention_cohorts": rel.retention_cohorts,
+        "json_props_stats": rel.json_props_stats,
         "pivot_qty_by_status": rel.pivot_qty_by_status,
         "rollup_counts": rel.rollup_counts,
         "price_histogram": rel.price_histogram,
@@ -611,6 +612,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "json_props_stats": """
+            SELECT event_type,
+                   count(k) AS n, min(k) AS min_k, max(k) AS max_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+            FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type""",
         "retention_cohorts": """
             WITH ev AS (
                 SELECT user_id, event_type,

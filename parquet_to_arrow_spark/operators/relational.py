@@ -442,3 +442,21 @@ def retention_cohorts(spark, sf_dir) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def json_props_stats(spark, sf_dir) -> DataFrame:
+    """Semi-structured extraction: pull the numeric field out of the JSON
+    props column and aggregate it per event type — the schema-on-read path
+    (JSON stays a string in storage; extraction happens in the scan
+    projection, JVM-side via get_json_object, no Python)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("k").alias("n"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
