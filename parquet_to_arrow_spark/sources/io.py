@@ -99,7 +99,11 @@ TARGET_TASK_BYTES = 256 << 20
 
 
 def files_df(
-    spark: SparkSession, path: str, target_bytes: int = TARGET_TASK_BYTES
+    spark: SparkSession,
+    path: str | None,
+    target_bytes: int = TARGET_TASK_BYTES,
+    files: list[str] | None = None,
+    sizes: dict[str, int] | None = None,
 ) -> DataFrame:
     """One row per parquet file, grouped into size-balanced task partitions.
 
@@ -110,15 +114,20 @@ def files_df(
     to maxPartitionBytes. Groups are built greedily largest-file-first into
     min(n_files, max(parallelism, total/target)) bins (rounded up to a
     multiple of the parallelism so waves stay balanced), then laid out one
-    group per partition via exact slicing — no shuffle, no hash skew."""
+    group per partition via exact slicing — no shuffle, no hash skew.
+
+    Pass an explicit ``files``+``sizes`` pair (e.g. from an Iceberg
+    manifest walk, which already knows both) to skip the filesystem
+    listing entirely."""
     import math
 
-    _, infos = resolve_files(path)
-    files = [qualify_path(i.path, path) for i in infos]
+    if files is None:
+        _, infos = resolve_files(path)
+        files = [qualify_path(i.path, path) for i in infos]
+        sizes = {qualify_path(i.path, path): i.size for i in infos}
     if not files:
         return spark.createDataFrame([], "path string")
     par = max(spark.sparkContext.defaultParallelism, 1)
-    sizes = {qualify_path(i.path, path): i.size for i in infos}
     by_bytes = math.ceil(sum(sizes.values()) / max(target_bytes, 1))
     n_tasks = min(len(files), par * math.ceil(max(par, by_bytes) / par))
     groups: list[list[str]] = [[] for _ in range(n_tasks)]
@@ -160,6 +169,43 @@ def encode_parquet_dir(
                         yield encode_batch(batch, chunk_id=f"{base}.{seq:05d}")
 
     return files_df(spark, path).mapInArrow(run, ENCODED_SCHEMA_DDL)
+
+
+def encode_iceberg_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source"),
+) -> DataFrame:
+    """Snapshot-consistent fast-path encode: the input file list AND sizes
+    come from the Iceberg manifest walk — zero filesystem listing, and the
+    encode sees exactly the files of one committed snapshot regardless of
+    concurrent appends (pass an older id to encode historical state).
+    The file-split packing and the per-chunk pipeline are identical to
+    encode_parquet_dir's."""
+    from . import iceberg_meta
+
+    dfiles = iceberg_meta.snapshot_files(table_dir, snapshot_id)
+    fdf = files_df(
+        spark,
+        None,
+        files=[f.path for f in dfiles],
+        sizes={f.path: f.file_size for f in dfiles},
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for pdf in batches:
+            for fpath in pdf.column(0).to_pylist():
+                pf = open_parquet(fpath)
+                base = os.path.splitext(os.path.basename(fpath))[0]
+                for seq, batch in enumerate(
+                    pf.iter_batches(batch_size=chunk_rows, columns=list(columns))
+                ):
+                    if batch.num_rows:
+                        yield encode_batch(batch, chunk_id=f"{base}.{seq:05d}")
+
+    return fdf.mapInArrow(run, ENCODED_SCHEMA_DDL)
 
 
 # --- scalar-only verification path (token arrays never cross the JVM) -------

@@ -648,3 +648,32 @@ class TestIncremental:
         assert {r["doc_id"] for r in inc2.collect()} == set(range(14, 20))
         empty = ice.read_incremental(spark, table, sids[2])
         assert empty.count() == 0 and "doc_id" in empty.columns
+
+
+class TestSnapshotEncode:
+    def test_encode_from_snapshot_is_consistent_under_appends(self, spark, tmp_path):
+        """encode_iceberg_snapshot(table, id) encodes EXACTLY snapshot id's
+        files: rows appended afterwards are invisible, and the decoded
+        output is bit-identical to the snapshot's content."""
+        from parquet_to_arrow_spark.decode import decode_chunks_df
+        from parquet_to_arrow_spark.sources import iceberg as icebergmod
+        from parquet_to_arrow_spark.sources.io import encode_iceberg_snapshot
+        from parquet_to_arrow_spark.sources.synth import synth_tokens_df
+        from parquet_to_arrow_spark.verify import diff_report
+
+        table = str(tmp_path / "table")
+        first = synth_tokens_df(spark, 300, n_partitions=2).cache()
+        s1 = icebergmod.append(first, table)
+
+        extra = (synth_tokens_df(spark, 500, n_partitions=1)
+                 .filter("doc_id >= 'doc-000000000300'").cache())
+        icebergmod.append(extra, table)
+
+        enc_old = encode_iceberg_snapshot(spark, table, snapshot_id=s1, chunk_rows=64)
+        rep = diff_report(first, decode_chunks_df(enc_old))
+        assert rep["equal"] and rep["n_left"] == 300, rep
+
+        enc_now = encode_iceberg_snapshot(spark, table, chunk_rows=64)
+        rep2 = diff_report(first.union(extra), decode_chunks_df(enc_now))
+        assert rep2["equal"] and rep2["n_left"] == 500, rep2  # 300 + 200 appended
+        first.unpersist(); extra.unpersist()
