@@ -228,7 +228,23 @@ def _hash_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
 
 
 def token_hashes_from_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """(doc_id, n_tok, tok_hash) per row, scanning parquet Arrow-natively."""
+    """(doc_id, n_tok, tok_hash) per row, scanning parquet Arrow-natively.
+
+    An Iceberg table path resolves through its current snapshot's
+    manifests (NOT a directory listing, which would also pick up orphan
+    files from crashed writes)."""
+    from . import iceberg_meta
+
+    if iceberg_meta.current_version(path) is not None:
+        dfiles = iceberg_meta.snapshot_files(path)
+        fdf = files_df(
+            spark,
+            None,
+            files=[f.path for f in dfiles],
+            sizes={f.path: f.file_size for f in dfiles},
+        )
+    else:
+        fdf = files_df(spark, path)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for pdf in batches:
@@ -240,7 +256,7 @@ def token_hashes_from_parquet(spark: SparkSession, path: str) -> DataFrame:
                     if batch.num_rows:
                         yield _hash_batch(batch)
 
-    return files_df(spark, path).mapInArrow(run, HASH_SCHEMA_DDL)
+    return fdf.mapInArrow(run, HASH_SCHEMA_DDL)
 
 
 def token_hashes_from_encoded(encoded: DataFrame) -> DataFrame:

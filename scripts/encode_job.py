@@ -68,6 +68,13 @@ def main(argv: list[str] | None = None) -> int:
         "per wave, engine-native metadata; snapshot summaries double as "
         "commit markers for resume)",
     )
+    p.add_argument(
+        "--input-snapshot",
+        type=int,
+        default=None,
+        help="when --input is an Iceberg table: encode exactly this snapshot "
+        "(default: current). Ignored for plain parquet inputs.",
+    )
     args = p.parse_args(argv)
 
     from parquet_to_arrow_spark import checkpoint as ckpt
@@ -83,8 +90,21 @@ def main(argv: list[str] | None = None) -> int:
         from parquet_to_arrow_spark.sources import iceberg as ice
         from parquet_to_arrow_spark.sources import iceberg_meta
 
+    from parquet_to_arrow_spark.sources import iceberg_meta as _im
+
+    input_is_table = _im.current_version(args.input) is not None
+
     if args.mode == "fast":
-        encoded = pio.encode_parquet_dir(spark, args.input, chunk_rows=args.chunk_rows)
+        if input_is_table:
+            # snapshot-consistent input: the file list comes from the
+            # manifest walk, so concurrent appends to the source table
+            # cannot tear this run's view
+            encoded = pio.encode_iceberg_snapshot(
+                spark, args.input, snapshot_id=args.input_snapshot,
+                chunk_rows=args.chunk_rows,
+            )
+        else:
+            encoded = pio.encode_parquet_dir(spark, args.input, chunk_rows=args.chunk_rows)
         encoded.write.mode("append").option("compression", "zstd").parquet(args.output)
         if args.iceberg_table:
             # commit only the files this run added (append mode accretes)
@@ -112,7 +132,11 @@ def main(argv: list[str] | None = None) -> int:
     else:
         from pyspark.sql import functions as F
 
-        tokens = spark.read.parquet(args.input)
+        tokens = (
+            _im.read_snapshot(spark, args.input, args.input_snapshot)
+            if input_is_table
+            else spark.read.parquet(args.input)
+        )
         keyed = ckpt.with_pkey(tokens, args.buckets)
         if args.cache_input == "always" or (
             args.cache_input == "auto"

@@ -184,3 +184,34 @@ def test_fast_mode_iceberg_commits_only_new_files(job_spark, tmp_path):
     counts = Counter(f.path for f in files)
     assert all(c == 1 for c in counts.values()), counts  # no double-commits
     assert len(ice.orphan_files(tbl, data_dir=out)) == 0
+
+
+def test_fast_mode_encodes_from_iceberg_input(job_spark, tmp_path):
+    """--input can be an Iceberg table: the fast path encodes exactly the
+    current snapshot's files (resolved via manifests, not a dir listing),
+    and verify hashes the same snapshot — an orphan file planted in the
+    data directory changes nothing."""
+    import os
+
+    from parquet_to_arrow_spark.sources import iceberg as ice
+
+    spark = job_spark
+    tokens = synth_tokens_df(spark, 600, avg_tokens=32, n_partitions=2).cache()
+    table = str(tmp_path / "intable")
+    ice.append(tokens, table)
+    # orphan in the data dir: a crashed write whose commit never landed
+    seq_dir = next(
+        os.path.join(table, "data", d) for d in os.listdir(f"{table}/data")
+    )
+    synth_tokens_df(spark, 50, n_partitions=1).write.mode("overwrite").parquet(
+        f"{seq_dir}-orphan"
+    )
+
+    out = str(tmp_path / "out")
+    args = ["--input", table, "--output", out, "--manifest", str(tmp_path / "man"),
+            "--mode", "fast", "--chunk-rows", "256", "--verify"]
+    assert encode_job.main(args) == 0
+    decoded = decode_chunks_df(spark.read.parquet(out))
+    rep = diff_report(tokens, decoded)
+    assert rep["equal"] and rep["n_left"] == 600, rep
+    tokens.unpersist()
