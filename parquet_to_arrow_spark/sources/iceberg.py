@@ -123,3 +123,54 @@ def iceberg_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_meta.read_snapshot(spark, table).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+def delete_where(spark: SparkSession, table_or_path: str, predicate: str) -> int | None:
+    """Copy-on-write DELETE: rewrite only the files that contain matching
+    rows, without those rows, and commit survivors + removals as one
+    snapshot. Untouched files are carried forward as-is; deleted rows stay
+    reachable via time travel until snapshot expiry — Iceberg v1 delete
+    semantics, which is also how the engine's dedup verdicts become
+    physical row removal.
+
+    Scope: unpartitioned engine-native tables (partition columns live in
+    paths, not files, so a partitioned CoW delete needs partition-aware
+    rewriting — use the jar path for that). Returns the new snapshot id,
+    or None when nothing matched."""
+    import uuid
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    if iceberg_available(spark):
+        raise NotImplementedError("use the catalog's DELETE FROM on the jar path")
+    meta = iceberg_meta.current_metadata(table_or_path)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_or_path}")
+    if iceberg_meta._partition_fields(meta):
+        raise NotImplementedError("CoW delete on partitioned tables")
+
+    scan = iceberg_meta.read_snapshot(spark, table_or_path).withColumn(
+        "__file", F.input_file_name()
+    )
+    affected_uris = [
+        r["__file"]
+        for r in scan.filter(predicate).select("__file").distinct().collect()
+    ]  # bounded by the table's file count — the same scale as the manifest walk
+    if not affected_uris:
+        return None
+    affected = {os.path.abspath(urlparse(u).path) for u in affected_uris}
+
+    survivors = (
+        scan.filter(F.col("__file").isin(affected_uris))
+        .filter(f"NOT ({predicate})")
+        .drop("__file")
+    )
+    rw_dir = os.path.join(table_or_path, "data", f"rw-{uuid.uuid4().hex[:8]}")
+    survivors.write.mode("overwrite").parquet(rw_dir)
+    return iceberg_meta.commit_parquet_dir(
+        table_or_path,
+        rw_dir,
+        summary={"operation-detail": "delete-where"},
+        remove_paths=affected,
+    )

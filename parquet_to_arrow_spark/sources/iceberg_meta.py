@@ -446,8 +446,17 @@ def commit_append(
     summary: dict | None = None,
     replace_on: str | None = None,
     partition_by: list[str] | None = None,
+    remove_paths: set | None = None,
 ) -> int:
     """Append ``files`` as one new snapshot; returns the snapshot id.
+
+    ``remove_paths``: data files to DROP from the table in the same
+    commit — the copy-on-write half of delete/update: affected manifests
+    are rewritten without those entries (survivors keep their original
+    snapshot/sequence as EXISTING entries), the files themselves stay on
+    disk for time travel until snapshot expiry. Combined with ``files``
+    carrying the rewritten survivors-of-the-predicate, this is a full
+    CoW DELETE commit.
 
     ``partition_by`` (first commit only): identity-partition the table by
     these columns — the spec gets transform "identity" fields (ids from
@@ -528,7 +537,10 @@ def commit_append(
     # digest, which is what lets the metadata-create conflict check below
     # tell "replay of this very commit" apart from "someone else won".
     digest = hashlib.md5(
-        "\n".join(f"{f.path}:{f.file_size}:{f.record_count}" for f in files).encode()
+        "\n".join(
+            [f"{f.path}:{f.file_size}:{f.record_count}" for f in files]
+            + sorted(f"-{p}" for p in (remove_paths or ()))
+        ).encode()
     ).hexdigest()[:12]
     manifest_name = f"{uid}-seq{seq}-{digest}-m0.avro"
     manifest_path = os.path.join(meta_dir, manifest_name)
@@ -638,7 +650,51 @@ def commit_append(
             operation = "overwrite"
         index[key] = os.path.abspath(manifest_path)
         updated_props[idx_prop] = json.dumps(index)
-    manifests = prev_manifests + [new_mf]
+    if remove_paths:
+        removed = {os.path.abspath(p) for p in remove_paths}
+        rewritten: list[dict] = []
+        for mf in prev_manifests:
+            _, m_entries = avro_io.read_container(open(mf["manifest_path"], "rb").read())
+            keep = [
+                e for e in m_entries
+                if e["status"] != 2 and e["data_file"]["file_path"] not in removed
+            ]
+            if len(keep) == len(m_entries):
+                rewritten.append(mf)  # untouched manifest carried forward
+                continue
+            # a pure removal (no surviving rows added back) is a DELETE;
+            # zero-row rewrite artifacts don't make it an overwrite
+            operation = (
+                "overwrite" if sum(f.record_count for f in files) else "delete"
+            )
+            if not keep:
+                continue  # every entry removed: drop the manifest
+            for e in keep:
+                e["status"] = 0  # EXISTING: original snapshot/sequence kept
+            rw_digest = hashlib.md5(
+                "\n".join(e["data_file"]["file_path"] for e in keep).encode()
+            ).hexdigest()[:12]
+            rw_path = os.path.join(meta_dir, f"{uid}-seq{seq}-rw{rw_digest}-m.avro")
+            rw_bytes = avro_io.write_container(manifest_entry_schema(pfields), keep)
+            with open(rw_path, "wb") as f:
+                f.write(rw_bytes)
+            rewritten.append(
+                dict(
+                    mf,
+                    manifest_path=os.path.abspath(rw_path),
+                    manifest_length=len(rw_bytes),
+                    added_files_count=0,
+                    deleted_files_count=0,
+                    existing_files_count=len(keep),
+                    added_rows_count=0,
+                    deleted_rows_count=0,
+                    existing_rows_count=sum(
+                        e["data_file"]["record_count"] for e in keep
+                    ),
+                )
+            )
+        prev_manifests = rewritten
+    manifests = prev_manifests + ([new_mf] if files or not remove_paths else [])
     mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-1-{uid}.avro")
     with open(mlist_path, "wb") as f:
         f.write(avro_io.write_container(MANIFEST_FILE_SCHEMA, manifests))
@@ -824,6 +880,7 @@ def commit_parquet_dir(
     summary: dict | None = None,
     replace_on: str | None = None,
     partition_by: list[str] | None = None,
+    remove_paths: set | None = None,
 ) -> int:
     """Commit every parquet file of a directory Spark just wrote as one
     appended snapshot. Row counts come from the parquet footers — the same
@@ -927,6 +984,7 @@ def commit_parquet_dir(
         summary=summary,
         replace_on=replace_on,
         partition_by=partition_by,
+        remove_paths=remove_paths,
     )
     return sid
 

@@ -677,3 +677,46 @@ class TestSnapshotEncode:
         rep2 = diff_report(first.union(extra), decode_chunks_df(enc_now))
         assert rep2["equal"] and rep2["n_left"] == 500, rep2  # 300 + 200 appended
         first.unpersist(); extra.unpersist()
+
+
+class TestCowDelete:
+    def test_delete_where_rewrites_only_affected_files(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, delete_where, read_table
+
+        table = str(tmp_path / "table")
+        mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+            [(i, f"t{i}") for i in range(lo, hi)], "doc_id long, text string"
+        ).coalesce(1)
+        for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+            append(mk(lo, hi), table)
+        before = ice.current_metadata(table)["current-snapshot-id"]
+        files_before = {f.path for f in ice.snapshot_files(table)}
+
+        sid = delete_where(spark, table, "doc_id >= 5 AND doc_id < 8")
+        assert sid is not None
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == set(range(30)) - {5, 6, 7}
+
+        files_after = {f.path for f in ice.snapshot_files(table)}
+        # the two untouched files are carried forward by identity
+        assert len(files_before & files_after) == 2
+        # the affected file is gone from the scan but kept for time travel
+        removed = files_before - files_after
+        assert len(removed) == 1 and all(os.path.exists(p) for p in removed)
+        assert read_table(spark, table, snapshot_id=before).count() == 30
+        # no-match predicate: explicit no-op
+        assert delete_where(spark, table, "doc_id = 999") is None
+
+    def test_delete_where_can_empty_a_file(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, delete_where, read_table
+
+        table = str(tmp_path / "table")
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string").coalesce(1)
+        df2 = spark.createDataFrame([(3, "c")], "doc_id long, text string").coalesce(1)
+        append(df1, table)
+        append(df2, table)
+        sid = delete_where(spark, table, "doc_id <= 2")  # wipes file 1 entirely
+        assert sid is not None
+        assert {r["doc_id"] for r in read_table(spark, table).collect()} == {3}
+        snaps = ice.snapshots(table)
+        assert snaps[-1]["summary"]["operation"] == "delete"
