@@ -174,3 +174,69 @@ def delete_where(spark: SparkSession, table_or_path: str, predicate: str) -> int
         summary={"operation-detail": "delete-where"},
         remove_paths=affected,
     )
+
+
+def delete_keys(
+    spark: SparkSession, table_or_path: str, keys: DataFrame, key: str
+) -> int | None:
+    """Key-set copy-on-write delete: remove every row whose ``key`` appears
+    in ``keys`` (a DataFrame — arbitrarily large, joined not collected).
+    Same rewrite shape as delete_where: only files containing a doomed key
+    are rewritten (anti-join against the key set), the rest carry forward
+    untouched. This is how dedup verdicts scale to physical removal — the
+    loser set flows through a join, never a predicate string."""
+    import uuid
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    meta = iceberg_meta.current_metadata(table_or_path)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_or_path}")
+    if iceberg_meta._partition_fields(meta):
+        raise NotImplementedError("CoW delete on partitioned tables")
+
+    scan = iceberg_meta.read_snapshot(spark, table_or_path).withColumn(
+        "__file", F.input_file_name()
+    )
+    keyset = keys.select(F.col(key)).distinct()
+    affected_uris = [
+        r["__file"]
+        for r in scan.join(keyset, key, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+    if not affected_uris:
+        return None
+    affected = {os.path.abspath(urlparse(u).path) for u in affected_uris}
+    survivors = (
+        scan.filter(F.col("__file").isin(affected_uris))
+        .join(keyset, key, "left_anti")
+        .drop("__file")
+    )
+    rw_dir = os.path.join(table_or_path, "data", f"rw-{uuid.uuid4().hex[:8]}")
+    survivors.write.mode("overwrite").parquet(rw_dir)
+    return iceberg_meta.commit_parquet_dir(
+        table_or_path,
+        rw_dir,
+        summary={"operation-detail": f"delete-keys:{key}"},
+        remove_paths=affected,
+    )
+
+
+def exact_dedup_table(spark: SparkSession, table_or_path: str) -> int | None:
+    """In-place exact deduplication of an Iceberg documents table: group by
+    content fingerprint, keep the minimum doc_id per group, CoW-delete the
+    rest as one snapshot. The whole lakehouse dedup loop — verdicts on the
+    narrow (fingerprint, doc_id) shuffle, removal via key-set rewrite,
+    history preserved for time travel."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import content_fp
+
+    docs = read_table(spark, table_or_path)
+    keyed = docs.select(content_fp().alias("fp"), "doc_id")
+    keep = keyed.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    losers = keyed.join(keep, "fp").filter(F.col("doc_id") != F.col("keep_id"))
+    return delete_keys(spark, table_or_path, losers.select("doc_id"), "doc_id")

@@ -720,3 +720,29 @@ class TestCowDelete:
         assert {r["doc_id"] for r in read_table(spark, table).collect()} == {3}
         snaps = ice.snapshots(table)
         assert snaps[-1]["summary"]["operation"] == "delete"
+
+
+    def test_exact_dedup_table_in_place(self, spark, tmp_path):
+        """The lakehouse dedup loop end to end: planted duplicate texts are
+        physically removed as one snapshot (min doc_id wins), the table
+        reads clean, and the pre-dedup state survives as history."""
+        from parquet_to_arrow_spark.sources.iceberg import (
+            append,
+            exact_dedup_table,
+            read_table,
+        )
+
+        table = str(tmp_path / "table")
+        rows1 = [(1, "alpha"), (2, "beta"), (3, "alpha")]   # 3 dups 1
+        rows2 = [(4, "beta"), (5, "gamma"), (6, "alpha")]   # 4 dups 2, 6 dups 1
+        append(spark.createDataFrame(rows1, "doc_id long, text string").coalesce(1), table)
+        append(spark.createDataFrame(rows2, "doc_id long, text string").coalesce(1), table)
+        before = ice.current_metadata(table)["current-snapshot-id"]
+
+        sid = exact_dedup_table(spark, table)
+        assert sid is not None
+        got = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+        assert got == {1: "alpha", 2: "beta", 5: "gamma"}
+        assert read_table(spark, table, snapshot_id=before).count() == 6
+        # idempotent: a second pass finds nothing to remove
+        assert exact_dedup_table(spark, table) is None
