@@ -136,7 +136,11 @@ def delete_where(spark: SparkSession, table_or_path: str, predicate: str) -> int
     Scope: unpartitioned engine-native tables (partition columns live in
     paths, not files, so a partitioned CoW delete needs partition-aware
     rewriting — use the jar path for that). Returns the new snapshot id,
-    or None when nothing matched."""
+    or None when nothing matched. Caveat: replace_on wave recommits match
+    prior manifests by snapshot id OR recorded path; a table that
+    interleaves wave replacement, CoW deletes of those waves' files, AND
+    snapshot expiry can defeat both matches — run deletes and wave jobs
+    against the same table sequentially, not interleaved."""
     import uuid
     from urllib.parse import urlparse
 
