@@ -244,3 +244,53 @@ def exact_dedup_table(spark: SparkSession, table_or_path: str) -> int | None:
     keep = keyed.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     losers = keyed.join(keep, "fp").filter(F.col("doc_id") != F.col("keep_id"))
     return delete_keys(spark, table_or_path, losers.select("doc_id"), "doc_id")
+
+
+def merge_keys(
+    spark: SparkSession, table_or_path: str, updates: DataFrame, key: str
+) -> int | None:
+    """MERGE INTO by key (copy-on-write upsert): rows of ``updates`` whose
+    key exists in the table REPLACE those rows; unmatched keys are plain
+    inserts — all as one snapshot. Only files containing a matched key are
+    rewritten (survivors + replacement rows written together); when
+    nothing matches, this degrades to a pure append. Completes the DML
+    set: append / delete_where / delete_keys / merge_keys."""
+    import uuid
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    meta = iceberg_meta.current_metadata(table_or_path)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_or_path}")
+    if iceberg_meta._partition_fields(meta):
+        raise NotImplementedError("CoW merge on partitioned tables")
+
+    scan = iceberg_meta.read_snapshot(spark, table_or_path).withColumn(
+        "__file", F.input_file_name()
+    )
+    keyset = updates.select(F.col(key)).distinct()
+    affected_uris = [
+        r["__file"]
+        for r in scan.join(keyset, key, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+    if not affected_uris:
+        return append(updates, table_or_path, summary={"operation-detail": "merge-insert-only"})
+    affected = {os.path.abspath(urlparse(u).path) for u in affected_uris}
+    survivors = (
+        scan.filter(F.col("__file").isin(affected_uris))
+        .join(keyset, key, "left_anti")
+        .drop("__file")
+    )
+    merged = survivors.unionByName(updates.select(*survivors.columns))
+    rw_dir = os.path.join(table_or_path, "data", f"rw-{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").parquet(rw_dir)
+    return iceberg_meta.commit_parquet_dir(
+        table_or_path,
+        rw_dir,
+        summary={"operation-detail": f"merge-keys:{key}"},
+        remove_paths=affected,
+    )

@@ -746,3 +746,36 @@ class TestCowDelete:
         assert read_table(spark, table, snapshot_id=before).count() == 6
         # idempotent: a second pass finds nothing to remove
         assert exact_dedup_table(spark, table) is None
+
+
+    def test_merge_keys_upserts_in_one_snapshot(self, spark, tmp_path):
+        """MERGE: matched keys replaced, unmatched inserted, one snapshot;
+        old values survive via time travel; insert-only merges append."""
+        from parquet_to_arrow_spark.sources.iceberg import append, merge_keys, read_table
+
+        table = str(tmp_path / "table")
+        append(spark.createDataFrame(
+            [(1, "old-a"), (2, "old-b")], "doc_id long, text string").coalesce(1), table)
+        append(spark.createDataFrame(
+            [(3, "old-c")], "doc_id long, text string").coalesce(1), table)
+        before = ice.current_metadata(table)["current-snapshot-id"]
+
+        updates = spark.createDataFrame(
+            [(2, "NEW-b"), (4, "NEW-d")], "doc_id long, text string")
+        sid = merge_keys(spark, table, updates, "doc_id")
+        assert sid is not None
+        got = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+        assert got == {1: "old-a", 2: "NEW-b", 3: "old-c", 4: "NEW-d"}
+        old = {r["doc_id"]: r["text"]
+               for r in read_table(spark, table, snapshot_id=before).collect()}
+        assert old == {1: "old-a", 2: "old-b", 3: "old-c"}
+
+        # insert-only merge: pure append path
+        sid2 = merge_keys(
+            spark, table,
+            spark.createDataFrame([(9, "NEW-i")], "doc_id long, text string"),
+            "doc_id",
+        )
+        assert sid2 is not None
+        assert read_table(spark, table).count() == 5
+        assert ice.snapshots(table)[-1]["summary"]["operation-detail"] == "merge-insert-only"
