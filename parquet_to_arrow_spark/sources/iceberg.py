@@ -294,3 +294,41 @@ def merge_keys(
         summary={"operation-detail": f"merge-keys:{key}"},
         remove_paths=affected,
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    table_or_path: str,
+    target_bytes: int = 128 << 20,
+    min_group: int = 2,
+) -> int | None:
+    """Small-file compaction (Iceberg's rewrite_data_files): files under
+    ``target_bytes`` are read back and rewritten as ~target-sized files,
+    committed as one snapshot that removes the originals — the maintenance
+    pass that keeps scan task counts proportional to DATA, not to how many
+    tiny increments ever landed. Requires at least ``min_group`` small
+    files (compacting one file is a copy). Content is bit-identical; only
+    the file layout changes."""
+    import math
+    import uuid
+
+    meta = iceberg_meta.current_metadata(table_or_path)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_or_path}")
+    if iceberg_meta._partition_fields(meta):
+        raise NotImplementedError("compaction on partitioned tables")
+
+    small = [f for f in iceberg_meta.snapshot_files(table_or_path) if f.file_size < target_bytes]
+    if len(small) < min_group:
+        return None
+    total = sum(f.file_size for f in small)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(*[f.path for f in small]).coalesce(n_out)
+    rw_dir = os.path.join(table_or_path, "data", f"compact-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(rw_dir)
+    return iceberg_meta.commit_parquet_dir(
+        table_or_path,
+        rw_dir,
+        summary={"operation-detail": f"compact:{len(small)}->{n_out}"},
+        remove_paths={f.path for f in small},
+    )

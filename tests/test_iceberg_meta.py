@@ -779,3 +779,27 @@ class TestCowDelete:
         assert sid2 is not None
         assert read_table(spark, table).count() == 5
         assert ice.snapshots(table)[-1]["summary"]["operation-detail"] == "merge-insert-only"
+
+
+    def test_compact_files_preserves_content(self, spark, tmp_path):
+        """Five tiny appends compact into one file with identical rows;
+        history still reads the uncompacted layout."""
+        from parquet_to_arrow_spark.sources.iceberg import append, compact_files, read_table
+
+        table = str(tmp_path / "table")
+        for i in range(5):
+            append(spark.createDataFrame(
+                [(i * 10 + j, f"t{i}-{j}") for j in range(10)],
+                "doc_id long, text string").coalesce(1), table)
+        before = ice.current_metadata(table)["current-snapshot-id"]
+        assert len(ice.snapshot_files(table)) == 5
+
+        sid = compact_files(spark, table, target_bytes=1 << 20)
+        assert sid is not None
+        files = ice.snapshot_files(table)
+        assert len(files) == 1
+        assert {r["doc_id"] for r in read_table(spark, table).collect()} == set(range(50))
+        assert len(ice.snapshot_files(table, snapshot_id=before)) == 5
+        assert ice.snapshots(table)[-1]["summary"]["operation-detail"] == "compact:5->1"
+        # already compact: no-op
+        assert compact_files(spark, table, target_bytes=1 << 20) is None
