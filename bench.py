@@ -16,8 +16,9 @@ Env:
 Scaling methodology (BASELINE.md): no multi-node cluster exists in this
 sandbox, so the two "cluster sizes" are the same encode job at local[N] and
 local[4N] over identical deterministic input; efficiency =
-(throughput_4N / throughput_N) / 4, best-of-3 per leg, N=2 by default
-(1-core legs are hostage to the box's ~2 cores of ambient invisible load).
+(throughput_4N / throughput_N) / 4, two interleaved passes x 2 reps per
+leg pooled into best + median, N=2 by default (1-core legs are hostage to
+the box's ~2 cores of ambient invisible load).
 """
 
 from __future__ import annotations
@@ -97,6 +98,7 @@ def _measure_encode(cores: int, n_rows: int, reps: int = 2) -> dict:
     median = times[len(times) // 2]
     raw_gib = row["raw"] / (1 << 30)
     return {
+        "times": [round(t, 3) for t in times],
         "cores": cores,
         "rows": row["rows"],
         "raw_gib": round(raw_gib, 4),
@@ -229,25 +231,35 @@ def main() -> None:
         # 0.60-0.71 GiB/s between clean runs). Two alternating passes per
         # leg decorrelate that; each leg's capability is its best across
         # passes, medians ride along for dispersion.
+        import statistics
+
         lo_runs, hi_runs = [], []
         for _ in range(2):
             lo_runs.append(_measure_encode(n, rows, reps=2))
             hi_runs.append(_measure_encode(4 * n, rows, reps=2))
-        lo = max(lo_runs, key=lambda d: d["gib_per_s"])
-        hi = max(hi_runs, key=lambda d: d["gib_per_s"])
-        eff = (hi["gib_per_s"] / lo["gib_per_s"]) / 4.0
+        # POOL the 4 reps per leg across passes: best and a true median of
+        # the pooled sample (a per-pass 2-rep "median" would be a max)
+        raw = lo_runs[0]["raw_gib"]
+
+        def leg(runs):
+            times = sorted(t for r in runs for t in r["times"])
+            return (
+                round(raw / times[0], 4),
+                round(raw / statistics.median(times), 4),
+            )
+
+        lo_best, lo_med = leg(lo_runs)
+        hi_best, hi_med = leg(hi_runs)
         result["scaling"] = {
-            "n_cores": lo["cores"],
-            "n4_cores": hi["cores"],
+            "n_cores": n,
+            "n4_cores": 4 * n,
             "rows": rows,
-            "gib_per_s_n": lo["gib_per_s"],
-            "gib_per_s_4n": hi["gib_per_s"],
-            "gib_per_s_n_median": lo["gib_per_s_median"],
-            "gib_per_s_4n_median": hi["gib_per_s_median"],
-            "efficiency": round(eff, 3),
-            "efficiency_median": round(
-                (hi["gib_per_s_median"] / lo["gib_per_s_median"]) / 4.0, 3
-            ),
+            "gib_per_s_n": lo_best,
+            "gib_per_s_4n": hi_best,
+            "gib_per_s_n_median": lo_med,
+            "gib_per_s_4n_median": hi_med,
+            "efficiency": round((hi_best / lo_best) / 4.0, 3),
+            "efficiency_median": round((hi_med / lo_med) / 4.0, 3),
         }
 
     print(json.dumps(result))

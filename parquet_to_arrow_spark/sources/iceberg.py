@@ -142,7 +142,7 @@ def delete_where(spark: SparkSession, table_or_path: str, predicate: str) -> int
     snapshot expiry can defeat both matches — run deletes and wave jobs
     against the same table sequentially, not interleaved."""
     import uuid
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
@@ -163,11 +163,13 @@ def delete_where(spark: SparkSession, table_or_path: str, predicate: str) -> int
     ]  # bounded by the table's file count — the same scale as the manifest walk
     if not affected_uris:
         return None
-    affected = {os.path.abspath(urlparse(u).path) for u in affected_uris}
+    # input_file_name() returns percent-encoded URIs; manifests store raw
+    # abspaths — unquote or the remove-path match silently finds nothing
+    affected = {os.path.abspath(unquote(urlparse(u).path)) for u in affected_uris}
 
     survivors = (
         scan.filter(F.col("__file").isin(affected_uris))
-        .filter(f"NOT ({predicate})")
+        .filter(f"NOT coalesce(({predicate}), false)")  # NULL pred = keep
         .drop("__file")
     )
     rw_dir = os.path.join(table_or_path, "data", f"rw-{uuid.uuid4().hex[:8]}")
@@ -190,7 +192,7 @@ def delete_keys(
     untouched. This is how dedup verdicts scale to physical removal — the
     loser set flows through a join, never a predicate string."""
     import uuid
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
@@ -213,7 +215,9 @@ def delete_keys(
     ]
     if not affected_uris:
         return None
-    affected = {os.path.abspath(urlparse(u).path) for u in affected_uris}
+    # input_file_name() returns percent-encoded URIs; manifests store raw
+    # abspaths — unquote or the remove-path match silently finds nothing
+    affected = {os.path.abspath(unquote(urlparse(u).path)) for u in affected_uris}
     survivors = (
         scan.filter(F.col("__file").isin(affected_uris))
         .join(keyset, key, "left_anti")
@@ -256,7 +260,7 @@ def merge_keys(
     nothing matches, this degrades to a pure append. Completes the DML
     set: append / delete_where / delete_keys / merge_keys."""
     import uuid
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
@@ -279,7 +283,9 @@ def merge_keys(
     ]
     if not affected_uris:
         return append(updates, table_or_path, summary={"operation-detail": "merge-insert-only"})
-    affected = {os.path.abspath(urlparse(u).path) for u in affected_uris}
+    # input_file_name() returns percent-encoded URIs; manifests store raw
+    # abspaths — unquote or the remove-path match silently finds nothing
+    affected = {os.path.abspath(unquote(urlparse(u).path)) for u in affected_uris}
     survivors = (
         scan.filter(F.col("__file").isin(affected_uris))
         .join(keyset, key, "left_anti")
@@ -323,7 +329,18 @@ def compact_files(
         return None
     total = sum(f.file_size for f in small)
     n_out = max(1, math.ceil(total / target_bytes))
-    df = spark.read.parquet(*[f.path for f in small]).coalesce(n_out)
+    # read with the CURRENT table schema (as read_snapshot does): files
+    # predating an additive evolution must null-project the new columns
+    # instead of the compaction inheriting one arbitrary footer's schema
+    # and silently dropping them from the rewritten files
+    cur_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    df = (
+        spark.read.schema(iceberg_meta._spark_ddl(cur_schema))
+        .parquet(*[f.path for f in small])
+        .coalesce(n_out)
+    )
     rw_dir = os.path.join(table_or_path, "data", f"compact-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(rw_dir)
     return iceberg_meta.commit_parquet_dir(

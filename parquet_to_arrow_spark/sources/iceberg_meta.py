@@ -1167,7 +1167,37 @@ def added_files(
     to; since=None means from the table's beginning) — the incremental-
     consumption primitive: a downstream job records the snapshot id it
     last processed and reads only newer files, never rescanning the table.
-    Pure metadata set difference over the manifest walks."""
+    Pure metadata set difference over the manifest walks.
+
+    The range must contain only APPEND snapshots: a rewrite commit
+    (compaction, CoW delete/merge) re-files old rows, and a path diff
+    would re-deliver them as new — exactly like Iceberg's own incremental
+    read, a non-append snapshot in the range raises and the consumer must
+    rebase (full re-read or reconcile) instead of double-processing."""
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    snaps = meta["snapshots"]
+    lo = 0
+    if since_snapshot_id is not None:
+        lo = next(
+            i for i, s in enumerate(snaps) if s["snapshot-id"] == since_snapshot_id
+        ) + 1
+    hi = len(snaps)
+    if to_snapshot_id is not None:
+        hi = next(
+            i for i, s in enumerate(snaps) if s["snapshot-id"] == to_snapshot_id
+        ) + 1
+    bad = [
+        s["snapshot-id"]
+        for s in snaps[lo:hi]
+        if s.get("summary", {}).get("operation", "append") != "append"
+    ]
+    if bad:
+        raise ValueError(
+            f"incremental range contains non-append snapshots {bad} "
+            "(rewrite/delete/compaction re-files old rows); rebase the consumer"
+        )
     after = {f.path: f for f in snapshot_files(table_dir, to_snapshot_id)}
     if since_snapshot_id is not None:
         for f in snapshot_files(table_dir, since_snapshot_id):

@@ -157,42 +157,14 @@ def encode_parquet_dir(
     regardless of task placement.
     """
 
-    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for pdf in batches:
-            for fpath in pdf.column(0).to_pylist():
-                pf = open_parquet(fpath)
-                base = os.path.splitext(os.path.basename(fpath))[0]
-                for seq, batch in enumerate(
-                    pf.iter_batches(batch_size=chunk_rows, columns=list(columns))
-                ):
-                    if batch.num_rows:
-                        yield encode_batch(batch, chunk_id=f"{base}.{seq:05d}")
-
-    return files_df(spark, path).mapInArrow(run, ENCODED_SCHEMA_DDL)
+    return _encode_files(files_df(spark, path), chunk_rows, columns)
 
 
-def encode_iceberg_snapshot(
-    spark: SparkSession,
-    table_dir: str,
-    snapshot_id: int | None = None,
-    chunk_rows: int = DEFAULT_CHUNK_ROWS,
-    columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source"),
+def _encode_files(
+    fdf: DataFrame, chunk_rows: int, columns: tuple[str, ...]
 ) -> DataFrame:
-    """Snapshot-consistent fast-path encode: the input file list AND sizes
-    come from the Iceberg manifest walk — zero filesystem listing, and the
-    encode sees exactly the files of one committed snapshot regardless of
-    concurrent appends (pass an older id to encode historical state).
-    The file-split packing and the per-chunk pipeline are identical to
-    encode_parquet_dir's."""
-    from . import iceberg_meta
-
-    dfiles = iceberg_meta.snapshot_files(table_dir, snapshot_id)
-    fdf = files_df(
-        spark,
-        None,
-        files=[f.path for f in dfiles],
-        sizes={f.path: f.file_size for f in dfiles},
-    )
+    """Shared fast-path core: one task per file group, per-file streaming
+    decode in chunk_rows batches, content-stable chunk ids."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for pdf in batches:
@@ -206,6 +178,48 @@ def encode_iceberg_snapshot(
                         yield encode_batch(batch, chunk_id=f"{base}.{seq:05d}")
 
     return fdf.mapInArrow(run, ENCODED_SCHEMA_DDL)
+
+
+def _iceberg_files_df(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """File-split task frame straight from a snapshot's manifest walk —
+    paths AND sizes come from metadata, zero filesystem listing."""
+    from . import iceberg_meta
+
+    dfiles = iceberg_meta.snapshot_files(table_dir, snapshot_id)
+    return files_df(
+        spark,
+        None,
+        files=[f.path for f in dfiles],
+        sizes={f.path: f.file_size for f in dfiles},
+    )
+
+
+def encode_iceberg_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source"),
+) -> DataFrame:
+    """Snapshot-consistent fast-path encode: the encode sees exactly the
+    files of one committed snapshot regardless of concurrent appends (pass
+    an older id to encode historical state). Identity-partitioned tables
+    are rejected — their partition columns live in paths, not in the data
+    files this path streams."""
+    from . import iceberg_meta
+
+    meta = iceberg_meta.current_metadata(table_dir)
+    if meta is not None and iceberg_meta._partition_fields(meta):
+        raise NotImplementedError(
+            "fast-path encode of identity-partitioned tables (partition "
+            "columns are not in the data files; use read_snapshot + the "
+            "keyed encode)"
+        )
+    return _encode_files(
+        _iceberg_files_df(spark, table_dir, snapshot_id), chunk_rows, columns
+    )
 
 
 # --- scalar-only verification path (token arrays never cross the JVM) -------
@@ -227,22 +241,19 @@ def _hash_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     )
 
 
-def token_hashes_from_parquet(spark: SparkSession, path: str) -> DataFrame:
+def token_hashes_from_parquet(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
     """(doc_id, n_tok, tok_hash) per row, scanning parquet Arrow-natively.
 
-    An Iceberg table path resolves through its current snapshot's
-    manifests (NOT a directory listing, which would also pick up orphan
-    files from crashed writes)."""
+    An Iceberg table path resolves through its snapshot's manifests (NOT a
+    directory listing, which would also pick up orphan files from crashed
+    writes); ``snapshot_id`` selects historical state, matching an encode
+    of the same snapshot."""
     from . import iceberg_meta
 
     if iceberg_meta.current_version(path) is not None:
-        dfiles = iceberg_meta.snapshot_files(path)
-        fdf = files_df(
-            spark,
-            None,
-            files=[f.path for f in dfiles],
-            sizes={f.path: f.file_size for f in dfiles},
-        )
+        fdf = _iceberg_files_df(spark, path, snapshot_id)
     else:
         fdf = files_df(spark, path)
 

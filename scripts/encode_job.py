@@ -203,7 +203,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.verify:
         report = pio.verify_hashes(
-            pio.token_hashes_from_parquet(spark, args.input),
+            # hash the SAME snapshot the encode read (historical when
+            # --input-snapshot was given), not whatever is current now
+            pio.token_hashes_from_parquet(
+                spark, args.input, snapshot_id=args.input_snapshot
+            ),
             pio.token_hashes_from_encoded(written),
         )
         stats["verify"] = report

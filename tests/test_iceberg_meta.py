@@ -803,3 +803,80 @@ class TestCowDelete:
         assert ice.snapshots(table)[-1]["summary"]["operation-detail"] == "compact:5->1"
         # already compact: no-op
         assert compact_files(spark, table, target_bytes=1 << 20) is None
+
+
+class TestSecondReviewRegressions:
+    def test_delete_where_keeps_null_predicate_rows(self, spark, tmp_path):
+        """SQL DELETE removes pred=TRUE rows only: a NULL-predicate row in
+        an affected file must SURVIVE the rewrite."""
+        from parquet_to_arrow_spark.sources.iceberg import append, delete_where, read_table
+
+        table = str(tmp_path / "table")
+        df = spark.createDataFrame(
+            [(1, "a"), (None, "n"), (9, "z")], "doc_id long, text string"
+        ).coalesce(1)
+        append(df, table)
+        assert delete_where(spark, table, "doc_id >= 5") is not None
+        got = {(r["doc_id"], r["text"]) for r in read_table(spark, table).collect()}
+        assert got == {(1, "a"), (None, "n")}
+
+    def test_cow_paths_survive_percent_encoded_uris(self, spark, tmp_path):
+        """input_file_name() percent-encodes special characters; the
+        remove-path match must still hit the manifests (a miss silently
+        duplicates survivors instead of deleting)."""
+        from parquet_to_arrow_spark.sources.iceberg import append, delete_where, read_table
+
+        table = str(tmp_path / "my table with spaces")
+        append(
+            spark.createDataFrame([(i, f"t{i}") for i in range(6)],
+                                  "doc_id long, text string").coalesce(1),
+            table,
+        )
+        assert delete_where(spark, table, "doc_id < 2") is not None
+        assert {r["doc_id"] for r in read_table(spark, table).collect()} == {2, 3, 4, 5}
+
+    def test_incremental_read_rejects_rewrite_ranges(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, compact_files
+
+        table = str(tmp_path / "table")
+        mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+            [(i, f"t{i}") for i in range(lo, hi)], "doc_id long, text string"
+        ).coalesce(1)
+        s1 = append(mk(0, 5), table)
+        append(mk(5, 10), table)
+        compact_files(spark, table, target_bytes=1 << 20)
+        with pytest.raises(ValueError, match="non-append"):
+            ice.added_files(table, s1)
+        s_after = ice.current_metadata(table)["current-snapshot-id"]
+        append(mk(10, 12), table)
+        # append-only range after the compaction is fine
+        inc = ice.added_files(table, s_after)
+        assert sum(f.record_count for f in inc) == 2
+
+    def test_partitioned_snapshot_encode_rejected(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.io import encode_iceberg_snapshot
+
+        df = spark.createDataFrame(
+            [(f"doc-{i}", [1, 2], 2, ["a", "b"][i % 2]) for i in range(4)],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        d = str(tmp_path / "w")
+        df.write.partitionBy("source").parquet(d)
+        table = str(tmp_path / "table")
+        ice.commit_parquet_dir(table, d, spark_schema=df.schema, ts_ms=1,
+                               partition_by=["source"])
+        with pytest.raises(NotImplementedError, match="partitioned"):
+            encode_iceberg_snapshot(spark, table)
+
+    def test_token_hashes_honor_snapshot_id(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append
+        from parquet_to_arrow_spark.sources.io import token_hashes_from_parquet
+        from parquet_to_arrow_spark.sources.synth import synth_tokens_df
+
+        table = str(tmp_path / "table")
+        first = synth_tokens_df(spark, 100, n_partitions=1)
+        s1 = append(first, table)
+        append(synth_tokens_df(spark, 200, n_partitions=1)
+               .filter("doc_id >= 'doc-000000000100'"), table)
+        assert token_hashes_from_parquet(spark, table, snapshot_id=s1).count() == 100
+        assert token_hashes_from_parquet(spark, table).count() == 200
