@@ -307,6 +307,7 @@ def compact_files(
     table_or_path: str,
     target_bytes: int = 128 << 20,
     min_group: int = 2,
+    sort_by: str | None = None,
 ) -> int | None:
     """Small-file compaction (Iceberg's rewrite_data_files): files under
     ``target_bytes`` are read back and rewritten as ~target-sized files,
@@ -314,7 +315,13 @@ def compact_files(
     pass that keeps scan task counts proportional to DATA, not to how many
     tiny increments ever landed. Requires at least ``min_group`` small
     files (compacting one file is a copy). Content is bit-identical; only
-    the file layout changes."""
+    the file layout changes.
+
+    ``sort_by``: cluster the rewrite by a column (range partition + sort
+    within files) so the recompacted files carry DISJOINT min/max bounds —
+    a range_filter then prunes to the one file holding the key range
+    instead of scanning every compacted file (Iceberg's sort-order
+    rewrite)."""
     import math
     import uuid
 
@@ -336,11 +343,13 @@ def compact_files(
     cur_schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
     )
-    df = (
-        spark.read.schema(iceberg_meta._spark_ddl(cur_schema))
-        .parquet(*[f.path for f in small])
-        .coalesce(n_out)
+    df = spark.read.schema(iceberg_meta._spark_ddl(cur_schema)).parquet(
+        *[f.path for f in small]
     )
+    if sort_by:
+        df = df.repartitionByRange(n_out, sort_by).sortWithinPartitions(sort_by)
+    else:
+        df = df.coalesce(n_out)
     rw_dir = os.path.join(table_or_path, "data", f"compact-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(rw_dir)
     return iceberg_meta.commit_parquet_dir(

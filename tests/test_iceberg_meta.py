@@ -880,3 +880,31 @@ class TestSecondReviewRegressions:
                .filter("doc_id >= 'doc-000000000100'"), table)
         assert token_hashes_from_parquet(spark, table, snapshot_id=s1).count() == 100
         assert token_hashes_from_parquet(spark, table).count() == 200
+
+
+    def test_sorted_compaction_clusters_bounds_for_pruning(self, spark, tmp_path):
+        """Sort-order compaction: interleaved appends compact into files
+        with DISJOINT doc_id bounds, so a range filter prunes to one file
+        where the unsorted layout had to keep several."""
+        from parquet_to_arrow_spark.sources.iceberg import append, compact_files, read_table
+
+        table = str(tmp_path / "table")
+        # 4 appends, each spanning the WHOLE id range (maximally interleaved)
+        for k in range(4):
+            append(spark.createDataFrame(
+                [(i * 4 + k, f"t{i}-{k}") for i in range(50)],
+                "doc_id long, text string").coalesce(1), table)
+        pre = ice.snapshot_files(table, range_filter={"doc_id": (10, 12)})
+        assert len(pre) == 4  # every file's bounds span 10..12
+
+        sid = compact_files(spark, table, target_bytes=3000, sort_by="doc_id")
+        assert sid is not None
+        allf = ice.snapshot_files(table)
+        assert len(allf) >= 2  # range partition produced multiple files
+        # disjoint bounds: at most one file can hold any narrow range
+        hit = ice.snapshot_files(table, range_filter={"doc_id": (10, 12)})
+        assert len(hit) == 1
+        assert read_table(spark, table).count() == 200
+        got = {r["doc_id"] for r in read_table(
+            spark, table, range_filter={"doc_id": (10, 12)}).collect()}
+        assert {10, 11, 12} <= got
