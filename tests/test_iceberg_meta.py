@@ -442,6 +442,50 @@ class TestCli:
         assert json.loads(capsys.readouterr().out)["expired_snapshot_ids"] == []
 
 
+
+    def test_cli_incremental_lists_added_files(self, spark, docs_df, tmp_path, capsys):
+        import sys
+
+        sys.path.insert(0, "tools")
+        import iceberg_cli
+
+        table = str(tmp_path / "table")
+        d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+        docs_df.filter("doc_id < 12").write.parquet(d1)
+        docs_df.filter("doc_id >= 12").write.parquet(d2)
+        s1 = ice.commit_parquet_dir(table, d1, spark_schema=docs_df.schema, ts_ms=1)
+        ice.commit_parquet_dir(table, d2, ts_ms=2)
+
+        assert iceberg_cli.main(["incremental", table, "--since", str(s1)]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["total_records"] == 8
+
+    def test_cli_orphan_removal_respects_grace_period(self, spark, docs_df, tmp_path, capsys):
+        import os
+        import sys
+
+        sys.path.insert(0, "tools")
+        import iceberg_cli
+
+        table = str(tmp_path / "table")
+        d = str(tmp_path / "w")
+        docs_df.write.parquet(d)
+        ice.commit_parquet_dir(table, d, spark_schema=docs_df.schema, ts_ms=1)
+        fresh = os.path.join(d, "part-inflight.parquet")
+        stale = os.path.join(d, "part-crashed.parquet")
+        for p in (fresh, stale):
+            with open(p, "wb") as f:
+                f.write(b"PAR1x")
+        os.utime(stale, (1, 1))  # ancient mtime
+
+        assert iceberg_cli.main(["orphans", table, "--data-dir", d,
+                                 "--remove-older-than-min", "60"]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["removed"] == [os.path.abspath(stale)]
+        assert not os.path.exists(stale)
+        assert os.path.exists(fresh)  # inside the grace period: kept
+
+
 class TestMinMaxBounds:
     def test_bounds_recorded_and_roundtrip(self):
         assert ice.encode_bound(-5, "long") == (-5).to_bytes(8, "little", signed=True)
@@ -528,32 +572,6 @@ class TestSchemaEvolution:
         ice.commit_parquet_dir(table, d1, spark_schema=df1.schema, ts_ms=1)
         with pytest.raises(ValueError, match="unsupported schema evolution"):
             ice.commit_parquet_dir(table, d2, spark_schema=df2.schema, ts_ms=2)
-
-
-    def test_cli_orphan_removal_respects_grace_period(self, spark, docs_df, tmp_path, capsys):
-        import os
-        import sys
-
-        sys.path.insert(0, "tools")
-        import iceberg_cli
-
-        table = str(tmp_path / "table")
-        d = str(tmp_path / "w")
-        docs_df.write.parquet(d)
-        ice.commit_parquet_dir(table, d, spark_schema=docs_df.schema, ts_ms=1)
-        fresh = os.path.join(d, "part-inflight.parquet")
-        stale = os.path.join(d, "part-crashed.parquet")
-        for p in (fresh, stale):
-            with open(p, "wb") as f:
-                f.write(b"PAR1x")
-        os.utime(stale, (1, 1))  # ancient mtime
-
-        assert iceberg_cli.main(["orphans", table, "--data-dir", d,
-                                 "--remove-older-than-min", "60"]) == 0
-        out = json.loads(capsys.readouterr().out)
-        assert out["removed"] == [os.path.abspath(stale)]
-        assert not os.path.exists(stale)
-        assert os.path.exists(fresh)  # inside the grace period: kept
 
 
 class TestReviewRegressions:

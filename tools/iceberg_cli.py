@@ -34,12 +34,15 @@ def _parse_partition(pairs: list[str]) -> dict:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("snapshots", "files", "history", "expire", "orphans"):
+    for name in ("snapshots", "files", "history", "expire", "orphans", "incremental"):
         s = sub.add_parser(name)
         s.add_argument("table")
         if name == "files":
             s.add_argument("--snapshot", type=int, default=None)
             s.add_argument("--partition", action="append", default=[])
+        if name == "incremental":
+            s.add_argument("--since", type=int, required=True)
+            s.add_argument("--to", type=int, default=None)
         if name == "expire":
             s.add_argument("--keep", type=int, required=True)
             s.add_argument("--remove", action="store_true")
@@ -93,6 +96,13 @@ def main(argv: list[str] | None = None) -> int:
             "current_version": ice.current_version(args.table),
             "snapshot_log": meta["snapshot-log"],
             "partition_spec": meta["partition-specs"][meta["default-spec-id"]],
+        }
+    elif args.cmd == "incremental":
+        files = ice.added_files(args.table, args.since, args.to)
+        out = {
+            "n_files": len(files),
+            "total_records": sum(f.record_count for f in files),
+            "files": [f.path for f in files],
         }
     elif args.cmd == "expire":
         out = ice.expire_snapshots(args.table, keep_last=args.keep, remove=args.remove)
