@@ -222,9 +222,12 @@ def main() -> None:
         # (observed: 1-core reps swinging 30 s..86 s on identical work while
         # 2-core reps agree to <1%). Override with SPARK_GRAFT_SCALE_N.
         n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-        # 4M rows (3.46 GiB): long enough legs that this shared box's
-        # run-to-run noise (±20%) averages out inside best-of-3
-        rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", str(max(BENCH_ROWS, 4_000_000))))
+        # 8M rows (6.9 GiB): big enough that the low-core leg cannot ride
+        # entirely on a hot page cache (at 3.46 GiB the fully-cached 2-core
+        # leg drifted FASTER across repeated runs, deflating the ratio to
+        # ~0.79; at 6.9 GiB consecutive runs agree at ~0.84, matching the
+        # 46.5 GB soak's 0.866)
+        rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", str(max(BENCH_ROWS, 8_000_000))))
         # INTERLEAVED pairs: the ambient load drifts on a minutes scale, so
         # measuring lo..lo then hi..hi lets one leg absorb a slow period the
         # other never sees (observed: the 8-core leg alone swinging
