@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": ts.unigram_logprob,
         "source_kl_drift": ts.source_kl_drift,
         "quality_filter": ts.quality_filter,
+        "source_length_profile": ts.source_length_profile,
         # --- multimodal (real WAV/PPM container decode; codec formats stubbed) ---
         "media_meta": multimodal.media_meta,
         "media_audio_features": multimodal.media_audio_features,
@@ -1100,6 +1101,13 @@ def oracle_sql() -> dict[str, str]:
                        AS boilerplate_frac
             FROM d LEFT JOIN h ON d.doc_id = h.doc_id""",
         "pii_redact": _pii_sql(),
+        "source_length_profile": """
+            SELECT source, count(*) AS n_docs,
+                   round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,
+                   round(quantile_cont(n_chars, 0.1), 6) AS p10,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90
+            FROM documents GROUP BY source""",
         "quality_filter": """
             WITH s AS (
                 SELECT doc_id, lang,

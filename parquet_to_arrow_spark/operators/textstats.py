@@ -450,3 +450,19 @@ def winnow_fingerprints(spark, sf_dir) -> DataFrame:
         F.array_max(fps).alias("fp_max"),
         F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("fp_sum"),
     )
+
+
+def source_length_profile(spark, sf_dir) -> DataFrame:
+    """Per-source document-length profile: exact p10/p50/p90 character
+    deciles plus count and mean — the corpus-shape dashboard a pipeline
+    watches per slice. Exact interpolating percentiles keep the oracle
+    bit-identical (quantile_cont parity); swap approx_percentile at
+    cluster scale exactly as in quality_filter."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("mean_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.1)), 6).alias("p10"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
+    )
