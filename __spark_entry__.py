@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl_drift": ts.source_kl_drift,
         "quality_filter": ts.quality_filter,
         "source_length_profile": ts.source_length_profile,
+        "vocab_coverage": ts.vocab_coverage,
         # --- multimodal (real WAV/PPM container decode; codec formats stubbed) ---
         "media_meta": multimodal.media_meta,
         "media_audio_features": multimodal.media_audio_features,
@@ -1101,6 +1102,23 @@ def oracle_sql() -> dict[str, str]:
                        AS boilerplate_frac
             FROM d LEFT JOIN h ON d.doc_id = h.doc_id""",
         "pii_redact": _pii_sql(),
+        "vocab_coverage": """
+            WITH w2 AS (
+                SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+                               FROM documents) WHERE length(w) > 0
+            ), vocab AS (SELECT w, count(*) AS cnt FROM w2 GROUP BY w),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+            ranked AS (
+                SELECT cnt,
+                       sum(cnt) OVER (ORDER BY cnt DESC, w
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       row_number() OVER (ORDER BY cnt DESC, w) AS rank
+                FROM vocab
+            )
+            SELECT rank AS top_k, CAST(cum AS BIGINT) AS covered,
+                   round(cum / total, 6) AS coverage
+            FROM ranked CROSS JOIN tot
+            WHERE rank IN (10, 20, 50, 100)""",
         "source_length_profile": """
             SELECT source, count(*) AS n_docs,
                    round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,

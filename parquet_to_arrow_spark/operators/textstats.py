@@ -466,3 +466,42 @@ def source_length_profile(spark, sf_dir) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
     )
+
+
+VOCAB_COVERAGE_KS = (10, 20, 50, 100)
+
+
+def vocab_coverage(spark, sf_dir) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all corpus word
+    occurrences covered by the top-K most frequent words, for a ladder of
+    K — the tokenizer-budget planning metric (how much of the stream a
+    K-entry vocabulary explains).
+
+    One explode, one vocabulary-sized count, one window cumsum over the
+    vocabulary (NOT the corpus — the ordered state is vocab rows), ties
+    broken by word so ranks are deterministic and oracle-exact."""
+    from pyspark.sql import Window
+
+    from .dedup import _spread
+
+    docs = _spread(_docs(spark, sf_dir))
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
+        F.length("w") > 0
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
+    win = Window.orderBy(F.col("cnt").desc(), F.col("w")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vocab.withColumn("cum", F.sum("cnt").over(win)).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("w"))),
+    )
+    return (
+        ranked.filter(F.col("rank").isin(list(VOCAB_COVERAGE_KS)))
+        .select(
+            F.col("rank").alias("top_k"),
+            F.col("cum").cast("long").alias("covered"),
+            F.round(F.col("cum") / F.lit(total), 6).alias("coverage"),
+        )
+    )
