@@ -103,7 +103,7 @@ def _md5_signed64(col):
     return h, hi
 
 
-def minhash_signatures(spark, sf_dir) -> DataFrame:
+def minhash_signatures(spark, sf_dir, docs: DataFrame | None = None) -> DataFrame:
     """K min-hashes per doc via ONE-PERMUTATION HASHING (Li/Owen/Zhang,
     NeurIPS 2012): each shingle is hashed ONCE, assigned to one of K bins by
     the hash's own top bits, and the signature is the per-bin minimum — K
@@ -119,7 +119,8 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     collides exactly when their global minima collide — itself a minhash
     event — so the estimator stays honest; single-sided empties almost
     never collide (slight underestimate)."""
-    docs = _docs(spark, sf_dir)
+    if docs is None:
+        docs = _docs(spark, sf_dir)
     sh = doc_shingles(docs)
     h, hi = _md5_signed64(F.col("shingle"))
     binned = sh.select(
@@ -150,7 +151,11 @@ DEFAULT_BAND_CAP = 4096
 
 
 def minhash_lsh_pairs(
-    spark, sf_dir, threshold: float = 0.5, band_cap: int = DEFAULT_BAND_CAP
+    spark,
+    sf_dir,
+    threshold: float = 0.5,
+    band_cap: int = DEFAULT_BAND_CAP,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + exact MinHash-similarity
     verification; returns (doc_a, doc_b, est_jaccard).
@@ -169,7 +174,7 @@ def minhash_lsh_pairs(
     handles — the cap costs recall only for the pathological band, bounded
     and measured, instead of an unbounded join.
     """
-    sig = minhash_signatures(spark, sf_dir).cache()
+    sig = minhash_signatures(spark, sf_dir, docs=docs).cache()
     rows_per_band = N_MINHASH // N_BANDS
     band_cols = [
         F.xxhash64(

@@ -170,6 +170,67 @@ def near_dup_clusters(
     )
 
 
+def near_dup_clusters_minhash(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    est_floor: float = 0.2,
+    max_rounds: int = 20,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Duplicate clusters seeded from MinHash-LSH candidates instead of the
+    rare-shingle join: banded LSH candidates (est_jaccard >= ``est_floor``)
+    -> EXACT hash-set Jaccard verification on the candidates only ->
+    the same connected-components core. Returns (doc_id, cluster_id,
+    cluster_size) partitioning the corpus, min-id canonical keeper.
+
+    Why a second candidate generator: ngram_jaccard_pairs' rare-shingle
+    self-join touches every sub-max_df shingle — at 10^12 docs that is the
+    heavier path; the banded LSH shuffle carries only (band, doc_id) with a
+    per-band cap, so candidate generation stays narrow regardless of corpus
+    shape. Verification is per-candidate O(|A|+|B|): each doc's distinct
+    shingle set is one array<long> of md5-derived hashes (collect_set), the
+    pair join is candidate-sized, and array_intersect gives |A∩B| without
+    ever re-joining on shingles. Hash sets (not raw shingles) keep the
+    arrays fixed-width AND give the DuckDB oracle an exact twin — both
+    engines compare the same md5-derived values, so even a hash collision
+    cannot diverge them."""
+    from .dedup import _md5_signed64, doc_shingles, minhash_lsh_pairs
+
+    cand = minhash_lsh_pairs(spark, sf_dir, threshold=est_floor, docs=docs).select(
+        "doc_a", "doc_b"
+    )
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    h, _ = _md5_signed64(F.col("shingle"))
+    hsets = (
+        doc_shingles(docs)
+        .select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    a = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            n_common
+            / (F.size("hs_a") + F.size("hs_b") - n_common).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    nodes = docs.select("doc_id")
+    labels = connected_components(nodes, verified, max_rounds=max_rounds)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
 def near_dup_kept(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     """The near-deduplicated corpus: one representative per cluster (the
     min-id keeper), with the cluster size it stands for — the row count a
@@ -211,10 +272,25 @@ def _bpe_ish_token_count(text):
     ).cast("long")
 
 
-# the one cached frame a _packed call pins (pid stability requires caching
-# the range-shuffled input across its two passes); the next call unpersists
-# the previous one so repeated packing queries can't accumulate cache
-_last_parts: list = []
+# every range-partitioned frame a _packed call has pinned (pid stability
+# requires the cached partitioning to outlive the RETURNED frame, whose
+# consumption time the library cannot know — two composed packing queries
+# may interleave arbitrarily, so cross-call eviction would void the pin
+# mid-flight). The caller owns the lifetime: release_pack_caches() after
+# the results are materialized. Each entry is a narrow
+# (group_cols, doc_id, n_tok) projection, tiny relative to the corpus.
+_pack_caches: list = []
+
+
+def release_pack_caches() -> int:
+    """Unpersist every packing-input cache pinned by prior _packed calls.
+    Call once the packing results have been materialized (written/collected);
+    returns the number of frames released."""
+    n = 0
+    while _pack_caches:
+        _pack_caches.pop().unpersist()
+        n += 1
+    return n
 
 
 def _packed(
@@ -246,9 +322,10 @@ def _packed(
         .withColumn("__pid", F.spark_partition_id())
         .cache()
     )
-    while _last_parts:
-        _last_parts.pop().unpersist()
-    _last_parts.append(parts)
+    # the collect below fully materializes this cache, so later recomputes
+    # of the returned frame replay the SAME pids the bases were built from;
+    # lifetime is caller-managed (release_pack_caches), never evicted here
+    _pack_caches.append(parts)
     pstats = parts.groupBy("__pid", *group_cols).agg(
         F.sum("n_tok").alias("tot"), F.min("doc_id").alias("lo")
     ).collect()

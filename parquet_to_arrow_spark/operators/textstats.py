@@ -319,30 +319,43 @@ def _swap_cached(df: DataFrame) -> DataFrame:
     return df
 
 
-def quality_filter(spark, sf_dir, pct: float = 0.1) -> DataFrame:
+def _pctile(col, p: float, exact: bool):
+    """Percentile expression with the scale default = approx.
+
+    approx (default): percentile_approx with accuracy 10000 — bounded
+    aggregation-buffer memory per group at any corpus size (the exact
+    variant buffers and sorts every group value, which is per-language
+    corpus-sized at 100 TB). exact: interpolating percentile, used by the
+    driver/oracle queries so the DuckDB quantile_cont twin matches
+    bit-for-bit. Same plan shape either way (partial+final aggregate)."""
+    if exact:
+        return F.round(F.percentile(col, F.lit(p)), 6)
+    return F.percentile_approx(col, F.lit(p), F.lit(10000)).cast("double")
+
+
+def quality_filter(spark, sf_dir, pct: float = 0.1, exact: bool = False) -> DataFrame:
     """Quantile-threshold quality gate: keep documents whose word count
     reaches their LANGUAGE's pct-quantile — the per-slice adaptive filter
     (fixed global thresholds over- or under-prune small languages).
 
     Thresholds are one tiny per-language aggregate broadcast back onto the
-    scan. This uses EXACT interpolating percentile so the DuckDB
-    quantile_cont oracle matches bit-for-bit; on a 100 TB corpus swap in
-    approx_percentile(col, p, 10000) — same plan shape, bounded memory,
-    the standard accuracy/exactness trade (exact percentile sorts each
-    group's values in the aggregation buffer)."""
+    scan. The LIBRARY DEFAULT is exact=False — approx_percentile with
+    bounded buffer memory at any corpus size (see _pctile); exact=True is
+    the flagged oracle/driver path (__spark_entry__ passes it) where the
+    DuckDB quantile_cont twin must match bit-for-bit."""
     docs = _docs(spark, sf_dir)
     n_words = (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
     ).cast("long")
     scored = docs.select("doc_id", "lang", n_words.alias("n_words"))
-    thr = scored.groupBy("lang").agg(
-        F.round(F.percentile("n_words", F.lit(pct)), 6).alias("thr")
-    )
+    thr = scored.groupBy("lang").agg(_pctile("n_words", pct, exact).alias("thr"))
     return (
         scored.join(F.broadcast(thr), "lang")
         .filter(F.col("n_words") >= F.col("thr"))
         .select("doc_id", "lang", "n_words", "thr")
     )
+
+
 
 
 def unigram_logprob(spark, sf_dir) -> DataFrame:
@@ -452,20 +465,23 @@ def winnow_fingerprints(spark, sf_dir) -> DataFrame:
     )
 
 
-def source_length_profile(spark, sf_dir) -> DataFrame:
-    """Per-source document-length profile: exact p10/p50/p90 character
-    deciles plus count and mean — the corpus-shape dashboard a pipeline
-    watches per slice. Exact interpolating percentiles keep the oracle
-    bit-identical (quantile_cont parity); swap approx_percentile at
-    cluster scale exactly as in quality_filter."""
+def source_length_profile(spark, sf_dir, exact: bool = False) -> DataFrame:
+    """Per-source document-length profile: p10/p50/p90 character deciles
+    plus count and mean — the corpus-shape dashboard a pipeline watches per
+    slice. The LIBRARY DEFAULT is exact=False — approx_percentile with
+    bounded buffer memory (see _pctile); exact=True is the flagged
+    oracle/driver path (interpolating percentiles, quantile_cont
+    parity)."""
     docs = _docs(spark, sf_dir)
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("mean_chars"),
-        F.round(F.percentile("n_chars", F.lit(0.1)), 6).alias("p10"),
-        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
+        _pctile("n_chars", 0.1, exact).alias("p10"),
+        _pctile("n_chars", 0.5, exact).alias("p50"),
+        _pctile("n_chars", 0.9, exact).alias("p90"),
     )
+
+
 
 
 VOCAB_COVERAGE_KS = (10, 20, 50, 100)
@@ -477,9 +493,16 @@ def vocab_coverage(spark, sf_dir) -> DataFrame:
     K — the tokenizer-budget planning metric (how much of the stream a
     K-entry vocabulary explains).
 
-    One explode, one vocabulary-sized count, one window cumsum over the
-    vocabulary (NOT the corpus — the ordered state is vocab rows), ties
-    broken by word so ranks are deterministic and oracle-exact."""
+    Scale shape: the query only ever reads ranks <= max(VOCAB_COVERAGE_KS),
+    so the vocabulary is first reduced with a DISTRIBUTED TopK —
+    `orderBy(...).limit(max(KS))` plans as TakeOrderedAndProject (per-partition
+    heap + driver merge of <=K rows per partition, fully parallel; pinned in
+    tests/test_plans.py). Only then does the cumsum window run, over <=100
+    rows — never over the full vocabulary (Heaps' law: a 100 TB web corpus has
+    1e8-1e9 distinct space-split tokens; a global unpartitioned window there is
+    a single-task scale-killer). The corpus-occurrence total comes from the
+    scalar aggregate, not the window. Ties broken by word so ranks are
+    deterministic and oracle-exact."""
     from pyspark.sql import Window
 
     from .dedup import _spread
@@ -490,12 +513,20 @@ def vocab_coverage(spark, sf_dir) -> DataFrame:
     )
     vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
     total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
-    win = Window.orderBy(F.col("cnt").desc(), F.col("w")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("w")).limit(max(VOCAB_COVERAGE_KS))
+    # the windows run over the <=100 TopK survivors only; the constant
+    # partition key keeps the spec non-global (bounded single partition BY
+    # CONSTRUCTION, not by data) so WindowExec never warns or serializes
+    # anything bigger than max(KS) rows
+    ord_spec = (F.col("cnt").desc(), F.col("w"))
+    win = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(*ord_spec)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = vocab.withColumn("cum", F.sum("cnt").over(win)).withColumn(
+    ranked = top.withColumn("cum", F.sum("cnt").over(win)).withColumn(
         "rank",
-        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("w"))),
+        F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(*ord_spec)),
     )
     return (
         ranked.filter(F.col("rank").isin(list(VOCAB_COVERAGE_KS)))

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from . import iceberg_meta
@@ -84,7 +85,10 @@ def append(df: DataFrame, table_or_path: str, summary: dict | None = None) -> in
     data_dir = os.path.join(
         table_or_path, "data", f"seq-{seq}-{uuid.uuid4().hex[:8]}"
     )
-    df.write.mode("overwrite").parquet(data_dir)
+    # a partitioned table's appends must land through the same hive layout
+    # as every other write, or the new files would commit with no
+    # partition values and silently fall out of partition-pruned scans
+    _write_rewrite(df, data_dir, meta)
     return iceberg_meta.commit_parquet_dir(
         table_or_path, data_dir, spark_schema=df.schema, summary=summary
     )
@@ -125,7 +129,92 @@ def iceberg_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def delete_where(spark: SparkSession, table_or_path: str, predicate: str) -> int | None:
+def with_bucket_column(
+    df: DataFrame, col: str, n: int, out_col: str | None = None
+) -> DataFrame:
+    """Append the Iceberg ``bucket[n]`` transform of ``col`` as an int
+    column (default name ``<col>_bucket``) — murmur3_32 of the spec's
+    single-value serialization, non-negative mod n, bit-identical to
+    iceberg_meta.bucket_of (Iceberg Table Spec, Appendix B). Long/int keys
+    take a fully numpy-vectorized Arrow batch path (two 32-bit mixing
+    rounds — no per-row Python); string keys hash per value inside the
+    batch (variable-length input)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    out_col = out_col or f"{col}_bucket"
+    dtype = dict(df.dtypes)[col]
+    if dtype in ("bigint", "int"):
+
+        @pandas_udf("int")
+        def b(s: pd.Series) -> pd.Series:
+            import numpy as np
+
+            v = s.to_numpy(dtype="int64").astype(np.uint64)
+            k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            k2 = (v >> np.uint64(32)).astype(np.uint32)
+            h = np.zeros(len(v), dtype=np.uint32)
+            with np.errstate(over="ignore"):
+                for k in (k1, k2):
+                    k = k * np.uint32(0xCC9E2D51)
+                    k = (k << np.uint32(15)) | (k >> np.uint32(17))
+                    k = k * np.uint32(0x1B873593)
+                    h = h ^ k
+                    h = (h << np.uint32(13)) | (h >> np.uint32(19))
+                    h = h * np.uint32(5) + np.uint32(0xE6546B64)
+                h = h ^ np.uint32(8)  # input length in bytes
+                h = h ^ (h >> np.uint32(16))
+                h = h * np.uint32(0x85EBCA6B)
+                h = h ^ (h >> np.uint32(13))
+                h = h * np.uint32(0xC2B2AE35)
+                h = h ^ (h >> np.uint32(16))
+            return pd.Series((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype("int32")
+
+    elif dtype == "string":
+
+        @pandas_udf("int")
+        def b(s: pd.Series) -> pd.Series:
+            from parquet_to_arrow_spark.sources.iceberg_meta import murmur3_32
+
+            return s.map(
+                lambda x: (murmur3_32(str(x).encode("utf-8")) & 0x7FFFFFFF) % n
+            ).astype("int32")
+
+    else:
+        raise NotImplementedError(f"bucket transform over spark type {dtype}")
+    return df.withColumn(out_col, b(F.col(col)))
+
+
+def _write_rewrite(survivors: DataFrame, rw_dir: str, meta: dict | None) -> None:
+    """Write CoW replacement (or append) files preserving the table's
+    layout: for a partitioned table the rows land under hive-style
+    key=value subdirectories (partition-spec columns OUT of the data
+    files, exactly like the original layout), so commit_parquet_dir
+    re-derives each replacement file's typed manifest partition values
+    from its path — partition values are preserved on the replacement
+    files by construction. Bucket-transform fields are recomputed from
+    their source column (with_bucket_column) before the partitioned write;
+    the source column itself STAYS in the data files."""
+    pcols: list[str] = []
+    if meta is not None:
+        for s in iceberg_meta._partition_specs(meta):
+            if s["transform"] == "bucket" and s["name"] not in survivors.columns:
+                survivors = with_bucket_column(
+                    survivors, s["source"], s["n"], out_col=s["name"]
+                )
+            pcols.append(s["name"])
+    w = survivors.write.mode("overwrite")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(rw_dir)
+
+
+def delete_where(
+    spark: SparkSession,
+    table_or_path: str,
+    predicate: str,
+    partition_filter: dict | None = None,
+) -> int | None:
     """Copy-on-write DELETE: rewrite only the files that contain matching
     rows, without those rows, and commit survivors + removals as one
     snapshot. Untouched files are carried forward as-is; deleted rows stay
@@ -133,14 +222,20 @@ def delete_where(spark: SparkSession, table_or_path: str, predicate: str) -> int
     semantics, which is also how the engine's dedup verdicts become
     physical row removal.
 
-    Scope: unpartitioned engine-native tables (partition columns live in
-    paths, not files, so a partitioned CoW delete needs partition-aware
-    rewriting — use the jar path for that). Returns the new snapshot id,
-    or None when nothing matched. Caveat: replace_on wave recommits match
-    prior manifests by snapshot id OR recorded path; a table that
-    interleaves wave replacement, CoW deletes of those waves' files, AND
-    snapshot expiry can defeat both matches — run deletes and wave jobs
-    against the same table sequentially, not interleaved."""
+    Works on unpartitioned AND identity-partitioned engine-native tables:
+    survivors of a partitioned table are rewritten through the same hive
+    layout (see _write_rewrite), so replacement files keep their partition
+    values in the new manifests. ``partition_filter`` ({col: value})
+    prunes the affected-file SEARCH to matching partitions via the
+    manifest partition values — a GDPR purge of one source never opens the
+    other partitions' files; rows outside it are never considered (the
+    caller guarantees the predicate only targets those partitions).
+    Returns the new snapshot id, or None when nothing matched. Caveat:
+    replace_on wave recommits match prior manifests by snapshot id OR
+    recorded path; a table that interleaves wave replacement, CoW deletes
+    of those waves' files, AND snapshot expiry can defeat both matches —
+    run deletes and wave jobs against the same table sequentially, not
+    interleaved."""
     import uuid
     from urllib.parse import unquote, urlparse
 
@@ -151,12 +246,9 @@ def delete_where(spark: SparkSession, table_or_path: str, predicate: str) -> int
     meta = iceberg_meta.current_metadata(table_or_path)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_or_path}")
-    if iceberg_meta._partition_fields(meta):
-        raise NotImplementedError("CoW delete on partitioned tables")
-
-    scan = iceberg_meta.read_snapshot(spark, table_or_path).withColumn(
-        "__file", F.input_file_name()
-    )
+    scan = iceberg_meta.read_snapshot(
+        spark, table_or_path, partition_filter=partition_filter
+    ).withColumn("__file", F.input_file_name())
     affected_uris = [
         r["__file"]
         for r in scan.filter(predicate).select("__file").distinct().collect()
@@ -173,7 +265,7 @@ def delete_where(spark: SparkSession, table_or_path: str, predicate: str) -> int
         .drop("__file")
     )
     rw_dir = os.path.join(table_or_path, "data", f"rw-{uuid.uuid4().hex[:8]}")
-    survivors.write.mode("overwrite").parquet(rw_dir)
+    _write_rewrite(survivors, rw_dir, meta)
     return iceberg_meta.commit_parquet_dir(
         table_or_path,
         rw_dir,
@@ -183,14 +275,21 @@ def delete_where(spark: SparkSession, table_or_path: str, predicate: str) -> int
 
 
 def delete_keys(
-    spark: SparkSession, table_or_path: str, keys: DataFrame, key: str
+    spark: SparkSession,
+    table_or_path: str,
+    keys: DataFrame,
+    key: str,
+    partition_filter: dict | None = None,
 ) -> int | None:
     """Key-set copy-on-write delete: remove every row whose ``key`` appears
     in ``keys`` (a DataFrame — arbitrarily large, joined not collected).
     Same rewrite shape as delete_where: only files containing a doomed key
     are rewritten (anti-join against the key set), the rest carry forward
-    untouched. This is how dedup verdicts scale to physical removal — the
-    loser set flows through a join, never a predicate string."""
+    untouched; partitioned tables rewrite through the hive layout so
+    replacement files keep their partition values (_write_rewrite), and
+    ``partition_filter`` prunes the search to the named partitions. This is
+    how dedup verdicts scale to physical removal — the loser set flows
+    through a join, never a predicate string."""
     import uuid
     from urllib.parse import unquote, urlparse
 
@@ -199,12 +298,9 @@ def delete_keys(
     meta = iceberg_meta.current_metadata(table_or_path)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_or_path}")
-    if iceberg_meta._partition_fields(meta):
-        raise NotImplementedError("CoW delete on partitioned tables")
-
-    scan = iceberg_meta.read_snapshot(spark, table_or_path).withColumn(
-        "__file", F.input_file_name()
-    )
+    scan = iceberg_meta.read_snapshot(
+        spark, table_or_path, partition_filter=partition_filter
+    ).withColumn("__file", F.input_file_name())
     keyset = keys.select(F.col(key)).distinct()
     affected_uris = [
         r["__file"]
@@ -224,7 +320,7 @@ def delete_keys(
         .drop("__file")
     )
     rw_dir = os.path.join(table_or_path, "data", f"rw-{uuid.uuid4().hex[:8]}")
-    survivors.write.mode("overwrite").parquet(rw_dir)
+    _write_rewrite(survivors, rw_dir, meta)
     return iceberg_meta.commit_parquet_dir(
         table_or_path,
         rw_dir,
@@ -257,8 +353,12 @@ def merge_keys(
     key exists in the table REPLACE those rows; unmatched keys are plain
     inserts — all as one snapshot. Only files containing a matched key are
     rewritten (survivors + replacement rows written together); when
-    nothing matches, this degrades to a pure append. Completes the DML
-    set: append / delete_where / delete_keys / merge_keys."""
+    nothing matches, this degrades to a pure append. Partitioned tables
+    rewrite through the hive layout (_write_rewrite) — ``updates`` must
+    carry the partition columns, and a row's NEW partition value simply
+    lands it in the right directory (partition-moving upserts work).
+    Completes the DML set: append / delete_where / delete_keys /
+    merge_keys."""
     import uuid
     from urllib.parse import unquote, urlparse
 
@@ -267,9 +367,6 @@ def merge_keys(
     meta = iceberg_meta.current_metadata(table_or_path)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_or_path}")
-    if iceberg_meta._partition_fields(meta):
-        raise NotImplementedError("CoW merge on partitioned tables")
-
     scan = iceberg_meta.read_snapshot(spark, table_or_path).withColumn(
         "__file", F.input_file_name()
     )
@@ -293,7 +390,7 @@ def merge_keys(
     )
     merged = survivors.unionByName(updates.select(*survivors.columns))
     rw_dir = os.path.join(table_or_path, "data", f"rw-{uuid.uuid4().hex[:8]}")
-    merged.write.mode("overwrite").parquet(rw_dir)
+    _write_rewrite(merged, rw_dir, meta)
     return iceberg_meta.commit_parquet_dir(
         table_or_path,
         rw_dir,
@@ -321,21 +418,32 @@ def compact_files(
     within files) so the recompacted files carry DISJOINT min/max bounds —
     a range_filter then prunes to the one file holding the key range
     instead of scanning every compacted file (Iceberg's sort-order
-    rewrite)."""
+    rewrite).
+
+    Partitioned tables compact WITHIN each partition (Iceberg's
+    binpack-per-partition): small files group by their manifest partition
+    values, each group needing >= ``min_group`` members; the rewritten
+    files land under the partition's hive directory so their manifest
+    entries keep the same partition values, and files in other partitions
+    are never read or touched."""
     import math
     import uuid
+    from urllib.parse import quote
 
     meta = iceberg_meta.current_metadata(table_or_path)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_or_path}")
-    if iceberg_meta._partition_fields(meta):
-        raise NotImplementedError("compaction on partitioned tables")
+    pfields = iceberg_meta._partition_fields(meta)
 
     small = [f for f in iceberg_meta.snapshot_files(table_or_path) if f.file_size < target_bytes]
-    if len(small) < min_group:
+    # group by partition tuple (one group, key (), for unpartitioned)
+    groups: dict[tuple, list] = {}
+    for f in small:
+        key = tuple((f.partition or {}).get(name) for name, _ in pfields)
+        groups.setdefault(key, []).append(f)
+    groups = {k: fs for k, fs in groups.items() if len(fs) >= min_group}
+    if not groups:
         return None
-    total = sum(f.file_size for f in small)
-    n_out = max(1, math.ceil(total / target_bytes))
     # read with the CURRENT table schema (as read_snapshot does): files
     # predating an additive evolution must null-project the new columns
     # instead of the compaction inheriting one arbitrary footer's schema
@@ -343,18 +451,34 @@ def compact_files(
     cur_schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
     )
-    df = spark.read.schema(iceberg_meta._spark_ddl(cur_schema)).parquet(
-        *[f.path for f in small]
-    )
-    if sort_by:
-        df = df.repartitionByRange(n_out, sort_by).sortWithinPartitions(sort_by)
-    else:
-        df = df.coalesce(n_out)
+    ddl = iceberg_meta._spark_ddl(cur_schema)
     rw_dir = os.path.join(table_or_path, "data", f"compact-{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(rw_dir)
+    n_small = n_out_total = 0
+    for key, fs in sorted(groups.items()):
+        total = sum(f.file_size for f in fs)
+        n_out = max(1, math.ceil(total / target_bytes))
+        df = spark.read.schema(ddl).parquet(*[f.path for f in fs])
+        if sort_by:
+            df = df.repartitionByRange(n_out, sort_by).sortWithinPartitions(sort_by)
+        else:
+            df = df.coalesce(n_out)
+        # drop partition columns from the data files (hive layout) and land
+        # the group under its partition directory so commit_parquet_dir
+        # re-derives the same typed partition values for the replacements
+        out_dir = rw_dir
+        for (name, _), v in zip(pfields, key):
+            seg = (
+                f"{name}=__HIVE_DEFAULT_PARTITION__"
+                if v is None
+                else f"{name}={quote(str(v), safe='')}"
+            )
+            out_dir = os.path.join(out_dir, seg)
+        df.drop(*[name for name, _ in pfields]).write.mode("overwrite").parquet(out_dir)
+        n_small += len(fs)
+        n_out_total += n_out
     return iceberg_meta.commit_parquet_dir(
         table_or_path,
         rw_dir,
-        summary={"operation-detail": f"compact:{len(small)}->{n_out}"},
-        remove_paths={f.path for f in small},
+        summary={"operation-detail": f"compact:{n_small}->{n_out_total}"},
+        remove_paths={f.path for fs in groups.values() for f in fs},
     )

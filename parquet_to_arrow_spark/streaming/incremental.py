@@ -217,7 +217,12 @@ def stateful_user_counts(
     return spark.table(name), name
 
 
-def streaming_exact_dedup(spark: SparkSession, sf_dir: str):
+def streaming_exact_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    state_ttl_ms: int = 3_600_000,
+    checkpoint_dir: str | None = None,
+):
     """Exact dedup over a CONTINUOUSLY-LANDING corpus: stateful
     applyInPandasWithState keyed by the content fingerprint (md5 of text),
     state = (min doc_id seen, copies seen) carried across micro-batches by
@@ -228,10 +233,15 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str):
     streaming state path converges to batch semantics.
 
     At scale: state shards by the fingerprint key across executors like any
-    shuffle; a production run would add a TTL/watermark to bound state and a
-    table sink instead of memory."""
+    shuffle, and this DOES bound it — every state entry carries a
+    processing-time TTL (``state_ttl_ms``, default 1 h): a key idle past the
+    horizon is evicted at the next micro-batch (its last emission already
+    stands in the sink), so resident state tracks the RECENT key set, not
+    corpus cardinality. A duplicate arriving after its key expired restarts
+    the count — the standard TTL trade (dedup horizon = TTL), exercised by
+    the eviction test. The 1 h default never fires inside an availableNow
+    drain, keeping the exact batch oracle."""
     import tempfile
-    import uuid
 
     from pyspark.sql import Window, functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -242,6 +252,11 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str):
     def update(key, pdfs, state):
         import pandas as pd  # re-import: the closure ships standalone to workers
 
+        if state.hasTimedOut:
+            # idle past the TTL horizon: final emission already delivered,
+            # drop the entry — this is what bounds resident state
+            state.remove()
+            return
         keep, n = state.get if state.exists else (None, 0)
         for pdf in pdfs:
             if len(pdf):
@@ -249,6 +264,7 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str):
                 m = int(pdf["doc_id"].min())
                 keep = m if keep is None or m < keep else keep
         state.update((keep, n))
+        state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame({"fp": [key[0]], "keep_id": [keep], "n_copies": [n]})
 
     stream = (
@@ -256,7 +272,17 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{sf_dir}/*documents.parquet")
     )
-    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    # foreachBatch, not the memory sink: memory-sink queries REFUSE to
+    # recover from an existing checkpoint, and checkpoint recovery is
+    # exactly what lets the keyed state (and its TTL clocks) survive
+    # between drains. Emissions collect driver-side here only because this
+    # harness returns a DataFrame; a production run points the same batch
+    # hook at a table sink.
+    emitted: list = []
+
+    def sink(batch_df, _bid):
+        emitted.extend(batch_df.collect())
+
     q = (
         stream.withColumn("fp", F.md5("text"))
         .groupBy("fp")
@@ -265,23 +291,58 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str):
             "fp string, keep_id long, n_copies long",
             "keep_id long, n long",
             "update",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.ProcessingTimeTimeout,
         )
         .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_dedup_ckpt_"))
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="stream_dedup_ckpt_"),
+        )
         .trigger(availableNow=True)
         .start()
     )
+    # availableNow + ProcessingTimeTimeout never self-terminates on this
+    # Spark version: after the data batches it loops "No new data but
+    # cleaning up state" indefinitely (observed: status stays
+    # isTriggerActive; processAllAvailable blocks on the same condition).
+    # Drain deterministically instead: poll progress events and stop once
+    # the source END OFFSET has been stable for a full settle window while
+    # batches keep committing. Neither the status message nor a zero-row
+    # batch alone is a safe signal — a recovered run fires a zero-row
+    # state-cleanup batch (with the cleanup message) at the OLD offset
+    # BEFORE the file source lists the new data (observed flake: stop()
+    # there killed the data batch mid-flight). Offset stability straddles
+    # that startup window. Expired keys fire their timeout callbacks
+    # inside the batches whose deadline passed, so eviction has already
+    # run by the time the offset settles.
+    import json as _json
+    import time
+
+    deadline = time.time() + 600
+    settle_s = 5.0
+    last_off, since = None, None
+    while q.isActive and time.time() < deadline:
+        p = q.lastProgress
+        if p is not None:
+            off = _json.dumps([s.get("endOffset") for s in p["sources"]])
+            if off != last_off:
+                last_off, since = off, time.time()
+            elif time.time() - since >= settle_s:
+                break
+        time.sleep(0.2)
+    q.stop()
     q.awaitTermination()
+    out_ddl = "fp string, keep_id long, n_copies long"
+    table = spark.createDataFrame(emitted, out_ddl) if emitted else (
+        spark.createDataFrame([], out_ddl)
+    )
     # keep each key's FINAL emission: max copies, then min keep_id (a key
     # re-emitted with the same count in a later batch carries the same or
     # smaller keeper, so the tie-break is deterministic)
     w = Window.partitionBy("fp").orderBy(F.desc("n_copies"), F.asc("keep_id"))
     return (
-        spark.table(name)
-        .withColumn("__rn", F.row_number().over(w))
+        table.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("keep_id", "n_copies")
     )

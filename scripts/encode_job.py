@@ -113,16 +113,18 @@ def main(argv: list[str] | None = None) -> int:
                 if ice.is_metadata_table(args.iceberg_table)
                 else set()
             )
+            # listed FileInfo paths are scheme-stripped; re-qualify against
+            # the output URI so (a) the known-set comparison matches the
+            # committed manifest paths and (b) footer probes open the REMOTE
+            # file, not a same-named local path (s3://, hdfs:// outputs)
             fresh = [
-                iceberg_meta.DataFile(i.path, 0, i.size)
+                iceberg_meta.DataFile(pio.qualify_path(i.path, args.output), 0, i.size)
                 for i in pio.resolve_files(args.output)[1]
-                if i.path not in known
+                if pio.qualify_path(i.path, args.output) not in known
             ]
-            import pyarrow.parquet as pq
-
             fresh = [
                 iceberg_meta.DataFile(
-                    f.path, pq.ParquetFile(f.path).metadata.num_rows, f.file_size
+                    f.path, pio.open_parquet(f.path).metadata.num_rows, f.file_size
                 )
                 for f in fresh
             ]

@@ -10,8 +10,13 @@ driver-gate scale, all synthesized JVM-side (no files):
    (hub keys — the skew shape) PLUS one 4096-deep chain (the depth shape
    pointer jumping exists for). Checks every star resolves to its hub
    and the whole chain resolves to its head.
+3. near_dup_clusters_minhash END TO END at 50M docs: OPH signatures ->
+   capped LSH banding -> exact hash-set Jaccard verify -> CC, over
+   synthetic groups of 5 identical texts (10M expected clusters). Checks
+   every doc lands in its group's min-id cluster — the minhash-seeded
+   candidate path at 10^4x the driver-gate scale.
 
-Usage: python scripts/pipeline_scale_probe.py [n_pack_rows] [n_star_nodes]
+Usage: python scripts/pipeline_scale_probe.py [n_pack_rows] [n_star_nodes] [n_minhash_docs]
 """
 
 import json
@@ -28,7 +33,9 @@ from parquet_to_arrow_spark.session import get_spark
 
 N_PACK = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
 N_STARS = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+N_MH = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000_000
 CHAIN = 4096
+GROUP = 5  # docs per planted duplicate group in the minhash probe
 
 
 def probe_pack(spark) -> dict:
@@ -83,8 +90,50 @@ def probe_cc(spark) -> dict:
     }
 
 
+def probe_minhash_clusters(spark) -> dict:
+    from parquet_to_arrow_spark.operators.pipeline import near_dup_clusters_minhash
+
+    # groups of GROUP docs share one md5-derived text (exact duplicates ->
+    # identical signatures -> guaranteed LSH candidates); doc ids are
+    # zero-padded so string min == numeric min within a group
+    docs = spark.range(N_MH).select(
+        F.concat(F.lit("d"), F.lpad(F.col("id").cast("string"), 11, "0")).alias(
+            "doc_id"
+        ),
+        F.md5((F.col("id") - F.col("id") % GROUP).cast("string")).alias("text"),
+    )
+    t0 = time.time()
+    labels = near_dup_clusters_minhash(spark, sf_dir="", docs=docs).cache()
+    n = labels.count()
+    # every doc's cluster must be its group's min doc_id, size == GROUP
+    expect = F.concat(
+        F.lit("d"),
+        F.lpad(
+            (
+                F.substring("doc_id", 2, 11).cast("long")
+                - F.substring("doc_id", 2, 11).cast("long") % GROUP
+            ).cast("string"),
+            11,
+            "0",
+        ),
+    )
+    bad = labels.filter(
+        (F.col("cluster_id") != expect) | (F.col("cluster_size") != GROUP)
+    ).count()
+    dt = time.time() - t0
+    labels.unpersist()
+    assert n == N_MH and bad == 0, (n, bad)
+    return {
+        "probe": "near_dup_clusters_minhash",
+        "docs": N_MH,
+        "expected_clusters": N_MH // GROUP,
+        "seconds": round(dt, 1),
+        "kdocs_per_s": round(N_MH / dt / 1e3, 1),
+    }
+
+
 if __name__ == "__main__":
     spark = get_spark(app="pipeline_scale_probe")
-    for fn in (probe_pack, probe_cc):
+    for fn in (probe_pack, probe_cc, probe_minhash_clusters):
         print(json.dumps(fn(spark)), flush=True)
     spark.stop()

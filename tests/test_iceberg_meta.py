@@ -245,7 +245,7 @@ class TestMaintenance:
         # expired manifest lists are gone; live manifests survive
         for p in rep["removable_files"]:
             assert not __import__("os").path.exists(p)
-        with pytest.raises(StopIteration):
+        with pytest.raises(ValueError, match="rebase the consumer"):
             ice.snapshot_files(table, snapshot_id=sids[0])
 
     def test_orphan_files_lists_uncommitted_leftovers(self, spark, docs_df, tmp_path):
@@ -926,3 +926,234 @@ class TestSecondReviewRegressions:
         got = {r["doc_id"] for r in read_table(
             spark, table, range_filter={"doc_id": (10, 12)}).collect()}
         assert {10, 11, 12} <= got
+
+
+class TestPartitionedCow:
+    """The round-3 scope cut closed: CoW DML + compaction on
+    identity-partitioned tables. Replacement files must keep their
+    partition values, other partitions' files carry forward by identity,
+    and history time-travels."""
+
+    def _ptable(self, spark, tmp_path):
+        # web/books get 10 docs each in the first commit; code lands as a
+        # separate append so its file identity can be tracked
+        df = spark.createDataFrame(
+            [(i, f"t{i}", ["web", "books"][i % 2]) for i in range(20)],
+            "doc_id long, text string, source string",
+        )
+        d = str(tmp_path / "w0")
+        df.coalesce(1).write.partitionBy("source").parquet(d)
+        table = str(tmp_path / "ptable")
+        ice.commit_parquet_dir(
+            table, d, spark_schema=df.schema, ts_ms=1, partition_by=["source"]
+        )
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        append(
+            spark.createDataFrame(
+                [(100 + i, f"c{i}", "code") for i in range(5)],
+                "doc_id long, text string, source string",
+            ).coalesce(1),
+            table,
+        )
+        return table
+
+    def test_partitioned_append_lands_with_partition_values(self, spark, tmp_path):
+        table = self._ptable(spark, tmp_path)
+        code = ice.snapshot_files(table, partition_filter={"source": "code"})
+        assert code and all(f.partition == {"source": "code"} for f in code)
+        assert sum(f.record_count for f in code) == 5
+
+    def test_partitioned_delete_where_preserves_partition_values(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import delete_where, read_table
+
+        table = self._ptable(spark, tmp_path)
+        before = ice.current_metadata(table)["current-snapshot-id"]
+        files_before = {f.path for f in ice.snapshot_files(table)}
+
+        # the doomed rows live ONLY in web: prune the search to it
+        sid = delete_where(
+            spark, table, "doc_id < 4", partition_filter={"source": "web"}
+        )
+        assert sid is not None
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == (set(range(20)) - {0, 2}) | {100 + i for i in range(5)}
+
+        files_after = {f.path for f in ice.snapshot_files(table)}
+        # books + code untouched, carried forward by identity
+        assert len(files_before & files_after) == 2
+        # the replacement file kept its partition value in the manifests
+        web = ice.snapshot_files(table, partition_filter={"source": "web"})
+        assert len(web) == 1 and web[0].partition == {"source": "web"}
+        assert web[0].path not in files_before
+        # the re-read re-attaches the partition column on the rewritten file
+        web_rows = read_table(spark, table, partition_filter={"source": "web"})
+        assert {r["doc_id"] for r in web_rows.collect()} == {4, 6, 8, 10, 12, 14, 16, 18}
+        assert all(r["source"] == "web" for r in web_rows.collect())
+        # history time-travels to the pre-delete layout
+        assert read_table(spark, table, snapshot_id=before).count() == 25
+
+    def test_partitioned_merge_keys_upserts_across_partitions(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import merge_keys, read_table
+
+        table = self._ptable(spark, tmp_path)
+        updates = spark.createDataFrame(
+            [(1, "NEW-1", "books"), (999, "NEW-999", "newsrc")],
+            "doc_id long, text string, source string",
+        )
+        sid = merge_keys(spark, table, updates, "doc_id")
+        assert sid is not None
+        rows = {r["doc_id"]: (r["text"], r["source"]) for r in read_table(spark, table).collect()}
+        assert rows[1] == ("NEW-1", "books")          # matched: replaced
+        assert rows[999] == ("NEW-999", "newsrc")     # unmatched: inserted
+        assert len(rows) == 26
+        # the insert landed in its OWN partition, visible to pruned scans
+        new = ice.snapshot_files(table, partition_filter={"source": "newsrc"})
+        assert sum(f.record_count for f in new) == 1
+
+    def test_partitioned_compaction_compacts_within_partitions(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, compact_files, read_table
+
+        table = str(tmp_path / "ctable")
+        df0 = spark.createDataFrame(
+            [(0, "t0", "web"), (1, "t1", "books")],
+            "doc_id long, text string, source string",
+        )
+        d = str(tmp_path / "cw0")
+        df0.coalesce(1).write.partitionBy("source").parquet(d)
+        ice.commit_parquet_dir(table, d, spark_schema=df0.schema, ts_ms=1,
+                               partition_by=["source"])
+        # two more appends touch ONLY web -> web has 3 small files, books 1
+        for i in range(2):
+            append(
+                spark.createDataFrame(
+                    [(10 + i, f"w{i}", "web")],
+                    "doc_id long, text string, source string",
+                ).coalesce(1),
+                table,
+            )
+        before = ice.current_metadata(table)["current-snapshot-id"]
+        assert len(ice.snapshot_files(table)) == 4
+        books_before = {f.path for f in ice.snapshot_files(
+            table, partition_filter={"source": "books"})}
+
+        sid = compact_files(spark, table, target_bytes=1 << 20, min_group=2)
+        assert sid is not None
+        files = ice.snapshot_files(table)
+        # web's 3 -> 1; books' single file SKIPPED (min_group) and untouched
+        assert len(files) == 2
+        web = ice.snapshot_files(table, partition_filter={"source": "web"})
+        assert len(web) == 1 and web[0].partition == {"source": "web"}
+        assert {f.path for f in ice.snapshot_files(
+            table, partition_filter={"source": "books"})} == books_before
+        got = {(r["doc_id"], r["source"]) for r in read_table(spark, table).collect()}
+        assert got == {(0, "web"), (1, "books"), (10, "web"), (11, "web")}
+        assert len(ice.snapshot_files(table, snapshot_id=before)) == 4
+
+
+class TestBucketTransform:
+    """Iceberg bucket[N] partition transform: spec-correct murmur3 hashing
+    (Appendix B published vectors), spec serialization, bucket-pruned
+    scans, and CoW on a bucket-partitioned table."""
+
+    def test_murmur3_spec_vectors(self):
+        import struct
+
+        # Iceberg Table Spec, Appendix B "32-bit Hash Requirements"
+        assert ice.murmur3_32(struct.pack("<q", 34)) == 2017239379
+        assert ice.murmur3_32(b"iceberg") == 1210000089
+        assert ice.murmur3_32(struct.pack("<q", 17486)) == -653330422  # date 2017-11-16
+        # int and long bucket identically (ints hashed as 8-byte longs)
+        assert ice.bucket_of(34, "int", 16) == ice.bucket_of(34, "long", 16)
+        with pytest.raises(ValueError):
+            ice.bucket_of(None, "long", 16)
+
+    def _btable(self, spark, tmp_path, n=8):
+        from parquet_to_arrow_spark.sources.iceberg import with_bucket_column
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(40)], "doc_id long, text string"
+        )
+        d = str(tmp_path / "w0")
+        with_bucket_column(df, "doc_id", n).write.partitionBy("doc_id_bucket").parquet(d)
+        table = str(tmp_path / "btable")
+        ice.commit_parquet_dir(
+            table, d, spark_schema=df.schema, ts_ms=1,
+            partition_by=[f"doc_id:bucket[{n}]"],
+        )
+        return table, df
+
+    def test_spec_serialization_and_manifest_values(self, spark, tmp_path):
+        table, _ = self._btable(spark, tmp_path)
+        meta = ice.current_metadata(table)
+        assert meta["partition-specs"][0]["fields"] == [
+            {"name": "doc_id_bucket", "transform": "bucket[8]",
+             "source-id": 1, "field-id": 1000}
+        ]
+        # every manifest partition value equals the spec transform of the
+        # file's keys (verified per file by re-reading its doc_ids)
+        import pyarrow.parquet as pq
+
+        for f in ice.snapshot_files(table):
+            b = f.partition["doc_id_bucket"]
+            assert isinstance(b, int)
+            ids = pq.read_table(f.path, columns=["doc_id"])["doc_id"].to_pylist()
+            assert {ice.bucket_of(i, "long", 8) for i in ids} == {b}
+
+    def test_spark_bucket_matches_reference_for_longs_and_strings(self, spark):
+        from parquet_to_arrow_spark.sources.iceberg import with_bucket_column
+
+        rows = [(i * 7919 - 1000, f"doc-{i:09d}") for i in range(500)]
+        df = spark.createDataFrame(rows, "k long, s string")
+        got = (
+            with_bucket_column(with_bucket_column(df, "k", 32), "s", 32)
+            .select("k", "s", "k_bucket", "s_bucket")
+            .collect()
+        )
+        for r in got:
+            assert r["k_bucket"] == ice.bucket_of(r["k"], "long", 32)
+            assert r["s_bucket"] == ice.bucket_of(r["s"], "string", 32)
+
+    def test_bucket_pruned_scan_and_read(self, spark, tmp_path):
+        table, df = self._btable(spark, tmp_path)
+        all_files = ice.snapshot_files(table)
+        key = 17
+        b = ice.bucket_of(key, "long", 8)
+        pruned = ice.snapshot_files(table, partition_filter={"doc_id_bucket": b})
+        assert 0 < len(pruned) < len(all_files)
+        assert all(f.partition == {"doc_id_bucket": b} for f in pruned)
+        # the pruned read still contains the key's row, with doc_id intact
+        # in the data files (no identity injection for derived fields)
+        got = ice.read_snapshot(spark, table, partition_filter={"doc_id_bucket": b})
+        assert key in {r["doc_id"] for r in got.collect()}
+        assert "doc_id_bucket" not in got.columns
+
+    def test_append_and_cow_delete_on_bucket_table(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, delete_keys, read_table
+
+        table, _ = self._btable(spark, tmp_path)
+        # append WITHOUT the derived column: recomputed automatically
+        append(
+            spark.createDataFrame([(100, "new")], "doc_id long, text string"),
+            table,
+        )
+        b100 = ice.bucket_of(100, "long", 8)
+        hit = ice.snapshot_files(table, partition_filter={"doc_id_bucket": b100})
+        assert 100 in {
+            r["doc_id"]
+            for r in ice.read_snapshot(
+                spark, table, partition_filter={"doc_id_bucket": b100}
+            ).collect()
+        }
+        assert all(f.partition == {"doc_id_bucket": b100} for f in hit)
+
+        before = ice.current_metadata(table)["current-snapshot-id"]
+        doomed = spark.createDataFrame([(3,), (100,)], "doc_id long")
+        sid = delete_keys(spark, table, doomed, "doc_id")
+        assert sid is not None
+        ids = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert ids == set(range(40)) - {3}
+        # replacement files carry recomputed bucket values
+        for f in ice.snapshot_files(table):
+            assert set(f.partition) == {"doc_id_bucket"}
+        assert read_table(spark, table, snapshot_id=before).count() == 41

@@ -418,13 +418,23 @@ def test_quality_filter_per_language_threshold(spark, tmp_path):
                source="s", n_chars=1) for i in range(10)]
     )
     spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
-    kept = {r["doc_id"]: r for r in quality_filter(spark, str(tmp_path)).collect()}
+    kept = {
+        r["doc_id"]: r
+        for r in quality_filter(spark, str(tmp_path), exact=True).collect()
+    }
 
     assert 0 not in kept          # 2 words < short-lang threshold
     assert 5 in kept              # 7 words passes short-lang threshold
     assert 100 not in kept        # 100 words < long-lang threshold (100.9)
     assert 109 in kept
     assert kept[5]["thr"] != kept[109]["thr"]  # genuinely per-language
+
+    # the library default (approx_percentile, bounded memory) keeps the
+    # same per-language gate shape; thresholds are real elements so the
+    # doomed extremes differ only at the interpolation boundary
+    approx = {r["doc_id"]: r for r in quality_filter(spark, str(tmp_path)).collect()}
+    assert 5 in approx and 109 in approx
+    assert approx[5]["thr"] != approx[109]["thr"]
 
 
 def test_event_funnel_requires_strict_ordering(spark, tmp_path):

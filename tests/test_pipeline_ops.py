@@ -251,3 +251,44 @@ def test_pack_stats_counts_straddling_windows(spark):
         want = max(-(-tot // pl.PACK_CAP), 1)  # ceil, min 1
         assert stats[src]["n_sequences"] == want
         assert stats[src]["n_tokens"] == tot
+
+
+def test_interleaved_packing_queries_stay_correct(spark):
+    """Two packing queries composed LAZILY (second built before the first is
+    materialized) must both be correct: the range-partitioned cache each
+    call pins is caller-managed (release_pack_caches), never evicted by a
+    later call — evicting mid-flight would recompute partition ids under
+    the first query's already-collected base offsets."""
+    a = pl.pack_sequences(spark, SF, cap=512)
+    b = pl.training_mix(spark, SF, cap=512)  # builds its own _packed call
+    # materialize the FIRST query only after the second exists
+    for df in (a, b):
+        rows = df.orderBy("doc_id").collect()
+        assert rows, "packing query returned nothing"
+        # stream invariant: seq_offset < cap, seq_id non-decreasing in doc order
+        assert all(r.seq_offset < 512 for r in rows)
+        seq_ids = [r.seq_id for r in rows]
+        assert seq_ids == sorted(seq_ids)
+    # global packing: offsets reproduce the sequential cumsum exactly
+    rows = a.orderBy("doc_id").collect()
+    acc = 0
+    for r in rows:
+        assert r.seq_id == acc // 512 and r.seq_offset == acc % 512, r
+        acc += r.n_tok
+    assert pl.release_pack_caches() >= 2
+
+
+def test_near_dup_clusters_minhash_partitions_corpus(spark):
+    """The minhash-seeded cluster map covers every doc exactly once, sizes
+    are consistent, and min-id keepers are their own cluster id."""
+    out = pl.near_dup_clusters_minhash(spark, SF).collect()
+    docs = {r.doc_id for r in out}
+    assert len(out) == len(docs)
+    from collections import Counter
+
+    sizes = Counter(r.cluster_id for r in out)
+    for r in out:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.cluster_id <= r.doc_id
+    for cid in sizes:
+        assert cid in docs

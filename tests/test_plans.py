@@ -181,3 +181,20 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_vocab_coverage_topk_is_distributed(spark):
+    """vocab_coverage must reduce the vocabulary with a distributed TopK
+    (TakeOrderedAndProject: per-partition heaps + driver merge) BEFORE any
+    window runs — never a global window over the full vocabulary (1e8-1e9
+    distinct tokens on a web corpus would serialize through one task). The
+    windows that remain are partitioned (constant key over the <=100 TopK
+    survivors), so no unpartitioned WindowExec appears in the plan."""
+    from parquet_to_arrow_spark.operators.textstats import vocab_coverage
+
+    plan = plan_of(vocab_coverage(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    # every Window node must carry a partition spec (the constant-key one)
+    for ln in plan.splitlines():
+        if "Arguments" in ln and "windowspecdefinition" in ln:
+            assert "specifiedwindowframe" in ln or "0," in ln, ln

@@ -192,3 +192,41 @@ def test_incremental_encode_to_iceberg_exactly_once(spark, tmp_path):
     rep = diff_report(total, decode_chunks_df(ice.read_snapshot(spark, table)))
     assert rep["equal"], rep
     first.unpersist(); second.unpersist()
+
+
+def test_streaming_dedup_state_ttl_evicts_idle_keys(spark, tmp_path):
+    """State is BOUNDED by a processing-time TTL: a key idle past the
+    horizon is evicted at the next micro-batch, so a later duplicate
+    restarts its count (dedup horizon = TTL) instead of accumulating —
+    proof the entry left the store, not just stopped emitting."""
+    import time
+
+    from parquet_to_arrow_spark.streaming.incremental import streaming_exact_dedup
+
+    sf = str(tmp_path / "sfttl")
+    ckpt = str(tmp_path / "ckpt")
+    docs_dir = f"{sf}/documents.parquet"
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def land(rows):
+        spark.createDataFrame(
+            [(i, t, "en", "unit", len(t)) for i, t in rows], ddl
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    land([(1, "yyy"), (2, "xxx")])
+    run1 = {r["keep_id"]: r["n_copies"] for r in streaming_exact_dedup(
+        spark, sf, state_ttl_ms=500, checkpoint_dir=ckpt).collect()}
+    assert run1 == {1: 1, 2: 1}
+
+    time.sleep(1.2)  # let both keys pass the TTL horizon
+    land([(3, "zzz")])  # triggers the batch in which the timeouts fire
+    run2 = {r["keep_id"]: r["n_copies"] for r in streaming_exact_dedup(
+        spark, sf, state_ttl_ms=500, checkpoint_dir=ckpt).collect()}
+    assert run2 == {3: 1}  # timed-out keys emit nothing, only the new key
+
+    land([(4, "yyy")])  # the evicted key's text returns
+    run3 = {r["keep_id"]: r["n_copies"] for r in streaming_exact_dedup(
+        spark, sf, state_ttl_ms=500, checkpoint_dir=ckpt).collect()}
+    # count RESTARTED at 1 under the new keeper: the old entry is gone
+    # (without eviction this would be keep_id 1, n_copies 2)
+    assert run3.get(4) == 1 and 1 not in run3
