@@ -105,6 +105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip_documents": iceberg.iceberg_roundtrip_documents,
         # --- round-4 additions ---
         "near_dup_clusters_minhash": pl.near_dup_clusters_minhash,
+        "near_dup_minhash_kept": pl.near_dup_minhash_kept,
+        "bigram_logprob": ts.bigram_logprob,
+        "quality_gate_report": lambda spark, sf: ts.quality_gate_report(
+            spark, sf, exact=True
+        ),
         # --- SURVEY.md §2 operator inventory (driver-recorded green in r1-r3) ---
         "scan_full": rel.scan_full,
         "projection_column_range": rel.projection_column_range,
@@ -875,6 +880,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3""",
         "near_dup_clusters": _clusters_sql(),
         "near_dup_clusters_minhash": _clusters_minhash_sql(),
+        "near_dup_minhash_kept": f"""
+            SELECT doc_id, cluster_size FROM ({_clusters_minhash_sql()})
+            WHERE doc_id = cluster_id""",
+        "bigram_logprob": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> length(x) > 0) AS ws
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                                             i -> ws[i] || ' ' || ws[i+1])) AS bg
+                FROM d WHERE len(ws) >= 2
+            ), vocab AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+            tot AS (SELECT count(*) AS c FROM bg)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(sum(ln(CAST(cnt AS DOUBLE) / c)) / count(*), 6)
+                       AS avg_logprob_r
+            FROM bg JOIN vocab USING (bg) CROSS JOIN tot
+            GROUP BY doc_id""",
+        "quality_gate_report": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1
+                            AS BIGINT) AS n_words
+                FROM documents
+            ), t AS (
+                SELECT lang, round(quantile_cont(n_words, 0.1), 6) AS thr
+                FROM s GROUP BY lang
+            )
+            SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN s.n_words >= t.thr THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   round(max(t.thr), 6) AS thr,
+                   round(CAST(sum(CASE WHEN s.n_words >= t.thr THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS kept_frac
+            FROM s JOIN t USING (lang) GROUP BY s.lang""",
         "near_dup_kept": f"""
             SELECT doc_id, cluster_size FROM ({_clusters_sql()})
             WHERE doc_id = cluster_id""",

@@ -231,6 +231,20 @@ def near_dup_clusters_minhash(
     )
 
 
+def near_dup_minhash_kept(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """Keep-one pass over the MINHASH-seeded cluster map: one representative
+    per cluster (the min-id keeper) with the cluster size it stands for —
+    the deduplicated corpus the LSH-candidate path produces. Same contract
+    as near_dup_kept, different candidate generator (see
+    near_dup_clusters_minhash for why that matters at 10^12 docs)."""
+    clusters = near_dup_clusters_minhash(spark, sf_dir, threshold=threshold)
+    return clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", "cluster_size"
+    )
+
+
 def near_dup_kept(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     """The near-deduplicated corpus: one representative per cluster (the
     min-id keeper), with the cluster size it stands for — the row count a

@@ -358,6 +358,36 @@ def quality_filter(spark, sf_dir, pct: float = 0.1, exact: bool = False) -> Data
 
 
 
+def quality_gate_report(
+    spark, sf_dir, pct: float = 0.1, exact: bool = False
+) -> DataFrame:
+    """Per-language gate DASHBOARD for the quantile quality filter: how
+    many documents each language has, how many survive its pct-quantile
+    word-count threshold, the threshold itself, and the kept fraction —
+    what an operator reviews before committing a corpus-wide prune (a
+    quota that wipes out a small language shows up here first, not after
+    the delete). Same threshold machinery as quality_filter (broadcast
+    per-language aggregate; approx by default, exact behind the oracle
+    flag), one more tiny per-language rollup on top."""
+    docs = _docs(spark, sf_dir)
+    n_words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    ).cast("long")
+    scored = docs.select("doc_id", "lang", n_words.alias("n_words"))
+    thr = scored.groupBy("lang").agg(_pctile("n_words", pct, exact).alias("thr"))
+    kept = (F.col("n_words") >= F.col("thr")).cast("long")
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.round(F.max("thr"), 6).alias("thr"),
+            F.round(F.sum(kept).cast("double") / F.count("*"), 6).alias("kept_frac"),
+        )
+    )
+
+
 def unigram_logprob(spark, sf_dir) -> DataFrame:
     """Per-document average unigram log-probability under the corpus's own
     unigram LM — the classic cheap perplexity proxy quality filters
@@ -383,6 +413,47 @@ def unigram_logprob(spark, sf_dir) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_words"),
+        F.round(F.sum("lp") / F.count("*"), 6).alias("avg_logprob_r"),
+    )
+
+
+def bigram_logprob(spark, sf_dir) -> DataFrame:
+    """Per-document average BIGRAM log-probability under the corpus's own
+    bigram distribution — one order up from unigram_logprob: repetitive or
+    templated text scores high (its word pairs dominate the corpus), while
+    word-salad scores low even when its unigrams are common. The standard
+    cheap fluency proxy between unigram LM and a real LM.
+
+    Scale shape: the bigram expansion happens INSIDE the array (transform
+    over the split — no explode until the count), then one corpus-sized
+    bigram count, one join back on the bigram dimension, one per-doc
+    aggregation — identical plan skeleton to unigram_logprob, so the same
+    100 TB argument applies (everything after the explode is
+    bigram-vocabulary-sized). Docs with fewer than two words have no
+    bigrams and are excluded (no defined score)."""
+    from .dedup import _spread
+
+    docs = _spread(_docs(spark, sf_dir))
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    d = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    vocab = _swap_cached(bg.groupBy("bg").agg(F.count("*").alias("cnt")))
+    total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
+    scored = bg.join(vocab, "bg").withColumn(
+        "lp", F.log(F.col("cnt").cast("double") / F.lit(total))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.sum("lp") / F.count("*"), 6).alias("avg_logprob_r"),
     )
 

@@ -133,7 +133,10 @@ def probe_minhash_clusters(spark) -> dict:
 
 
 if __name__ == "__main__":
-    spark = get_spark(app="pipeline_scale_probe")
+    # 256 shuffle partitions: the minhash leg shuffles ~28 shingle rows per
+    # doc (1.4B rows at 50M docs) — 32 partitions would put ~45M rows in
+    # each aggregation task's buffer; AQE coalesces the small legs back
+    spark = get_spark(app="pipeline_scale_probe", shuffle_partitions=256)
     for fn in (probe_pack, probe_cc, probe_minhash_clusters):
         print(json.dumps(fn(spark)), flush=True)
     spark.stop()

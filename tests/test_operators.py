@@ -504,3 +504,67 @@ def test_retention_cohorts_planted_matrix(spark, tmp_path):
     assert out[(a, 0)] == 2 and out[(a, 1)] == 1 and out[(a, 2)] == 1
     assert out[(b, 0)] == 1 and out[(b, 1)] == 1
     assert sum(n for (cw, _), n in out.items() if cw not in (a, b)) == 0
+
+
+def test_bigram_logprob_matches_pure_python(spark, tmp_path):
+    """Exact per-doc average bigram log-prob on a hand-checkable corpus:
+    the templated doc (repeating the dominant pair) outscores the
+    word-salad doc whose UNIGRAMS are just as common; sub-two-word docs
+    are excluded (no bigram defined)."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from parquet_to_arrow_spark.operators.textstats import bigram_logprob
+
+    texts = {1: "a b a b a b", 2: "b a a a b b", 3: "solo"}
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="s", n_chars=1)
+        for i, t in texts.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in bigram_logprob(spark, str(tmp_path)).collect()}
+
+    def bigrams(t):
+        ws = t.split()
+        return [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    corpus = Counter(bg for t in texts.values() for bg in bigrams(t))
+    total = sum(corpus.values())
+    assert 3 not in out  # single word: no bigram, excluded
+    for i in (1, 2):
+        bgs = bigrams(texts[i])
+        want = sum(math.log(corpus[b] / total) for b in bgs) / len(bgs)
+        assert out[i]["n_bigrams"] == len(bgs)
+        assert abs(out[i]["avg_logprob_r"] - round(want, 6)) < 1e-6
+    assert out[1]["avg_logprob_r"] > out[2]["avg_logprob_r"]
+
+
+def test_quality_gate_report_counts(spark, tmp_path):
+    """The report's kept counts equal the filter's survivors per language,
+    and kept_frac is their ratio."""
+    from pyspark.sql import Row
+
+    from parquet_to_arrow_spark.operators.textstats import (
+        quality_filter,
+        quality_gate_report,
+    )
+
+    rows = (
+        [Row(doc_id=i, text=" ".join(["w"] * (2 + i)), lang="short", source="s",
+             n_chars=1) for i in range(10)]
+        + [Row(doc_id=100 + i, text=" ".join(["w"] * (100 + i)), lang="long",
+               source="s", n_chars=1) for i in range(10)]
+    )
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    rep = {r["lang"]: r for r in quality_gate_report(
+        spark, str(tmp_path), exact=True).collect()}
+    kept = quality_filter(spark, str(tmp_path), exact=True).collect()
+    from collections import Counter
+
+    per_lang = Counter(r["lang"] for r in kept)
+    for lang in ("short", "long"):
+        assert rep[lang]["n_docs"] == 10
+        assert rep[lang]["n_kept"] == per_lang[lang]
+        assert abs(rep[lang]["kept_frac"] - round(per_lang[lang] / 10, 6)) < 1e-9
