@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate_report": lambda spark, sf: ts.quality_gate_report(
             spark, sf, exact=True
         ),
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         # --- SURVEY.md §2 operator inventory (driver-recorded green in r1-r3) ---
         "scan_full": rel.scan_full,
         "projection_column_range": rel.projection_column_range,
@@ -623,6 +624,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, orderdate, l_orderkey
             LIMIT 10""",
+        "q5_local_supplier_volume": f"""
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS {dec}) *
+                            (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name""",
         "q6_forecast_revenue": f"""
             SELECT CAST(sum(CAST(l_extendedprice AS {dec}) *
                             CAST(l_discount AS {dec})) AS DOUBLE) AS revenue,

@@ -350,6 +350,49 @@ def q3_shipping_priority(spark, sf_dir) -> DataFrame:
     )
 
 
+def q5_local_supplier_volume(spark, sf_dir) -> DataFrame:
+    """TPC-H Q5 shape: the 6-way region/nation/customer/supplier/orders/
+    lineitem join — revenue per nation where customer and supplier sit in
+    the SAME nation of one region, over one year of orders. The canonical
+    join-ordering showcase: region and the region-filtered nation list
+    BROADCAST (tiny dims), orders carries the pushed-down date cut into
+    the fact join, the same-nation predicate prunes after the two key
+    joins, and the only wide stage is the 25-row per-nation aggregate.
+    Decimal-exact revenue cast to double for the oracle."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
 def q6_forecast_revenue(spark, sf_dir) -> DataFrame:
     """TPC-H Q6 shape: the pure filter-and-sum forecast — every predicate
     pushes to the parquet scan, zero joins, one scalar out."""

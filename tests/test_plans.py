@@ -198,3 +198,18 @@ def test_vocab_coverage_topk_is_distributed(spark):
     for ln in plan.splitlines():
         if "Arguments" in ln and "windowspecdefinition" in ln:
             assert "specifiedwindowframe" in ln or "0," in ln, ln
+
+
+def test_q5_broadcasts_dims_and_pushes_date_cut(spark):
+    """The 6-way Q5 join must broadcast the tiny dim side(s) and push the
+    one-year order-date cut into the parquet scan — the join-ordering
+    properties the 100 TB plan depends on."""
+    from parquet_to_arrow_spark.operators.relational import q5_local_supplier_volume
+
+    plan = plan_of(q5_local_supplier_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "o_orderdate" in ln
+    ]
+    assert pushed, plan
