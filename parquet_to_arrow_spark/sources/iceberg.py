@@ -185,6 +185,35 @@ def with_bucket_column(
     return df.withColumn(out_col, b(F.col(col)))
 
 
+def with_transform_column(df: DataFrame, spec: dict, out_col: str) -> DataFrame:
+    """Append a partition-spec transform of its source column: bucket via
+    with_bucket_column; truncate[W] as substring / floor-to-multiple (spec
+    negative-safe form — F.pmod); day/month/year as UTC epoch ordinals
+    (sessions run UTC, matching the spec's timestamptz semantics). All are
+    plain JVM expressions matching iceberg_meta.truncate_of/temporal_of
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    tr = spec["transform"]
+    if tr == "bucket":
+        return with_bucket_column(df, spec["source"], spec["n"], out_col=out_col)
+    c = F.col(spec["source"])
+    if tr == "truncate":
+        if spec["source_type"] == "string":
+            e = F.substring(c, 1, spec["n"])
+        else:
+            e = c - F.pmod(c, F.lit(spec["n"]))
+    elif tr == "day":
+        e = F.datediff(F.to_date(c), F.lit("1970-01-01"))
+    elif tr == "month":
+        e = (F.year(c) - 1970) * 12 + F.month(c) - 1
+    elif tr == "year":
+        e = F.year(c) - 1970
+    else:
+        raise NotImplementedError(f"partition transform {tr}")
+    return df.withColumn(out_col, e)
+
+
 def _write_rewrite(survivors: DataFrame, rw_dir: str, meta: dict | None) -> None:
     """Write CoW replacement (or append) files preserving the table's
     layout: for a partitioned table the rows land under hive-style
@@ -192,16 +221,15 @@ def _write_rewrite(survivors: DataFrame, rw_dir: str, meta: dict | None) -> None
     files, exactly like the original layout), so commit_parquet_dir
     re-derives each replacement file's typed manifest partition values
     from its path — partition values are preserved on the replacement
-    files by construction. Bucket-transform fields are recomputed from
-    their source column (with_bucket_column) before the partitioned write;
-    the source column itself STAYS in the data files."""
+    files by construction. Derived-transform fields (bucket/truncate/
+    day/month/year) are recomputed from their source column
+    (with_transform_column) before the partitioned write; the source
+    column itself STAYS in the data files."""
     pcols: list[str] = []
     if meta is not None:
         for s in iceberg_meta._partition_specs(meta):
-            if s["transform"] == "bucket" and s["name"] not in survivors.columns:
-                survivors = with_bucket_column(
-                    survivors, s["source"], s["n"], out_col=s["name"]
-                )
+            if s["transform"] != "identity" and s["name"] not in survivors.columns:
+                survivors = with_transform_column(survivors, s, s["name"])
             pcols.append(s["name"])
     w = survivors.write.mode("overwrite")
     if pcols:
@@ -271,6 +299,127 @@ def delete_where(
         rw_dir,
         summary={"operation-detail": "delete-where"},
         remove_paths=affected,
+    )
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    table_or_path: str,
+    predicate: str,
+    partition_filter: dict | None = None,
+) -> int | None:
+    """Merge-on-read DELETE (Iceberg v2 position deletes): instead of
+    rewriting the affected data files (delete_where's copy-on-write), write
+    a POSITION DELETE file — parquet rows of (file_path, pos) for every
+    matching row, sorted by (file_path, pos) per the spec — and commit it
+    under a content=1 delete manifest. Data files are untouched; the write
+    cost is proportional to the DELETED rows, not to the files containing
+    them — the right half of the tradeoff for small deletes against huge
+    files (CoW rewrites a 1 GB file to drop one row; MoR writes a 1-row
+    delete file). Readers (read_snapshot) subtract the pairs with an
+    anti-join; read amplification accrues until materialize_deletes folds
+    the deletes back into data files.
+
+    Row positions come from the scanner's native _metadata.row_index —
+    no window, no shuffle over the data. ``partition_filter`` prunes the
+    scan exactly as in delete_where. Returns the snapshot id, or None when
+    nothing matched. Reference behavior: Iceberg spec v2 "Position Delete
+    Files" + "Row-level deletes"."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    if iceberg_available(spark):
+        raise NotImplementedError("use the catalog's DELETE FROM on the jar path")
+    meta = iceberg_meta.current_metadata(table_or_path)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_or_path}")
+    scan = iceberg_meta.read_snapshot(
+        spark, table_or_path, partition_filter=partition_filter, with_positions=True
+    )
+    doomed = scan.filter(predicate).select(
+        F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+    )
+    del_dir = os.path.join(table_or_path, "data", f"delete-{uuid.uuid4().hex[:8]}")
+    # range-partition + sort: each delete file holds a contiguous sorted
+    # (file_path, pos) run (spec sort order); AQE coalesces the typically
+    # tiny delete set down to one file
+    doomed.repartitionByRange("file_path", "pos").sortWithinPartitions(
+        "file_path", "pos"
+    ).write.mode("overwrite").parquet(del_dir)
+    dfs = _scan_delete_dir(del_dir)
+    if not dfs:
+        import shutil
+
+        shutil.rmtree(del_dir, ignore_errors=True)
+        return None
+    return iceberg_meta.commit_append(
+        table_or_path,
+        [],
+        summary={"operation-detail": "delete-where-mor"},
+        delete_files=dfs,
+    )
+
+
+def _scan_delete_dir(del_dir: str) -> list[iceberg_meta.DataFile]:
+    """Non-empty position-delete parquet files of a directory Spark just
+    wrote, as content=1 DataFiles (row counts from footers)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for dirpath, _, names in os.walk(del_dir):
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                p = os.path.join(dirpath, name)
+                n = pq.ParquetFile(p).metadata.num_rows
+                if n:
+                    out.append(
+                        iceberg_meta.DataFile(
+                            p, n, os.path.getsize(p), content=1
+                        )
+                    )
+    return out
+
+
+def materialize_deletes(spark: SparkSession, table_or_path: str) -> int | None:
+    """Fold pending position deletes back into data files (Iceberg's
+    rewrite_data_files over delete-bearing files): every LIVE data file a
+    delete file references is rewritten without its deleted rows, and the
+    commit removes both the rewritten originals AND all delete files — the
+    maintenance pass that caps merge-on-read amplification. After it, the
+    snapshot is pure data files again (compaction and the fast-path encode
+    require that). Untargeted data files are carried forward untouched;
+    stale delete rows referencing already-rewritten (non-live) files are
+    simply dropped. Returns the snapshot id, or None when no deletes are
+    pending."""
+    import uuid
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    dels = iceberg_meta.snapshot_delete_files(table_or_path)
+    if not dels:
+        return None
+    meta = iceberg_meta.current_metadata(table_or_path)
+    ddf = spark.read.schema(iceberg_meta.POS_DELETE_DDL).parquet(
+        *[f.path for f in dels]
+    )
+    target_uris = [r["file_path"] for r in ddf.select("file_path").distinct().collect()]
+    live = {f.path for f in iceberg_meta.snapshot_files(table_or_path)}
+    by_uri = {u: os.path.abspath(unquote(urlparse(u).path)) for u in target_uris}
+    affected_uris = [u for u, p in by_uri.items() if p in live]
+    affected_paths = {by_uri[u] for u in affected_uris}
+    # read_snapshot already applies the deletes; keep positions to select
+    # the affected files, then drop the scan-native columns
+    scan = iceberg_meta.read_snapshot(spark, table_or_path, with_positions=True)
+    survivors = scan.filter(F.col("__fp").isin(affected_uris)).drop("__fp", "__pos")
+    rw_dir = os.path.join(table_or_path, "data", f"rw-{uuid.uuid4().hex[:8]}")
+    _write_rewrite(survivors, rw_dir, meta)
+    return iceberg_meta.commit_parquet_dir(
+        table_or_path,
+        rw_dir,
+        summary={"operation-detail": f"materialize-deletes:{len(dels)}"},
+        remove_paths=affected_paths | {os.path.abspath(f.path) for f in dels},
     )
 
 
@@ -433,6 +582,13 @@ def compact_files(
     meta = iceberg_meta.current_metadata(table_or_path)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_or_path}")
+    if iceberg_meta.snapshot_delete_files(table_or_path):
+        # compaction reads raw file paths (no delete anti-join) — silently
+        # resurrecting MoR-deleted rows would be corruption, so refuse
+        raise ValueError(
+            "table has pending position deletes; run materialize_deletes "
+            "before compact_files"
+        )
     pfields = iceberg_meta._partition_fields(meta)
 
     small = [f for f in iceberg_meta.snapshot_files(table_or_path) if f.file_size < target_bytes]

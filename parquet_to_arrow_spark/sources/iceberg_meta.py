@@ -15,19 +15,29 @@ fields, sequence numbers written explicitly, snapshot log + metadata log,
 exclusive metadata-file creation as the commit point with listing-based
 version resolution (the hadoop catalog's semantics; version-hint is a
 fast-path hint). Implemented on top of that: identity partitioning with
-manifest-level pruning, bucket[N] partition transforms (spec murmur3 —
-published Appendix B hash vectors pinned in tests; bucket-pruned scans),
-column min/max bounds with range skipping, additive schema evolution,
-logical-partition overwrite (replace_on), snapshot expiry + orphan
-detection, incremental added-files reads, CoW DML + compaction on
-unpartitioned, identity-partitioned and bucket-partitioned tables
+manifest-level pruning, bucket[N] / truncate[W] / day / month / year
+partition transforms (spec murmur3 — published Appendix B hash vectors
+pinned in tests; negative-safe truncate; epoch-ordinal temporals;
+transform-pruned scans), column min/max bounds with range skipping,
+additive schema evolution, logical-partition overwrite (replace_on),
+snapshot expiry + orphan detection, incremental added-files reads, CoW
+DML + compaction on unpartitioned and any-partitioned tables
 (sources/iceberg.py).
 
-Deliberate scope cuts (documented, not hidden): no truncate/temporal
-partition transforms, no delete files (content=0 only — append/overwrite
-tables), JSON/Avro layout validated by this module's own reader +
-byte-level Avro spec goldens in tests (no independent Iceberg reader
-exists in this image).
+Row-level deletes, both spec flavors: copy-on-write (sources/iceberg.py
+delete_where/delete_keys/merge_keys rewrite affected files) and
+merge-on-read POSITION DELETE files (spec "Position Delete Files":
+parquet files of (file_path 2147483546, pos 2147483545) committed under a
+content=1 delete manifest; readers apply them as an anti-join, writers
+never rewrite data — delete_where_mor / materialize_deletes in
+sources/iceberg.py).
+
+Deliberate scope cuts (documented, not hidden): no equality-delete files
+(position deletes only —
+an engine keyed by (file, pos) covers every DML shape this engine emits),
+JSON/Avro layout validated by this module's own reader + byte-level Avro
+spec goldens in tests (no independent Iceberg reader exists in this
+image).
 """
 
 from __future__ import annotations
@@ -250,6 +260,18 @@ class DataFile:
     partition: dict | None = None  # identity-partition values, if any
     lower_bounds: dict | None = None  # {field_id: raw python value}
     upper_bounds: dict | None = None
+    content: int = 0  # 0 = data, 1 = position deletes (spec data_file.content)
+
+
+# Position-delete file columns carry RESERVED field ids (spec "Reserved
+# field IDs"): file_path = int.max-101, pos = int.max-102. The delete
+# parquet stores file_path exactly as Spark's _metadata.file_path renders
+# the data file (a file: URI) so the read-side anti-join compares raw
+# scan-native values on both sides — no decode step whose edge cases
+# (percent-encoding, '+') could silently unmatch; driver-side code that
+# needs the manifest abspath converts with unquote(urlparse(...).path).
+POS_DELETE_DDL = "file_path string, pos bigint"
+POS_DELETE_FIELD_IDS = {"file_path": 2147483546, "pos": 2147483545}
 
 
 def _meta_dir(table_dir: str) -> str:
@@ -435,9 +457,57 @@ def _partition_specs(meta: dict) -> list[dict]:
                 {"name": f["name"], "source": src["name"], "transform": "bucket",
                  "n": int(tr[7:-1]), "source_type": src["type"], "value_type": "int"}
             )
+        elif tr.startswith("truncate[") and tr.endswith("]"):
+            # spec: truncate value type == source type (string prefix /
+            # int-long floored to a multiple of W)
+            out.append(
+                {"name": f["name"], "source": src["name"], "transform": "truncate",
+                 "n": int(tr[9:-1]), "source_type": src["type"],
+                 "value_type": src["type"]}
+            )
+        elif tr in ("day", "month", "year"):
+            # spec "Partition Transforms": day -> date (days from epoch),
+            # month/year -> int ordinals from 1970
+            out.append(
+                {"name": f["name"], "source": src["name"], "transform": tr,
+                 "n": None, "source_type": src["type"],
+                 "value_type": "date" if tr == "day" else "int"}
+            )
         else:
             raise NotImplementedError(f"partition transform {tr}")
     return out
+
+
+def truncate_of(v, itype: str, w: int):
+    """Iceberg ``truncate[W]`` transform of a value (spec: string = first W
+    characters; int/long = v - (((v % W) + W) % W), i.e. floored to a
+    multiple of W — correct for negatives)."""
+    if v is None:
+        return None
+    if itype == "string":
+        return str(v)[:w]
+    if itype in ("int", "long"):
+        v = int(v)
+        return v - (((v % w) + w) % w)
+    raise NotImplementedError(f"truncate transform over {itype}")
+
+
+def temporal_of(v, unit: str):
+    """Iceberg day/month/year transform of a datetime.date/datetime (UTC):
+    day -> days from epoch, month -> months from 1970-01, year -> years
+    from 1970 (spec 'Partition Transforms')."""
+    import datetime
+
+    if v is None:
+        return None
+    d = v.date() if isinstance(v, datetime.datetime) else v
+    if unit == "day":
+        return (d - datetime.date(1970, 1, 1)).days
+    if unit == "month":
+        return (d.year - 1970) * 12 + d.month - 1
+    if unit == "year":
+        return d.year - 1970
+    raise NotImplementedError(f"temporal transform {unit}")
 
 
 def _partition_fields(meta: dict) -> list[tuple[str, str]]:
@@ -585,8 +655,19 @@ def commit_append(
     replace_on: str | None = None,
     partition_by: list[str] | None = None,
     remove_paths: set | None = None,
+    delete_files: list[DataFile] | None = None,
 ) -> int:
     """Append ``files`` as one new snapshot; returns the snapshot id.
+
+    ``delete_files``: POSITION DELETE files (parquet of POS_DELETE_DDL
+    rows) to commit alongside — the merge-on-read half of DML. They land
+    in their own content=1 manifest, referenced by a content=1 manifest
+    list entry, exactly the spec's row-delta commit; data files are NOT
+    touched. Readers (read_snapshot) subtract the (file_path, pos) pairs;
+    a deletes-only commit gets operation "delete". Sequence-number
+    applicability is trivially safe here: data files added after a delete
+    commit have fresh unique paths, so a stale delete row can never match
+    a newer file's rows by path.
 
     ``remove_paths``: data files to DROP from the table in the same
     commit — the copy-on-write half of delete/update: affected manifests
@@ -628,15 +709,36 @@ def commit_append(
         by_name = {f["name"]: f for f in schema["fields"]}
         spec_fields = []
         for i, c in enumerate(partition_by or []):
-            # "col" = identity; "col:bucket[N]" = spec bucket transform
-            # (murmur3-hashed mod N — see bucket_of); spec field name
-            # follows Iceberg's convention: <col>_bucket
+            # "col" = identity; "col:bucket[N]" = murmur3 mod N (bucket_of);
+            # "col:truncate[W]" = prefix/multiple-of-W (truncate_of);
+            # "col:day|month|year" = temporal ordinal (temporal_of). Spec
+            # field names follow Iceberg's convention: <col>_<transform>
             if ":bucket[" in c:
                 col, rest = c.split(":bucket[", 1)
                 spec_fields.append(
                     {
                         "name": f"{col}_bucket",
                         "transform": f"bucket[{int(rest.rstrip(']'))}]",
+                        "source-id": by_name[col]["id"],
+                        "field-id": 1000 + i,
+                    }
+                )
+            elif ":truncate[" in c:
+                col, rest = c.split(":truncate[", 1)
+                spec_fields.append(
+                    {
+                        "name": f"{col}_trunc",
+                        "transform": f"truncate[{int(rest.rstrip(']'))}]",
+                        "source-id": by_name[col]["id"],
+                        "field-id": 1000 + i,
+                    }
+                )
+            elif c.endswith((":day", ":month", ":year")):
+                col, unit = c.rsplit(":", 1)
+                spec_fields.append(
+                    {
+                        "name": f"{col}_{unit}",
+                        "transform": unit,
                         "source-id": by_name[col]["id"],
                         "field-id": 1000 + i,
                     }
@@ -693,11 +795,16 @@ def commit_append(
         "\n".join(
             [f"{f.path}:{f.file_size}:{f.record_count}" for f in files]
             + sorted(f"-{p}" for p in (remove_paths or ()))
+            + [f"+d{f.path}:{f.file_size}:{f.record_count}" for f in (delete_files or [])]
         ).encode()
     ).hexdigest()[:12]
     manifest_name = f"{uid}-seq{seq}-{digest}-m0.avro"
     manifest_path = os.path.join(meta_dir, manifest_name)
-    snap_id = _snapshot_id(uid, seq, [manifest_name])
+    del_manifest_name = f"{uid}-seq{seq}-{digest}-d0.avro"
+    del_manifest_path = os.path.join(meta_dir, del_manifest_name)
+    snap_id = _snapshot_id(
+        uid, seq, [manifest_name] + ([del_manifest_name] if delete_files else [])
+    )
     pfields = _partition_fields(base)
     cur_schema = next(
         s for s in base["schemas"] if s["schema-id"] == base["current-schema-id"]
@@ -715,33 +822,35 @@ def commit_append(
             if fid in types_by_id and v is not None
         ]
 
-    entries = [
-        {
-            "status": 1,  # ADDED
-            "snapshot_id": snap_id,
-            "sequence_number": seq,
-            "file_sequence_number": seq,
-            "data_file": {
-                "content": 0,
-                "file_path": os.path.abspath(f.path),
-                "file_format": "PARQUET",
-                "partition": {
-                    name: _coerce((f.partition or {}).get(name), itype)
-                    for name, itype in pfields
+    def _mk_entries(fs: list[DataFile], content: int) -> list[dict]:
+        return [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": content,
+                    "file_path": os.path.abspath(f.path),
+                    "file_format": "PARQUET",
+                    "partition": {
+                        name: _coerce((f.partition or {}).get(name), itype)
+                        for name, itype in pfields
+                    },
+                    "record_count": f.record_count,
+                    "file_size_in_bytes": f.file_size,
+                    "lower_bounds": _bmap(f.lower_bounds),
+                    "upper_bounds": _bmap(f.upper_bounds),
+                    "split_offsets": None,
+                    "sort_order_id": None,
                 },
-                "record_count": f.record_count,
-                "file_size_in_bytes": f.file_size,
-                "lower_bounds": _bmap(f.lower_bounds),
-                "upper_bounds": _bmap(f.upper_bounds),
-                "split_offsets": None,
-                "sort_order_id": None,
-            },
-        }
-        for f in files
-    ]
+            }
+            for f in fs
+        ]
+
     manifest_bytes = avro_io.write_container(
         manifest_entry_schema(pfields),
-        entries,
+        _mk_entries(files, 0),
         meta={
             "schema": json.dumps(base["schemas"][base["current-schema-id"] if base["schemas"] else 0]),
             "partition-spec": "[]",
@@ -752,6 +861,25 @@ def commit_append(
     )
     with open(manifest_path, "wb") as f:
         f.write(manifest_bytes)
+    if delete_files:
+        # position-delete manifest: same entry schema, content=1 on both
+        # the entries and the manifest-list row ("Delete Manifests" in the
+        # spec); partition struct stays null — delete application is
+        # path-keyed here, partition pruning of deletes is an optimization
+        # this layer doesn't take
+        del_manifest_bytes = avro_io.write_container(
+            manifest_entry_schema(pfields),
+            _mk_entries(delete_files, 1),
+            meta={
+                "schema": json.dumps(base["schemas"][base["current-schema-id"] if base["schemas"] else 0]),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": str(FORMAT_VERSION),
+                "content": "deletes",
+            },
+        )
+        with open(del_manifest_path, "wb") as f:
+            f.write(del_manifest_bytes)
 
     # --- manifest list: previous snapshot's manifests + the new one
     new_mf = {
@@ -770,6 +898,26 @@ def commit_append(
         "deleted_rows_count": 0,
         "partitions": [],
     }
+    del_mf = (
+        {
+            "manifest_path": os.path.abspath(del_manifest_path),
+            "manifest_length": len(del_manifest_bytes),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(delete_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(f.record_count for f in delete_files),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": [],
+        }
+        if delete_files
+        else None
+    )
     prev_manifests: list[dict] = []
     cur_id = base.get("current-snapshot-id", -1)
     if cur_id and cur_id != -1:
@@ -778,6 +926,9 @@ def commit_append(
             open(cur_snap["manifest-list"], "rb").read()
         )
     operation = "append"
+    if delete_files:
+        # spec row-delta commits: deletes-only = "delete", mixed = "overwrite"
+        operation = "overwrite" if files else "delete"
     updated_props = dict(base.get("properties", {}))
     if replace_on and summary and replace_on in summary:
         key = str(summary[replace_on])
@@ -847,7 +998,9 @@ def commit_append(
                 )
             )
         prev_manifests = rewritten
-    manifests = prev_manifests + ([new_mf] if files or not remove_paths else [])
+    manifests = prev_manifests + (
+        [new_mf] if files or not (remove_paths or delete_files) else []
+    ) + ([del_mf] if del_mf else [])
     mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-1-{uid}.avro")
     with open(mlist_path, "wb") as f:
         f.write(avro_io.write_container(MANIFEST_FILE_SCHEMA, manifests))
@@ -862,6 +1015,16 @@ def commit_append(
             "operation": operation,
             "added-data-files": str(len(files)),
             "added-records": str(sum(f.record_count for f in files)),
+            **(
+                {
+                    "added-delete-files": str(len(delete_files)),
+                    "added-position-deletes": str(
+                        sum(f.record_count for f in delete_files)
+                    ),
+                }
+                if delete_files
+                else {}
+            ),
             **{k: str(v) for k, v in (summary or {}).items()},
         },
         "schema-id": base["current-schema-id"],
@@ -991,6 +1154,8 @@ def snapshot_files(
     pf = partition_filter or {}
     out: list[DataFile] = []
     for mf in manifests:
+        if mf.get("content", 0) != 0:  # delete manifest: not data files
+            continue
         _, entries = avro_io.read_container(open(mf["manifest_path"], "rb").read())
         for e in entries:
             if e["status"] == 2:  # DELETED
@@ -1027,6 +1192,41 @@ def snapshot_files(
                         for k, v in hi_b.items()
                         if _fid_type(schema, k)
                     } or None,
+                )
+            )
+    return out
+
+
+def snapshot_delete_files(
+    table_dir: str, snapshot_id: int | None = None
+) -> list[DataFile]:
+    """Position-delete files reachable from a snapshot (default: current):
+    the content=1 manifests of its manifest list. Empty for a table no MoR
+    delete ever touched — the read path's is-there-anything-to-apply probe
+    is this list's truthiness, a metadata-only check."""
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    if sid == -1:
+        return []
+    snap = meta["snapshots"][_snapshot_index(meta["snapshots"], sid)]
+    _, manifests = avro_io.read_container(open(snap["manifest-list"], "rb").read())
+    out: list[DataFile] = []
+    for mf in manifests:
+        if mf.get("content", 0) != 1:
+            continue
+        _, entries = avro_io.read_container(open(mf["manifest_path"], "rb").read())
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            d = e["data_file"]
+            out.append(
+                DataFile(
+                    d["file_path"],
+                    d["record_count"],
+                    d["file_size_in_bytes"],
+                    content=1,
                 )
             )
     return out
@@ -1178,23 +1378,82 @@ def _spark_ddl(schema: dict) -> str:
     return ", ".join(f"`{f['name']}` {t(f['type'])}" for f in schema["fields"])
 
 
+def _delete_target_ranges(dels: list[DataFile]) -> list[tuple[str, str]] | None:
+    """[lo, hi] abspath intervals covering every data file the position
+    deletes reference, from the delete files' row-group min/max stats on
+    ``file_path`` — footer-only driver reads, bounded by delete-FILE count.
+    Delete files are written sorted by (file_path, pos), so the intervals
+    are tight. Returns None when any stat is missing or percent-encoded
+    (decoding would not preserve lexicographic order) — the caller then
+    conservatively applies deletes to every file."""
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.parquet as pq
+
+    ranges: list[tuple[str, str]] = []
+    for f in dels:
+        md = pq.ParquetFile(f.path).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            col = next(
+                (g.column(i) for i in range(g.num_columns)
+                 if g.column(i).path_in_schema == "file_path"),
+                None,
+            )
+            st = col.statistics if col is not None else None
+            if st is None or not st.has_min_max:
+                return None
+            lo, hi = st.min, st.max
+            lo = lo.decode() if isinstance(lo, bytes) else str(lo)
+            hi = hi.decode() if isinstance(hi, bytes) else str(hi)
+            if "%" in lo or "%" in hi:
+                return None
+            ranges.append(
+                (
+                    os.path.abspath(unquote(urlparse(lo).path)),
+                    os.path.abspath(unquote(urlparse(hi).path)),
+                )
+            )
+    return ranges
+
+
 def read_snapshot(
     spark,
     table_dir: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     range_filter: dict | None = None,
+    with_positions: bool = False,
 ):
     """Snapshot scan as a DataFrame: the resolved (and partition-pruned)
     file list goes straight to the parquet reader. For a partitioned table
     the partition columns — not stored in the data files, per the hive
     layout — are re-attached as typed literals per partition group (robust
     across multi-root wave/batch directories where a single basePath does
-    not exist). Time travel = pass an older snapshot id."""
+    not exist). Time travel = pass an older snapshot id.
+
+    Position deletes: when the snapshot carries content=1 delete files,
+    their (file_path, pos) pairs are SUBTRACTED via an anti-join against
+    the scan's native (_metadata.file_path, _metadata.row_index) — the
+    merge-on-read plan every Iceberg reader runs. Parquet row positions
+    come from the scanner itself (no window, no shuffle on the data side),
+    and the join is doubly bounded for scale: (a) data files OUTSIDE the
+    delete files' file_path stat ranges (_delete_target_ranges) bypass the
+    join entirely — at 100 TB a delete touching one partition never drags
+    the other 99.9% of the scan through a join; (b) the delete set joins
+    broadcast when manifest-recorded sizes are small (the common case —
+    data side streams, zero shuffle), degrading to a shuffled anti-join of
+    only the TARGETED files otherwise. materialize_deletes remains the
+    maintenance bound on accumulation.
+
+    ``with_positions``: keep the scan-native ``__fp`` (file: URI) and
+    ``__pos`` (row index) columns on the result — the write-side input for
+    producing NEW position-delete files."""
     from pyspark.sql import functions as F
 
     meta = current_metadata(table_dir)
     files = snapshot_files(table_dir, snapshot_id, partition_filter, range_filter)
+    dels = snapshot_delete_files(table_dir, snapshot_id)
     cur_schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
     )
@@ -1202,21 +1461,70 @@ def read_snapshot(
     if not files:
         # every file pruned (or an empty snapshot): an empty TYPED frame,
         # not an error — probing an absent partition is a normal query
-        return spark.createDataFrame([], ddl)
+        return spark.createDataFrame(
+            [], ddl + (", __fp string, __pos bigint" if with_positions else "")
+        )
+    ranges = _delete_target_ranges(dels) if dels else []
+    if dels and not ranges:
+        ranges = None  # no usable stats: conservatively target every file
+
+    def _targeted(path: str) -> bool:
+        return bool(dels) and (
+            ranges is None or any(lo <= path <= hi for lo, hi in ranges)
+        )
+
+    ddf = None
+    if dels:
+        ddf = spark.read.schema(POS_DELETE_DDL).parquet(*[f.path for f in dels])
+        if sum(f.file_size for f in dels) < (64 << 20):
+            ddf = F.broadcast(ddf)
+
+    def _scan(paths: list[str]):
+        """One scan node per (targeted?, path group): targeted files carry
+        positions and subtract the delete pairs; untargeted files only
+        carry positions when the caller asked for them."""
+        hit = [p for p in paths if _targeted(p)]
+        miss = [p for p in paths if not _targeted(p)]
+        parts = []
+        for sub, apply_dels in ((hit, True), (miss, False)):
+            if not sub:
+                continue
+            df = spark.read.schema(ddl).parquet(*sub)
+            if apply_dels or with_positions:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+            if apply_dels:
+                df = df.join(
+                    ddf,
+                    (F.col("__fp") == F.col("file_path"))
+                    & (F.col("__pos") == F.col("pos")),
+                    "left_anti",
+                )
+                if not with_positions:
+                    df = df.drop("__fp", "__pos")
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
+
     # only IDENTITY fields re-attach as literal columns: a bucket field's
     # value is a derived hash, not a table column — its source column is
     # physically present in the data files (bucket-partitioned writes keep
     # it; only the derived <col>_bucket directory column is stripped)
     specs = [s for s in _partition_specs(meta) if s["transform"] == "identity"]
     if not specs:
-        return spark.read.schema(ddl).parquet(*[f.path for f in files])
+        return _scan([f.path for f in files])
     groups: dict[tuple, list[str]] = {}
     for f in files:
         key = tuple((f.partition or {}).get(s["name"]) for s in specs)
         groups.setdefault(key, []).append(f.path)
     parts = []
     for key, paths in sorted(groups.items()):
-        df = spark.read.schema(ddl).parquet(*paths)
+        df = _scan(paths)
         for s, v in zip(specs, key):
             df = df.withColumn(
                 s["name"], F.lit(v).cast(_ICEBERG_TO_SPARK[s["value_type"]])

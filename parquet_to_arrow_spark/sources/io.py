@@ -211,11 +211,23 @@ def encode_iceberg_snapshot(
     from . import iceberg_meta
 
     meta = iceberg_meta.current_metadata(table_dir)
-    if meta is not None and iceberg_meta._partition_fields(meta):
+    if meta is not None and any(
+        s["transform"] == "identity" for s in iceberg_meta._partition_specs(meta)
+    ):
+        # only IDENTITY partitioning moves table columns out of the data
+        # files; derived transforms (bucket/truncate/day...) keep their
+        # source columns physically present, so those tables stream fine
         raise NotImplementedError(
             "fast-path encode of identity-partitioned tables (partition "
             "columns are not in the data files; use read_snapshot + the "
             "keyed encode)"
+        )
+    if meta is not None and iceberg_meta.snapshot_delete_files(table_dir, snapshot_id):
+        # the Arrow file-split scan streams raw data files and would
+        # resurrect MoR-deleted rows — refuse, don't corrupt
+        raise ValueError(
+            "snapshot has pending position deletes; run "
+            "iceberg.materialize_deletes before the fast-path encode"
         )
     return _encode_files(
         _iceberg_files_df(spark, table_dir, snapshot_id), chunk_rows, columns

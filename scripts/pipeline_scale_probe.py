@@ -10,11 +10,12 @@ driver-gate scale, all synthesized JVM-side (no files):
    (hub keys — the skew shape) PLUS one 4096-deep chain (the depth shape
    pointer jumping exists for). Checks every star resolves to its hub
    and the whole chain resolves to its head.
-3. near_dup_clusters_minhash END TO END at 50M docs: OPH signatures ->
-   capped LSH banding -> exact hash-set Jaccard verify -> CC, over
-   synthetic groups of 5 identical texts (10M expected clusters). Checks
-   every doc lands in its group's min-id cluster — the minhash-seeded
-   candidate path at 10^4x the driver-gate scale.
+3. near_dup_clusters_minhash END TO END at 2M docs (the measured ceiling
+   of this box's single disk — see the in-function disk-bound note): OPH
+   signatures -> capped LSH banding -> exact hash-set Jaccard verify ->
+   CC, over synthetic groups of 5 identical texts (400k expected
+   clusters). Checks every doc lands in its group's min-id cluster — the
+   minhash-seeded candidate path at 4x10^3 the driver-gate scale.
 
 Usage: python scripts/pipeline_scale_probe.py [n_pack_rows] [n_star_nodes] [n_minhash_docs]
 """
@@ -33,7 +34,7 @@ from parquet_to_arrow_spark.session import get_spark
 
 N_PACK = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
 N_STARS = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
-N_MH = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000_000
+N_MH = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000_000
 CHAIN = 4096
 GROUP = 5  # docs per planted duplicate group in the minhash probe
 
@@ -95,12 +96,26 @@ def probe_minhash_clusters(spark) -> dict:
 
     # groups of GROUP docs share one md5-derived text (exact duplicates ->
     # identical signatures -> guaranteed LSH candidates); doc ids are
-    # zero-padded so string min == numeric min within a group
+    # zero-padded so string min == numeric min within a group. 16-char
+    # texts (64 bits — groups can't collide) keep the shingle fan-out at
+    # 12 rows/doc. Disk bound, MEASURED (df polled at 5 s during runs,
+    # zstd shuffle blocks, 45 s cleaner GC): the full pipeline's ~8
+    # concurrent shuffle boundaries (shingle agg, banding+window, pair
+    # dedup, signature rejoin, hash-set rejoin, CC rounds) peak at 26 GB
+    # of single-disk spill at 2M docs (13 KB/doc) and ~74 GB at 4M
+    # (18.5 KB/doc — superlinear: external-sort runs multiply), so this
+    # box's SINGLE ~70 GB-free disk caps the leg at 2M docs (4M/5M/10M/
+    # 20M all ENOSPC'd). That is the box's bound, not the plan's: every
+    # shuffle is key-partitioned, so a cluster spreads the same bytes
+    # across executors' local disks — at 50M docs and 32 executors the
+    # per-executor share is ~30 GB, a routine provisioning number
     docs = spark.range(N_MH).select(
         F.concat(F.lit("d"), F.lpad(F.col("id").cast("string"), 11, "0")).alias(
             "doc_id"
         ),
-        F.md5((F.col("id") - F.col("id") % GROUP).cast("string")).alias("text"),
+        F.substring(
+            F.md5((F.col("id") - F.col("id") % GROUP).cast("string")), 1, 16
+        ).alias("text"),
     )
     t0 = time.time()
     labels = near_dup_clusters_minhash(spark, sf_dir="", docs=docs).cache()
@@ -134,9 +149,20 @@ def probe_minhash_clusters(spark) -> dict:
 
 if __name__ == "__main__":
     # 256 shuffle partitions: the minhash leg shuffles ~28 shingle rows per
-    # doc (1.4B rows at 50M docs) — 32 partitions would put ~45M rows in
-    # each aggregation task's buffer; AQE coalesces the small legs back
-    spark = get_spark(app="pipeline_scale_probe", shuffle_partitions=256)
+    # doc — 32 partitions would put tens of millions of rows in each
+    # aggregation task's buffer; AQE coalesces the small legs back.
+    # zstd shuffle blocks (~1.5x denser than lz4 on hash-heavy longs) and a
+    # 45 s cleaner GC (reclaims shuffle files the CC rounds' checkpoints
+    # have orphaned mid-job) keep the single-disk spill peak inside this
+    # box's ~70 GB free — on a cluster both are nice-to-haves, not survival
+    spark = get_spark(
+        app="pipeline_scale_probe",
+        shuffle_partitions=256,
+        extra={
+            "spark.io.compression.codec": "zstd",
+            "spark.cleaner.periodicGC.interval": "45s",
+        },
+    )
     for fn in (probe_pack, probe_cc, probe_minhash_clusters):
         print(json.dumps(fn(spark)), flush=True)
     spark.stop()

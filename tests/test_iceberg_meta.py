@@ -441,6 +441,15 @@ class TestCli:
         assert iceberg_cli.main(["expire", table, "--keep", "1"]) == 0
         assert json.loads(capsys.readouterr().out)["expired_snapshot_ids"] == []
 
+        assert iceberg_cli.main(["deletes", table]) == 0
+        assert json.loads(capsys.readouterr().out)["n_delete_files"] == 0
+        from parquet_to_arrow_spark.sources.iceberg import delete_where_mor
+
+        delete_where_mor(spark, table, "doc_id = 1")
+        assert iceberg_cli.main(["deletes", table]) == 0
+        dels = json.loads(capsys.readouterr().out)
+        assert dels["n_delete_files"] == 1 and dels["total_position_deletes"] == 1
+
 
 
     def test_cli_incremental_lists_added_files(self, spark, docs_df, tmp_path, capsys):
@@ -1157,3 +1166,292 @@ class TestBucketTransform:
         for f in ice.snapshot_files(table):
             assert set(f.partition) == {"doc_id_bucket"}
         assert read_table(spark, table, snapshot_id=before).count() == 41
+
+
+class TestPositionDeletes:
+    """Merge-on-read row deletes (Iceberg spec v2 'Position Delete Files'):
+    delete parquet of (file_path, pos) under a content=1 manifest, applied
+    by the reader as an anti-join on the scanner's native row positions."""
+
+    def _table(self, spark, tmp_path, n_files=3, rows=10):
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = str(tmp_path / "table")
+        for i in range(n_files):
+            append(
+                spark.createDataFrame(
+                    [(i * rows + j, f"t{i}-{j}") for j in range(rows)],
+                    "doc_id long, text string",
+                ).coalesce(1),
+                table,
+            )
+        return table
+
+    def test_mor_delete_leaves_data_files_untouched(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import delete_where_mor, read_table
+
+        table = self._table(spark, tmp_path)
+        before = ice.current_metadata(table)["current-snapshot-id"]
+        files_before = {f.path for f in ice.snapshot_files(table)}
+
+        sid = delete_where_mor(spark, table, "doc_id >= 5 AND doc_id < 8")
+        assert sid is not None
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == set(range(30)) - {5, 6, 7}
+        # CoW would rewrite the affected file; MoR must not touch ANY
+        assert {f.path for f in ice.snapshot_files(table)} == files_before
+        dels = ice.snapshot_delete_files(table)
+        assert len(dels) == 1 and dels[0].record_count == 3
+        snap = ice.snapshots(table)[-1]
+        assert snap["summary"]["operation"] == "delete"
+        assert snap["summary"]["added-delete-files"] == "1"
+        assert snap["summary"]["added-position-deletes"] == "3"
+        # pre-delete snapshot still reads everything
+        assert read_table(spark, table, snapshot_id=before).count() == 30
+        # no-match predicate: explicit no-op, no delete file committed
+        assert delete_where_mor(spark, table, "doc_id = 999") is None
+        assert len(ice.snapshot_delete_files(table)) == 1
+
+    def test_mor_deletes_compound_and_spare_new_appends(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import (
+            append,
+            delete_where_mor,
+            read_table,
+        )
+
+        table = self._table(spark, tmp_path, n_files=2)
+        delete_where_mor(spark, table, "doc_id = 0")
+        # rows appended AFTER a delete commit must be untouched by it
+        append(
+            spark.createDataFrame([(100, "new")], "doc_id long, text string"), table
+        )
+        delete_where_mor(spark, table, "doc_id = 19")
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == (set(range(20)) | {100}) - {0, 19}
+        assert len(ice.snapshot_delete_files(table)) == 2
+
+    def test_materialize_folds_deletes_into_data(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import (
+            delete_where_mor,
+            materialize_deletes,
+            read_table,
+        )
+
+        table = self._table(spark, tmp_path)
+        files_before = {f.path for f in ice.snapshot_files(table)}
+        delete_where_mor(spark, table, "doc_id IN (5, 25)")  # hits files 0 and 2
+        mor_snap = ice.current_metadata(table)["current-snapshot-id"]
+
+        sid = materialize_deletes(spark, table)
+        assert sid is not None
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == set(range(30)) - {5, 25}
+        # deletes are gone from metadata; the two affected files rewritten,
+        # the untouched one carried forward
+        assert ice.snapshot_delete_files(table) == []
+        files_after = {f.path for f in ice.snapshot_files(table)}
+        assert len(files_before & files_after) == 1
+        # the MoR snapshot still time-travels WITH its deletes applied
+        assert {
+            r["doc_id"] for r in read_table(spark, table, snapshot_id=mor_snap).collect()
+        } == set(range(30)) - {5, 25}
+        # nothing pending: no-op
+        assert materialize_deletes(spark, table) is None
+
+    def test_compaction_and_encode_refuse_pending_deletes(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import compact_files, delete_where_mor
+        from parquet_to_arrow_spark.sources.io import encode_iceberg_snapshot
+
+        table = self._table(spark, tmp_path)
+        delete_where_mor(spark, table, "doc_id = 1")
+        with pytest.raises(ValueError, match="position deletes"):
+            compact_files(spark, table, target_bytes=1 << 20)
+        with pytest.raises(ValueError, match="position deletes"):
+            encode_iceberg_snapshot(spark, table)
+
+    def test_partitioned_mor_delete_with_pruning(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import delete_where_mor, read_table
+
+        table = str(tmp_path / "ptable")
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de", f"t{i}") for i in range(20)],
+            "doc_id long, lang string, text string",
+        )
+        rows = [(r["doc_id"], r["lang"], r["text"]) for r in df.collect()]
+        for lang in ("en", "de"):
+            part = [t for t in rows if t[1] == lang]
+            pdf = spark.createDataFrame(part, "doc_id long, lang string, text string")
+            pdf.coalesce(1).write.mode("overwrite").partitionBy("lang").parquet(
+                str(tmp_path / f"stage_{lang}")
+            )
+            ice.commit_parquet_dir(
+                table, str(tmp_path / f"stage_{lang}"),
+                spark_schema=pdf.schema,
+                partition_by=["lang"] if ice.current_metadata(table) is None else None,
+            )
+        sid = delete_where_mor(
+            spark, table, "doc_id < 4", partition_filter={"lang": "en"}
+        )
+        assert sid is not None
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        # only en rows in the pruned partition were considered: 0 and 2 go,
+        # de rows 1 and 3 match the predicate but live outside the filter
+        assert got == set(range(20)) - {0, 2}
+        # partition literal column survives the anti-join
+        langs = {
+            (r["doc_id"], r["lang"]) for r in read_table(spark, table).collect()
+        }
+        assert all(lang == ("en" if i % 2 == 0 else "de") for i, lang in langs)
+
+    def test_delete_files_are_not_orphans(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import delete_where_mor
+
+        table = self._table(spark, tmp_path)
+        delete_where_mor(spark, table, "doc_id = 7")
+        assert ice.orphan_files(table) == []
+
+    def test_untargeted_files_bypass_the_delete_join(self, spark, tmp_path):
+        """The delete anti-join applies only to files inside the delete
+        files' file_path stat ranges: a delete confined to one file must
+        leave the others' scan nodes join-free (the 100 TB shape — a
+        one-partition purge cannot drag the whole table through a join)."""
+        from parquet_to_arrow_spark.sources.iceberg import delete_where_mor, read_table
+
+        table = self._table(spark, tmp_path)
+        delete_where_mor(spark, table, "doc_id = 7")  # one row, file 0 only
+        dels = ice.snapshot_delete_files(table)
+        ranges = ice._delete_target_ranges(dels)
+        assert ranges is not None and len(ranges) == 1
+        lo, hi = ranges[0]
+        files = sorted(f.path for f in ice.snapshot_files(table))
+        targeted = [p for p in files if lo <= p <= hi]
+        assert len(targeted) == 1  # tight: exactly the file holding row 7
+        # and the whole-table read stays correct through the split plan
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == set(range(30)) - {7}
+        plan = read_table(spark, table)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("LeftAnti") == 1
+
+
+class TestTruncateTemporalTransforms:
+    """Iceberg truncate[W] and day/month/year partition transforms: spec
+    value semantics (negative-safe truncate, epoch ordinals), manifest
+    values, pruned scans, and CoW recomputation of derived fields."""
+
+    def test_transform_value_spec_semantics(self):
+        import datetime
+
+        # spec examples: truncate[10] of -1 -> -10; string prefix
+        assert ice.truncate_of(-1, "long", 10) == -10
+        assert ice.truncate_of(22, "int", 10) == 20
+        assert ice.truncate_of(0, "long", 10) == 0
+        assert ice.truncate_of("iceberg", "string", 3) == "ice"
+        assert ice.truncate_of(None, "string", 3) is None
+        d = datetime.date(2017, 11, 16)  # Appendix B's day ordinal 17486
+        assert ice.temporal_of(d, "day") == 17486
+        assert ice.temporal_of(d, "month") == (2017 - 1970) * 12 + 10
+        assert ice.temporal_of(d, "year") == 47
+        assert ice.temporal_of(datetime.datetime(2017, 11, 16, 23, 59), "day") == 17486
+
+    def test_spark_transforms_match_reference(self, spark):
+        import datetime
+
+        from parquet_to_arrow_spark.sources.iceberg import with_transform_column
+
+        rows = [
+            (i * 7 - 50, f"doc-{i:04d}", datetime.datetime(2017, 1 + i % 12, 1 + i % 28))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "k long, s string, ts timestamp")
+        df = with_transform_column(
+            df, {"transform": "truncate", "source": "k", "source_type": "long", "n": 10}, "k_trunc"
+        )
+        df = with_transform_column(
+            df, {"transform": "truncate", "source": "s", "source_type": "string", "n": 5}, "s_trunc"
+        )
+        for unit in ("day", "month", "year"):
+            df = with_transform_column(
+                df, {"transform": unit, "source": "ts"}, f"ts_{unit}"
+            )
+        for r in df.collect():
+            assert r["k_trunc"] == ice.truncate_of(r["k"], "long", 10)
+            assert r["s_trunc"] == ice.truncate_of(r["s"], "string", 5)
+            for unit in ("day", "month", "year"):
+                assert r[f"ts_{unit}"] == ice.temporal_of(r["ts"], unit), (r, unit)
+
+    def _ttable(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import with_transform_column
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(-20, 20)], "doc_id long, text string"
+        )
+        d = str(tmp_path / "w0")
+        with_transform_column(
+            df, {"transform": "truncate", "source": "doc_id", "source_type": "long", "n": 10}, "doc_id_trunc"
+        ).write.partitionBy("doc_id_trunc").parquet(d)
+        table = str(tmp_path / "ttable")
+        ice.commit_parquet_dir(
+            table, d, spark_schema=df.schema, ts_ms=1,
+            partition_by=["doc_id:truncate[10]"],
+        )
+        return table, df
+
+    def test_truncate_table_spec_and_pruned_scan(self, spark, tmp_path):
+        table, _ = self._ttable(spark, tmp_path)
+        meta = ice.current_metadata(table)
+        assert meta["partition-specs"][0]["fields"] == [
+            {"name": "doc_id_trunc", "transform": "truncate[10]",
+             "source-id": 1, "field-id": 1000}
+        ]
+        # typed manifest values, each the spec transform of the file's keys
+        import pyarrow.parquet as pq
+
+        for f in ice.snapshot_files(table):
+            t = f.partition["doc_id_trunc"]
+            ids = pq.read_table(f.path, columns=["doc_id"])["doc_id"].to_pylist()
+            assert {ice.truncate_of(i, "long", 10) for i in ids} == {t}
+        pruned = ice.snapshot_files(table, partition_filter={"doc_id_trunc": -20})
+        assert 0 < len(pruned) < len(ice.snapshot_files(table))
+        got = ice.read_snapshot(spark, table, partition_filter={"doc_id_trunc": -20})
+        assert {r["doc_id"] for r in got.collect()} == set(range(-20, -10))
+
+    def test_cow_delete_recomputes_truncate_values(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, delete_where, read_table
+
+        table, _ = self._ttable(spark, tmp_path)
+        # append without the derived column: recomputed automatically
+        append(spark.createDataFrame([(105, "new")], "doc_id long, text string"), table)
+        assert ice.snapshot_files(table, partition_filter={"doc_id_trunc": 100})
+        sid = delete_where(spark, table, "doc_id = -15")
+        assert sid is not None
+        ids = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert ids == (set(range(-20, 20)) | {105}) - {-15}
+        for f in ice.snapshot_files(table):
+            assert set(f.partition) == {"doc_id_trunc"}
+
+    def test_day_partitioned_timestamps(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import with_transform_column
+
+        df = spark.sql(
+            "SELECT id AS doc_id, "
+            "timestamp'2017-11-16 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS ts "
+            "FROM range(6)"
+        )
+        d = str(tmp_path / "w0")
+        with_transform_column(
+            df, {"transform": "day", "source": "ts"}, "ts_day"
+        ).write.partitionBy("ts_day").parquet(d)
+        table = str(tmp_path / "dtable")
+        ice.commit_parquet_dir(
+            table, d, spark_schema=df.schema, ts_ms=1, partition_by=["ts:day"]
+        )
+        spec = ice._partition_specs(ice.current_metadata(table))[0]
+        assert spec["transform"] == "day" and spec["value_type"] == "date"
+        days = {f.partition["ts_day"] for f in ice.snapshot_files(table)}
+        assert days == set(range(17486, 17492))
+        pruned = ice.snapshot_files(table, partition_filter={"ts_day": 17489})
+        assert len(pruned) == 1
+        got = ice.read_snapshot(spark, table, partition_filter={"ts_day": 17489})
+        assert [r["doc_id"] for r in got.collect()] == [3]
+        # timestamps live in the data files untouched
+        assert got.columns == ["doc_id", "ts"]

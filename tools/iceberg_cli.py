@@ -6,6 +6,7 @@ Usage:
     python tools/iceberg_cli.py history <table_dir>
     python tools/iceberg_cli.py expire <table_dir> --keep N [--remove]
     python tools/iceberg_cli.py orphans <table_dir> [--data-dir DIR]
+    python tools/iceberg_cli.py deletes <table_dir> [--snapshot ID]
 
 Every command prints one JSON document to stdout — pipe into jq or a
 monitoring job. Pure metadata: no Spark session is started.
@@ -34,12 +35,15 @@ def _parse_partition(pairs: list[str]) -> dict:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("snapshots", "files", "history", "expire", "orphans", "incremental"):
+    for name in ("snapshots", "files", "history", "expire", "orphans",
+                 "incremental", "deletes"):
         s = sub.add_parser(name)
         s.add_argument("table")
         if name == "files":
             s.add_argument("--snapshot", type=int, default=None)
             s.add_argument("--partition", action="append", default=[])
+        if name == "deletes":
+            s.add_argument("--snapshot", type=int, default=None)
         if name == "incremental":
             s.add_argument("--since", type=int, required=True)
             s.add_argument("--to", type=int, default=None)
@@ -103,6 +107,18 @@ def main(argv: list[str] | None = None) -> int:
             "n_files": len(files),
             "total_records": sum(f.record_count for f in files),
             "files": [f.path for f in files],
+        }
+    elif args.cmd == "deletes":
+        # pending merge-on-read position deletes: nonzero output means
+        # readers pay an anti-join — schedule iceberg.materialize_deletes
+        dels = ice.snapshot_delete_files(args.table, args.snapshot)
+        out = {
+            "n_delete_files": len(dels),
+            "total_position_deletes": sum(f.record_count for f in dels),
+            "files": [
+                {"path": f.path, "rows": f.record_count, "bytes": f.file_size}
+                for f in dels
+            ],
         }
     elif args.cmd == "expire":
         out = ice.expire_snapshots(args.table, keep_last=args.keep, remove=args.remove)
