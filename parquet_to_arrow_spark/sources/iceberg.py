@@ -361,9 +361,12 @@ def delete_where_mor(
     )
 
 
-def _scan_delete_dir(del_dir: str) -> list[iceberg_meta.DataFile]:
-    """Non-empty position-delete parquet files of a directory Spark just
-    wrote, as content=1 DataFiles (row counts from footers)."""
+def _scan_delete_dir(
+    del_dir: str, content: int = 1, equality_ids: list | None = None
+) -> list[iceberg_meta.DataFile]:
+    """Non-empty delete parquet files of a directory Spark just wrote, as
+    content=1 (position) or content=2 (equality, with key field ids)
+    DataFiles (row counts from footers)."""
     import pyarrow.parquet as pq
 
     out = []
@@ -375,23 +378,84 @@ def _scan_delete_dir(del_dir: str) -> list[iceberg_meta.DataFile]:
                 if n:
                     out.append(
                         iceberg_meta.DataFile(
-                            p, n, os.path.getsize(p), content=1
+                            p, n, os.path.getsize(p),
+                            content=content, equality_ids=equality_ids,
                         )
                     )
     return out
 
 
+def delete_keys_mor(
+    spark: SparkSession,
+    table_or_path: str,
+    keys: DataFrame,
+    key_cols: list[str] | str | None = None,
+) -> int | None:
+    """Merge-on-read DELETE by key (Iceberg v2 equality deletes): write
+    the distinct key set as an EQUALITY DELETE file (content=2, its
+    ``equality_ids`` naming the key columns by field id) and commit — NO
+    data file is opened, read, or rewritten, and unlike delete_where_mor
+    not even scanned: the write cost is O(|keys|) regardless of table
+    size, the cheapest possible DELETE at 100 TB (this is the shape CDC
+    and GDPR key purges take in Iceberg). Readers subtract matching rows
+    from data files whose commit sequence PRECEDES the delete's — a later
+    re-append of the same key survives, per the spec's row-delta ordering.
+    Returns the snapshot id, or None for an empty key set."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    meta = iceberg_meta.current_metadata(table_or_path)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_or_path}")
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key_cols = key_cols or keys.columns
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    ids_by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    eq_ids = [ids_by_name[c] for c in key_cols]
+    del_dir = os.path.join(table_or_path, "data", f"eqdelete-{uuid.uuid4().hex[:8]}")
+    # range-partition + sort like the position path: sorted runs, AQE
+    # coalesces a small key set to one file, a huge one scales out
+    (
+        keys.select(*[F.col(c) for c in key_cols])
+        .distinct()
+        .repartitionByRange(*key_cols)
+        .sortWithinPartitions(*key_cols)
+        .write.mode("overwrite")
+        .parquet(del_dir)
+    )
+    dfs = _scan_delete_dir(del_dir, content=2, equality_ids=eq_ids)
+    if not dfs:
+        import shutil
+
+        shutil.rmtree(del_dir, ignore_errors=True)
+        return None
+    return iceberg_meta.commit_append(
+        table_or_path,
+        [],
+        summary={"operation-detail": f"delete-keys-mor:{','.join(key_cols)}"},
+        delete_files=dfs,
+    )
+
+
 def materialize_deletes(spark: SparkSession, table_or_path: str) -> int | None:
-    """Fold pending position deletes back into data files (Iceberg's
+    """Fold pending delete files back into data files (Iceberg's
     rewrite_data_files over delete-bearing files): every LIVE data file a
-    delete file references is rewritten without its deleted rows, and the
+    delete applies to is rewritten without its deleted rows, and the
     commit removes both the rewritten originals AND all delete files — the
     maintenance pass that caps merge-on-read amplification. After it, the
     snapshot is pure data files again (compaction and the fast-path encode
-    require that). Untargeted data files are carried forward untouched;
-    stale delete rows referencing already-rewritten (non-live) files are
-    simply dropped. Returns the snapshot id, or None when no deletes are
-    pending."""
+    require that). Position deletes target exactly the files they
+    reference; equality deletes conservatively rewrite every data file
+    whose commit sequence precedes the newest equality delete (their
+    application set — a key-level narrowing would need the very scan this
+    pass performs anyway). Untargeted data files are carried forward
+    untouched; stale position-delete rows referencing already-rewritten
+    (non-live) files are simply dropped. Returns the snapshot id, or None
+    when no deletes are pending."""
     import uuid
     from urllib.parse import unquote, urlparse
 
@@ -401,17 +465,40 @@ def materialize_deletes(spark: SparkSession, table_or_path: str) -> int | None:
     if not dels:
         return None
     meta = iceberg_meta.current_metadata(table_or_path)
-    ddf = spark.read.schema(iceberg_meta.POS_DELETE_DDL).parquet(
-        *[f.path for f in dels]
-    )
-    target_uris = [r["file_path"] for r in ddf.select("file_path").distinct().collect()]
-    live = {f.path for f in iceberg_meta.snapshot_files(table_or_path)}
-    by_uri = {u: os.path.abspath(unquote(urlparse(u).path)) for u in target_uris}
-    affected_uris = [u for u, p in by_uri.items() if p in live]
-    affected_paths = {by_uri[u] for u in affected_uris}
+    pos_dels = [f for f in dels if f.content == 1]
+    eq_dels = [f for f in dels if f.content == 2]
+    live_files = iceberg_meta.snapshot_files(table_or_path)
+    live = {f.path for f in live_files}
+    affected_paths: set[str] = set()
+    if pos_dels:
+        ddf = spark.read.schema(iceberg_meta.POS_DELETE_DDL).parquet(
+            *[f.path for f in pos_dels]
+        )
+        target_uris = [
+            r["file_path"] for r in ddf.select("file_path").distinct().collect()
+        ]
+        by_uri = {u: os.path.abspath(unquote(urlparse(u).path)) for u in target_uris}
+        affected_paths |= {p for p in by_uri.values() if p in live}
+    if eq_dels:
+        max_dseq = max(f.sequence or 0 for f in eq_dels)
+        affected_paths |= {
+            f.path for f in live_files if (f.sequence or 0) < max_dseq
+        }
     # read_snapshot already applies the deletes; keep positions to select
-    # the affected files, then drop the scan-native columns
+    # the affected files. __fp is the scanner's URI while affected_paths
+    # are manifest abspaths — resolve the mapping exactly by collecting
+    # the scan's distinct URIs (bounded by file count, data columns
+    # pruned) and decoding driver-side; a fully-deleted file simply has no
+    # surviving URI and is removed without replacement rows, which is
+    # correct
     scan = iceberg_meta.read_snapshot(spark, table_or_path, with_positions=True)
+    uri_by_path = {
+        os.path.abspath(unquote(urlparse(r["__fp"]).path)): r["__fp"]
+        for r in scan.select("__fp").distinct().collect()
+    }
+    affected_uris = [
+        uri_by_path[p] for p in sorted(affected_paths) if p in uri_by_path
+    ]
     survivors = scan.filter(F.col("__fp").isin(affected_uris)).drop("__fp", "__pos")
     rw_dir = os.path.join(table_or_path, "data", f"rw-{uuid.uuid4().hex[:8]}")
     _write_rewrite(survivors, rw_dir, meta)

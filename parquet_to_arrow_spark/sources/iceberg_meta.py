@@ -157,6 +157,7 @@ def manifest_entry_schema(partition_fields: list[tuple[str, str]] | None = None)
             _bounds_field("lower_bounds", 125, "k126_v127", 126, 127),
             _bounds_field("upper_bounds", 128, "k129_v130", 129, 130),
             _f("split_offsets", 132, ["null", {"type": "array", "items": "long"}]),
+            _f("equality_ids", 135, ["null", {"type": "array", "items": "int"}]),
             _f("sort_order_id", 140, ["null", "int"]),
         ],
     }
@@ -260,7 +261,9 @@ class DataFile:
     partition: dict | None = None  # identity-partition values, if any
     lower_bounds: dict | None = None  # {field_id: raw python value}
     upper_bounds: dict | None = None
-    content: int = 0  # 0 = data, 1 = position deletes (spec data_file.content)
+    content: int = 0  # 0 = data, 1 = position deletes, 2 = equality deletes
+    equality_ids: list | None = None  # content=2: field ids of the key columns
+    sequence: int | None = None  # manifest entry sequence number (read side)
 
 
 # Position-delete file columns carry RESERVED field ids (spec "Reserved
@@ -822,7 +825,10 @@ def commit_append(
             if fid in types_by_id and v is not None
         ]
 
-    def _mk_entries(fs: list[DataFile], content: int) -> list[dict]:
+    def _mk_entries(fs: list[DataFile], content: int | None) -> list[dict]:
+        # content=None: take each file's own (delete manifests mix position
+        # [1] and equality [2] files only in principle — commits keep them
+        # separate, but the entry is always stamped from the DataFile)
         return [
             {
                 "status": 1,  # ADDED
@@ -830,7 +836,7 @@ def commit_append(
                 "sequence_number": seq,
                 "file_sequence_number": seq,
                 "data_file": {
-                    "content": content,
+                    "content": content if content is not None else f.content,
                     "file_path": os.path.abspath(f.path),
                     "file_format": "PARQUET",
                     "partition": {
@@ -842,6 +848,7 @@ def commit_append(
                     "lower_bounds": _bmap(f.lower_bounds),
                     "upper_bounds": _bmap(f.upper_bounds),
                     "split_offsets": None,
+                    "equality_ids": f.equality_ids,
                     "sort_order_id": None,
                 },
             }
@@ -869,7 +876,7 @@ def commit_append(
         # this layer doesn't take
         del_manifest_bytes = avro_io.write_container(
             manifest_entry_schema(pfields),
-            _mk_entries(delete_files, 1),
+            _mk_entries(delete_files, None),
             meta={
                 "schema": json.dumps(base["schemas"][base["current-schema-id"] if base["schemas"] else 0]),
                 "partition-spec": "[]",
@@ -1192,6 +1199,7 @@ def snapshot_files(
                         for k, v in hi_b.items()
                         if _fid_type(schema, k)
                     } or None,
+                    sequence=e.get("sequence_number"),
                 )
             )
     return out
@@ -1200,10 +1208,13 @@ def snapshot_files(
 def snapshot_delete_files(
     table_dir: str, snapshot_id: int | None = None
 ) -> list[DataFile]:
-    """Position-delete files reachable from a snapshot (default: current):
-    the content=1 manifests of its manifest list. Empty for a table no MoR
-    delete ever touched — the read path's is-there-anything-to-apply probe
-    is this list's truthiness, a metadata-only check."""
+    """Delete files reachable from a snapshot (default: current): the
+    content=1 manifests of its manifest list — position deletes
+    (content=1) and equality deletes (content=2, with their key field ids
+    and commit sequence, which gates which data files they apply to).
+    Empty for a table no MoR delete ever touched — the read path's
+    is-there-anything-to-apply probe is this list's truthiness, a
+    metadata-only check."""
     meta = current_metadata(table_dir)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_dir}")
@@ -1226,7 +1237,9 @@ def snapshot_delete_files(
                     d["file_path"],
                     d["record_count"],
                     d["file_size_in_bytes"],
-                    content=1,
+                    content=d.get("content", 1),
+                    equality_ids=d.get("equality_ids"),
+                    sequence=e.get("sequence_number"),
                 )
             )
     return out
@@ -1443,8 +1456,11 @@ def read_snapshot(
     the other 99.9% of the scan through a join; (b) the delete set joins
     broadcast when manifest-recorded sizes are small (the common case —
     data side streams, zero shuffle), degrading to a shuffled anti-join of
-    only the TARGETED files otherwise. materialize_deletes remains the
-    maintenance bound on accumulation.
+    only the TARGETED files otherwise. Equality deletes (content=2) apply
+    as a null-safe anti-join on their key columns, gated by commit order
+    (dseq > data file's sequence — later appends with a deleted key
+    survive). materialize_deletes remains the maintenance bound on
+    accumulation of either kind.
 
     ``with_positions``: keep the scan-native ``__fp`` (file: URI) and
     ``__pos`` (row index) columns on the result — the write-side input for
@@ -1464,48 +1480,89 @@ def read_snapshot(
         return spark.createDataFrame(
             [], ddl + (", __fp string, __pos bigint" if with_positions else "")
         )
-    ranges = _delete_target_ranges(dels) if dels else []
-    if dels and not ranges:
+    pos_dels = [f for f in dels if f.content == 1]
+    eq_dels = [f for f in dels if f.content == 2]
+    ranges = _delete_target_ranges(pos_dels) if pos_dels else []
+    if pos_dels and not ranges:
         ranges = None  # no usable stats: conservatively target every file
 
     def _targeted(path: str) -> bool:
-        return bool(dels) and (
+        return bool(pos_dels) and (
             ranges is None or any(lo <= path <= hi for lo, hi in ranges)
         )
 
     ddf = None
-    if dels:
-        ddf = spark.read.schema(POS_DELETE_DDL).parquet(*[f.path for f in dels])
-        if sum(f.file_size for f in dels) < (64 << 20):
+    if pos_dels:
+        ddf = spark.read.schema(POS_DELETE_DDL).parquet(*[f.path for f in pos_dels])
+        if sum(f.file_size for f in pos_dels) < (64 << 20):
             ddf = F.broadcast(ddf)
 
-    def _scan(paths: list[str]):
-        """One scan node per (targeted?, path group): targeted files carry
-        positions and subtract the delete pairs; untargeted files only
-        carry positions when the caller asked for them."""
-        hit = [p for p in paths if _targeted(p)]
-        miss = [p for p in paths if not _targeted(p)]
+    # equality deletes: one frame per distinct key-column set, each delete
+    # file's rows stamped with its commit sequence — application is gated
+    # per data file by dseq > data seq (rows appended AFTER an equality
+    # delete survive it, the spec's row-delta ordering)
+    eqfs: list[tuple[list[str], object]] = []
+    if eq_dels:
+        names_by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
+        groups_eq: dict[tuple, list[DataFile]] = {}
+        for f in eq_dels:
+            groups_eq.setdefault(tuple(sorted(f.equality_ids or [])), []).append(f)
+        for ids, fs in sorted(groups_eq.items()):
+            names = [names_by_id[i] for i in ids]
+            fr = None
+            for f in fs:
+                part = (
+                    spark.read.parquet(f.path)
+                    .select(*[F.col(n).alias(f"__eq_{n}") for n in names])
+                    .withColumn("__dseq", F.lit(f.sequence))
+                )
+                fr = part if fr is None else fr.unionByName(part)
+            if sum(f.file_size for f in fs) < (64 << 20):
+                fr = F.broadcast(fr)
+            eqfs.append((names, fr))
+
+    def _scan(dfiles: list[DataFile]):
+        """One scan node per (pos-targeted?, sequence) file group:
+        pos-targeted files carry positions and subtract the delete pairs;
+        sequence grouping exists only when equality deletes need their
+        dseq > seq gate; untargeted files carry positions only when the
+        caller asked for them."""
+        hit = [f for f in dfiles if _targeted(f.path)]
+        miss = [f for f in dfiles if not _targeted(f.path)]
         parts = []
-        for sub, apply_dels in ((hit, True), (miss, False)):
+        for sub, apply_pos in ((hit, True), (miss, False)):
             if not sub:
                 continue
-            df = spark.read.schema(ddl).parquet(*sub)
-            if apply_dels or with_positions:
-                df = df.select(
-                    "*",
-                    F.col("_metadata.file_path").alias("__fp"),
-                    F.col("_metadata.row_index").alias("__pos"),
-                )
-            if apply_dels:
-                df = df.join(
-                    ddf,
-                    (F.col("__fp") == F.col("file_path"))
-                    & (F.col("__pos") == F.col("pos")),
-                    "left_anti",
-                )
-                if not with_positions:
-                    df = df.drop("__fp", "__pos")
-            parts.append(df)
+            seq_groups: dict = {}
+            for f in sub:
+                seq_groups.setdefault(f.sequence if eqfs else None, []).append(f.path)
+            for sq, paths in sorted(
+                seq_groups.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)
+            ):
+                df = spark.read.schema(ddl).parquet(*paths)
+                if apply_pos or with_positions:
+                    df = df.select(
+                        "*",
+                        F.col("_metadata.file_path").alias("__fp"),
+                        F.col("_metadata.row_index").alias("__pos"),
+                    )
+                if apply_pos:
+                    df = df.join(
+                        ddf,
+                        (F.col("__fp") == F.col("file_path"))
+                        & (F.col("__pos") == F.col("pos")),
+                        "left_anti",
+                    )
+                    if not with_positions:
+                        df = df.drop("__fp", "__pos")
+                for names, fr in eqfs:
+                    cond = F.lit(True)
+                    for n in names:
+                        cond = cond & F.col(n).eqNullSafe(F.col(f"__eq_{n}"))
+                    df = df.join(
+                        fr, cond & (F.col("__dseq") > F.lit(sq)), "left_anti"
+                    )
+                parts.append(df)
         out = parts[0]
         for df in parts[1:]:
             out = out.unionByName(df)
@@ -1517,14 +1574,14 @@ def read_snapshot(
     # it; only the derived <col>_bucket directory column is stripped)
     specs = [s for s in _partition_specs(meta) if s["transform"] == "identity"]
     if not specs:
-        return _scan([f.path for f in files])
-    groups: dict[tuple, list[str]] = {}
+        return _scan(files)
+    groups: dict[tuple, list[DataFile]] = {}
     for f in files:
         key = tuple((f.partition or {}).get(s["name"]) for s in specs)
-        groups.setdefault(key, []).append(f.path)
+        groups.setdefault(key, []).append(f)
     parts = []
-    for key, paths in sorted(groups.items()):
-        df = _scan(paths)
+    for key, gfiles in sorted(groups.items()):
+        df = _scan(gfiles)
         for s, v in zip(specs, key):
             df = df.withColumn(
                 s["name"], F.lit(v).cast(_ICEBERG_TO_SPARK[s["value_type"]])

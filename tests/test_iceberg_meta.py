@@ -121,7 +121,8 @@ class TestAvroBinary:
                 "record_count": 10, "file_size_in_bytes": 999,
                 "lower_bounds": [{"key": 1, "value": b"\x01" * 8}],
                 "upper_bounds": None,
-                "split_offsets": None, "sort_order_id": None,
+                "split_offsets": None, "equality_ids": None,
+                "sort_order_id": None,
             },
         }
         _, back = avro_io.read_container(
@@ -1455,3 +1456,119 @@ class TestTruncateTemporalTransforms:
         assert [r["doc_id"] for r in got.collect()] == [3]
         # timestamps live in the data files untouched
         assert got.columns == ["doc_id", "ts"]
+
+
+class TestEqualityDeletes:
+    """Iceberg v2 equality deletes (content=2): key-set MoR removal that
+    never opens a data file, gated by commit sequence so later re-appends
+    of a deleted key survive."""
+
+    def _table(self, spark, tmp_path, n_files=3, rows=10):
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = str(tmp_path / "table")
+        for i in range(n_files):
+            append(
+                spark.createDataFrame(
+                    [(i * rows + j, f"t{i}-{j}") for j in range(rows)],
+                    "doc_id long, text string",
+                ).coalesce(1),
+                table,
+            )
+        return table
+
+    def test_eq_delete_is_metadata_plus_keys_only(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import delete_keys_mor, read_table
+
+        table = self._table(spark, tmp_path)
+        before = ice.current_metadata(table)["current-snapshot-id"]
+        files_before = {f.path for f in ice.snapshot_files(table)}
+
+        keys = spark.createDataFrame([(5,), (25,)], "doc_id long")
+        sid = delete_keys_mor(spark, table, keys, "doc_id")
+        assert sid is not None
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == set(range(30)) - {5, 25}
+        # no data file touched, no data file even referenced by the delete
+        assert {f.path for f in ice.snapshot_files(table)} == files_before
+        dels = ice.snapshot_delete_files(table)
+        assert len(dels) == 1 and dels[0].content == 2
+        assert dels[0].equality_ids == [1]  # doc_id is field id 1
+        snap = ice.snapshots(table)[-1]
+        assert snap["summary"]["operation"] == "delete"
+        assert snap["summary"]["operation-detail"] == "delete-keys-mor:doc_id"
+        assert read_table(spark, table, snapshot_id=before).count() == 30
+        # empty key set: no-op
+        assert (
+            delete_keys_mor(
+                spark, table, spark.createDataFrame([], "doc_id long"), "doc_id"
+            )
+            is None
+        )
+
+    def test_later_append_of_deleted_key_survives(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import (
+            append,
+            delete_keys_mor,
+            read_table,
+        )
+
+        table = self._table(spark, tmp_path, n_files=2)
+        delete_keys_mor(
+            spark, table, spark.createDataFrame([(0,)], "doc_id long"), "doc_id"
+        )
+        assert 0 not in {r["doc_id"] for r in read_table(spark, table).collect()}
+        # the spec's row-delta ordering: a row appended AFTER the equality
+        # delete commit carries a higher sequence and must survive it
+        append(
+            spark.createDataFrame([(0, "reborn")], "doc_id long, text string"), table
+        )
+        got = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+        assert got[0] == "reborn"
+        assert len(got) == 20
+
+    def test_materialize_folds_equality_deletes(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import (
+            append,
+            delete_keys_mor,
+            materialize_deletes,
+            read_table,
+        )
+
+        table = self._table(spark, tmp_path)
+        delete_keys_mor(
+            spark, table, spark.createDataFrame([(5,), (25,)], "doc_id long"), "doc_id"
+        )
+        # a post-delete append must pass through materialization untouched
+        append(
+            spark.createDataFrame([(100, "new")], "doc_id long, text string"), table
+        )
+        sid = materialize_deletes(spark, table)
+        assert sid is not None
+        assert ice.snapshot_delete_files(table) == []
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == (set(range(30)) | {100}) - {5, 25}
+        # second read path: no deletes pending, plain scan gives the same
+        assert read_table(spark, table).count() == 29
+
+    def test_mixed_position_and_equality_deletes(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import (
+            delete_keys_mor,
+            delete_where_mor,
+            materialize_deletes,
+            read_table,
+        )
+
+        table = self._table(spark, tmp_path)
+        delete_where_mor(spark, table, "doc_id = 3")
+        delete_keys_mor(
+            spark, table, spark.createDataFrame([(17,)], "doc_id long"), "doc_id"
+        )
+        dels = ice.snapshot_delete_files(table)
+        assert sorted(f.content for f in dels) == [1, 2]
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == set(range(30)) - {3, 17}
+        sid = materialize_deletes(spark, table)
+        assert sid is not None
+        assert ice.snapshot_delete_files(table) == []
+        assert {r["doc_id"] for r in read_table(spark, table).collect()} == got
