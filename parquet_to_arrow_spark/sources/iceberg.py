@@ -441,6 +441,63 @@ def delete_keys_mor(
     )
 
 
+def upsert_keys_mor(
+    spark: SparkSession,
+    table_or_path: str,
+    updates: DataFrame,
+    key_cols: list[str] | str | None = None,
+    summary: dict | None = None,
+) -> int:
+    """Atomic merge-on-read UPSERT (the CDC shape): ONE snapshot that
+    equality-deletes the update keys from all PRIOR data AND appends the
+    update rows. No existing data file is opened, read, or rewritten —
+    write cost is O(|updates|) at any table size, vs merge_keys' CoW
+    rewrite of every file containing a matched key. Correct by the spec's
+    sequence rule: the delete and the new data files share the commit's
+    sequence, and equality deletes apply only to STRICTLY older sequences,
+    so the new rows survive their own delete. A missing table degrades to
+    a plain first-commit append. Returns the snapshot id."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key_cols = key_cols or list(updates.columns[:1])
+    meta = iceberg_meta.current_metadata(table_or_path)
+    if meta is None or meta.get("current-snapshot-id", -1) == -1:
+        return append(updates, table_or_path, summary=summary)
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    ids_by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    eq_ids = [ids_by_name[c] for c in key_cols]
+    nonce = uuid.uuid4().hex[:8]
+    seq = meta["last-sequence-number"] + 1
+    data_dir = os.path.join(table_or_path, "data", f"seq-{seq}-{nonce}")
+    del_dir = os.path.join(table_or_path, "data", f"eqdelete-{nonce}")
+    _write_rewrite(updates, data_dir, meta)
+    (
+        updates.select(*[F.col(c) for c in key_cols])
+        .distinct()
+        .repartitionByRange(*key_cols)
+        .sortWithinPartitions(*key_cols)
+        .write.mode("overwrite")
+        .parquet(del_dir)
+    )
+    dels = _scan_delete_dir(del_dir, content=2, equality_ids=eq_ids)
+    return iceberg_meta.commit_parquet_dir(
+        table_or_path,
+        data_dir,
+        spark_schema=updates.schema,
+        summary={
+            "operation-detail": f"upsert-keys-mor:{','.join(key_cols)}",
+            **(summary or {}),
+        },
+        delete_files=dels,
+    )
+
+
 def materialize_deletes(spark: SparkSession, table_or_path: str) -> int | None:
     """Fold pending delete files back into data files (Iceberg's
     rewrite_data_files over delete-bearing files): every LIVE data file a

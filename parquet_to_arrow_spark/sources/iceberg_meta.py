@@ -1261,9 +1261,11 @@ def commit_parquet_dir(
     replace_on: str | None = None,
     partition_by: list[str] | None = None,
     remove_paths: set | None = None,
+    delete_files: list[DataFile] | None = None,
 ) -> int:
     """Commit every parquet file of a directory Spark just wrote as one
-    appended snapshot. Row counts come from the parquet footers — the same
+    appended snapshot. ``delete_files`` ride along into the same snapshot
+    (commit_append) — the atomic row-delta commit upserts are made of. Row counts come from the parquet footers — the same
     numbers a cluster-side commit would take from task write stats; footer
     reads are metadata-only and this runs once per commit, driver-side.
 
@@ -1365,6 +1367,7 @@ def commit_parquet_dir(
         replace_on=replace_on,
         partition_by=partition_by,
         remove_paths=remove_paths,
+        delete_files=delete_files,
     )
     return sid
 

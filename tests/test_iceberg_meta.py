@@ -1572,3 +1572,69 @@ class TestEqualityDeletes:
         assert sid is not None
         assert ice.snapshot_delete_files(table) == []
         assert {r["doc_id"] for r in read_table(spark, table).collect()} == got
+
+
+class TestMorUpsert:
+    def test_upsert_is_one_snapshot_and_touches_no_data_file(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import (
+            append,
+            read_table,
+            upsert_keys_mor,
+        )
+
+        table = str(tmp_path / "table")
+        append(
+            spark.createDataFrame(
+                [(1, "old-a"), (2, "old-b")], "doc_id long, text string"
+            ).coalesce(1),
+            table,
+        )
+        append(
+            spark.createDataFrame([(3, "old-c")], "doc_id long, text string"), table
+        )
+        before = ice.current_metadata(table)["current-snapshot-id"]
+        files_before = {f.path for f in ice.snapshot_files(table)}
+        n_snaps = len(ice.snapshots(table))
+
+        updates = spark.createDataFrame(
+            [(2, "NEW-b"), (4, "NEW-d")], "doc_id long, text string"
+        )
+        sid = upsert_keys_mor(spark, table, updates, "doc_id")
+        assert sid is not None
+        assert len(ice.snapshots(table)) == n_snaps + 1  # ONE snapshot
+        got = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+        assert got == {1: "old-a", 2: "NEW-b", 3: "old-c", 4: "NEW-d"}
+        # prior data files all carried forward untouched (plus the new one)
+        files_after = {f.path for f in ice.snapshot_files(table)}
+        assert files_before < files_after
+        snap = ice.snapshots(table)[-1]
+        assert snap["summary"]["operation"] == "overwrite"  # row-delta commit
+        assert snap["summary"]["operation-detail"] == "upsert-keys-mor:doc_id"
+        # time travel shows the pre-upsert rows
+        old = {
+            r["doc_id"]: r["text"]
+            for r in read_table(spark, table, snapshot_id=before).collect()
+        }
+        assert old == {1: "old-a", 2: "old-b", 3: "old-c"}
+        # a second upsert of the SAME key wins again (sequence ordering)
+        upsert_keys_mor(
+            spark,
+            table,
+            spark.createDataFrame([(2, "NEWER-b")], "doc_id long, text string"),
+            "doc_id",
+        )
+        got2 = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+        assert got2[2] == "NEWER-b" and len(got2) == 4
+
+    def test_upsert_on_missing_table_is_first_append(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import read_table, upsert_keys_mor
+
+        table = str(tmp_path / "table")
+        upsert_keys_mor(
+            spark,
+            table,
+            spark.createDataFrame([(1, "a")], "doc_id long, text string"),
+            "doc_id",
+        )
+        assert {r["doc_id"] for r in read_table(spark, table).collect()} == {1}
+        assert ice.snapshot_delete_files(table) == []

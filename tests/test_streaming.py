@@ -230,3 +230,45 @@ def test_streaming_dedup_state_ttl_evicts_idle_keys(spark, tmp_path):
     # count RESTARTED at 1 under the new keeper: the old entry is gone
     # (without eviction this would be keep_id 1, n_copies 2)
     assert run3.get(4) == 1 and 1 not in run3
+
+
+def test_streaming_upsert_to_iceberg_latest_row_wins(spark, tmp_path):
+    """CDC upsert sink: each drained micro-batch is one row-delta snapshot;
+    the table always reads as the LATEST row per key; a replayed epoch
+    (fresh stream checkpoint) is a no-op via the recorded batch ids."""
+    import shutil
+
+    from parquet_to_arrow_spark.sources import iceberg_meta as ice
+    from parquet_to_arrow_spark.streaming.incremental import streaming_upsert_to_iceberg
+
+    land = str(tmp_path / "cdc")
+    table = str(tmp_path / "table")
+    ck = str(tmp_path / "ck")
+    ddl = "doc_id bigint, text string, v int"
+
+    spark.createDataFrame(
+        [(1, "a0", 0), (2, "b0", 0), (3, "c0", 0)], ddl
+    ).coalesce(1).write.mode("append").parquet(land)
+    streaming_upsert_to_iceberg(spark, land, table, ck, ["doc_id"], ddl).awaitTermination()
+    got = {r["doc_id"]: (r["text"], r["v"]) for r in ice.read_snapshot(spark, table).collect()}
+    assert got == {1: ("a0", 0), 2: ("b0", 0), 3: ("c0", 0)}
+
+    # second CDC batch: update key 2, insert key 4
+    spark.createDataFrame([(2, "b1", 1), (4, "d1", 1)], ddl).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    streaming_upsert_to_iceberg(spark, land, table, ck, ["doc_id"], ddl).awaitTermination()
+    got = {r["doc_id"]: (r["text"], r["v"]) for r in ice.read_snapshot(spark, table).collect()}
+    assert got == {1: ("a0", 0), 2: ("b1", 1), 3: ("c0", 0), 4: ("d1", 1)}
+    # each batch was one row-delta snapshot with its epoch recorded
+    batches = [s["summary"].get("batch") for s in ice.snapshots(table)]
+    assert len(batches) == 2 and all(b is not None for b in batches)
+
+    # lost stream checkpoint: all files re-batch under replayed epoch ids;
+    # the batch-id dedupe makes every replay a no-op — state unchanged,
+    # in particular the OLD value of key 2 must not resurface
+    shutil.rmtree(ck)
+    streaming_upsert_to_iceberg(spark, land, table, ck, ["doc_id"], ddl).awaitTermination()
+    assert len(ice.snapshots(table)) == 2
+    got2 = {r["doc_id"]: (r["text"], r["v"]) for r in ice.read_snapshot(spark, table).collect()}
+    assert got2 == got
