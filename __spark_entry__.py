@@ -166,6 +166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats_by_source": pl.pack_stats_by_source,
         "stratified_sample": pl.stratified_sample,
         "training_mix": pl.training_mix,
+        # --- late round-4 additions (beyond the 50-slot driver window;
+        # oracle_check covers them) ---
+        "q4_order_priority": rel.q4_order_priority,
+        "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
     }
 
 
@@ -1327,4 +1331,24 @@ def oracle_sql() -> dict[str, str]:
         # the same parquet file the oracle reads directly)
         "iceberg_roundtrip_documents": """
             SELECT doc_id, lang, source, n_chars FROM documents""",
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""",
+        "q17_small_quantity_revenue": f"""
+            SELECT CAST(sum(CAST(l_extendedprice AS {dec})) AS DOUBLE) / 7.0
+                       AS avg_yearly,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#23'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = p_partkey)""",
     }

@@ -413,6 +413,63 @@ def q6_forecast_revenue(spark, sf_dir) -> DataFrame:
     )
 
 
+def q4_order_priority(spark, sf_dir) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — orders of one quarter
+    where EXISTS a lineitem shipped strictly after the order date (the
+    synth schema's late-shipment analogue of commitdate < receiptdate).
+    The correlated EXISTS decorrelates into ONE LEFT SEMI join whose
+    non-equi conjunct rides the orderkey equi-join — no per-row subquery,
+    one shuffle keyed on orderkey, and the quarter cut pushes down to the
+    orders scan before anything joins."""
+    lo = F.lit("1996-07-01").cast("timestamp")
+    hi = F.lit("1996-10-01").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue loss from small-quantity
+    orders of one brand — lineitems with quantity under 20% of their
+    part's average quantity. The correlated scalar subquery (per-part avg)
+    is decorrelated by hand into the plan Catalyst would want anyway: one
+    partial-agg shuffle over (partkey -> avg), the brand-filtered part dim
+    BROADCAST into both sides, and the threshold comparison as a plain
+    join-filter. avg of integral quantities is exact in double, so the
+    oracle comparison cannot wobble on summation order."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    brand_li = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    thresh = brand_li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("q_thresh")
+    )
+    return (
+        brand_li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("q_thresh"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
 def event_funnel(spark, sf_dir) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: each stage's
     first event must occur strictly AFTER the previous stage's (min-ts

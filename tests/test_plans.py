@@ -213,3 +213,33 @@ def test_q5_broadcasts_dims_and_pushes_date_cut(spark):
         if "PushedFilters" in ln and "o_orderdate" in ln
     ]
     assert pushed, plan
+
+
+def test_q4_exists_is_one_semi_join_with_pushed_quarter(spark):
+    """The correlated EXISTS must decorrelate to ONE LeftSemi join (no
+    per-row subquery) and the quarter cut must reach the orders scan."""
+    from parquet_to_arrow_spark.operators.relational import q4_order_priority
+
+    plan = plan_of(q4_order_priority(spark, SF))
+    assert "LeftSemi" in plan, plan
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "o_orderdate" in ln
+    ]
+    assert pushed, plan
+
+
+def test_q17_broadcasts_brand_dim(spark):
+    """The brand-filtered part dim must broadcast into the lineitem side
+    (twice: the threshold agg and the probe), and the brand predicate must
+    push into the part scan — the shape that keeps the per-part avg the
+    only shuffle at 100 TB."""
+    from parquet_to_arrow_spark.operators.relational import q17_small_quantity_revenue
+
+    plan = plan_of(q17_small_quantity_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "p_brand" in ln
+    ]
+    assert pushed, plan
