@@ -1644,16 +1644,25 @@ def expire_snapshots(
     new_version = version + 1
     meta_dir = _meta_dir(table_dir)
     meta_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    # same atomic tmp+hard-link publish as commits (a reader can never see
+    # a half-flushed metadata file); expiry racing a concurrent commit
+    # must NOT silently overwrite its snapshot, so a loser raises
+    tmp_meta = meta_path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp_meta, "w") as f:
+        f.write(json.dumps(new_meta, indent=2))
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        # same exclusive-create protocol as commits: expiry racing a
-        # concurrent commit must NOT silently overwrite its snapshot
-        fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            f.write(json.dumps(new_meta, indent=2))
+        os.link(tmp_meta, meta_path)
     except FileExistsError:
         raise CommitConflict(
             f"{meta_path} committed concurrently; re-run expiry"
         ) from None
+    finally:
+        try:
+            os.unlink(tmp_meta)
+        except OSError:
+            pass
     tmp = _hint_path(table_dir) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(str(new_version))
