@@ -1043,7 +1043,11 @@ def commit_append(
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = ts
     new_meta["current-snapshot-id"] = snap_id
-    new_meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    # main moves with the commit; named tags/branches (set_ref) survive it
+    new_meta["refs"] = {
+        **base.get("refs", {}),
+        "main": {"snapshot-id": snap_id, "type": "branch"},
+    }
     new_meta["snapshots"] = base["snapshots"] + [snapshot]
     new_meta["snapshot-log"] = base["snapshot-log"] + [
         {"timestamp-ms": ts, "snapshot-id": snap_id}
@@ -1122,6 +1126,91 @@ def snapshots(table_dir: str) -> list[dict]:
     return list(meta["snapshots"]) if meta else []
 
 
+def _resolve_sid(meta: dict, snapshot_id) -> int:
+    """Snapshot selector -> id: None = current, int = itself, str = a named
+    ref (tag or branch) from the metadata's refs map (spec 'Snapshot
+    References')."""
+    if snapshot_id is None:
+        return meta["current-snapshot-id"]
+    if isinstance(snapshot_id, str):
+        ref = meta.get("refs", {}).get(snapshot_id)
+        if ref is None:
+            raise ValueError(
+                f"no ref named {snapshot_id!r} "
+                f"(have: {sorted(meta.get('refs', {}))})"
+            )
+        return ref["snapshot-id"]
+    return snapshot_id
+
+
+def set_ref(
+    table_dir: str, name: str, snapshot_id: int | None = None, type: str = "tag"
+) -> None:
+    """Create or move a named snapshot reference (spec 'Snapshot
+    References'): a ``tag`` pins a snapshot under a stable name — readers
+    time-travel by name, and expire_snapshots will NOT expire a ref'd
+    snapshot — while a ``branch`` is a movable head. 'main' is reserved
+    (commits move it). Publishes a new metadata version through the same
+    atomic tmp+hard-link protocol as commits."""
+    if name == "main":
+        raise ValueError("'main' is managed by commits")
+    if type not in ("tag", "branch"):
+        raise ValueError(f"ref type must be tag or branch, not {type!r}")
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    sid = _resolve_sid(meta, snapshot_id)
+    _snapshot_index(meta["snapshots"], sid)  # must exist (not expired)
+    new_meta = dict(meta)
+    new_meta["refs"] = {
+        **meta.get("refs", {}),
+        name: {"snapshot-id": sid, "type": type},
+    }
+    _publish_metadata(table_dir, new_meta)
+
+
+def remove_ref(table_dir: str, name: str) -> None:
+    """Drop a named ref; its snapshot becomes expirable again."""
+    if name == "main":
+        raise ValueError("'main' is managed by commits")
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    if name not in meta.get("refs", {}):
+        raise ValueError(f"no ref named {name!r}")
+    new_meta = dict(meta)
+    new_meta["refs"] = {k: v for k, v in meta["refs"].items() if k != name}
+    _publish_metadata(table_dir, new_meta)
+
+
+def _publish_metadata(table_dir: str, new_meta: dict) -> None:
+    """Write a new metadata version via the atomic tmp+hard-link create; a
+    concurrent committer winning the version raises CommitConflict (retry
+    against the fresh state)."""
+    version = current_version(table_dir)
+    meta_path = os.path.join(_meta_dir(table_dir), f"v{version + 1}.metadata.json")
+    tmp_meta = meta_path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp_meta, "w") as f:
+        f.write(json.dumps(new_meta, indent=2))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp_meta, meta_path)
+    except FileExistsError:
+        raise CommitConflict(
+            f"{meta_path} committed concurrently; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp_meta)
+        except OSError:
+            pass
+    tmp = _hint_path(table_dir) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(version + 1))
+    os.replace(tmp, _hint_path(table_dir))
+
+
 def snapshot_files(
     table_dir: str,
     snapshot_id: int | None = None,
@@ -1143,7 +1232,7 @@ def snapshot_files(
     meta = current_metadata(table_dir)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_dir}")
-    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    sid = _resolve_sid(meta, snapshot_id)
     snap = meta["snapshots"][_snapshot_index(meta["snapshots"], sid)]
     schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
@@ -1218,7 +1307,7 @@ def snapshot_delete_files(
     meta = current_metadata(table_dir)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_dir}")
-    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    sid = _resolve_sid(meta, snapshot_id)
     if sid == -1:
         return []
     snap = meta["snapshots"][_snapshot_index(meta["snapshots"], sid)]
@@ -1616,7 +1705,14 @@ def expire_snapshots(
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_dir}")
     snaps = meta["snapshots"]
-    keep = snaps[-max(keep_last, 1):]
+    # refs PIN snapshots (spec: expiry never removes a referenced
+    # snapshot) — a tag is the retention contract for audits/repro builds
+    pinned = {r["snapshot-id"] for r in meta.get("refs", {}).values()}
+    keep = [
+        s
+        for i, s in enumerate(snaps)
+        if i >= len(snaps) - max(keep_last, 1) or s["snapshot-id"] in pinned
+    ]
     expired = [s for s in snaps if s not in keep]
     keep_ids = {s["snapshot-id"] for s in keep}
     assert meta["current-snapshot-id"] in keep_ids

@@ -1638,3 +1638,58 @@ class TestMorUpsert:
         )
         assert {r["doc_id"] for r in read_table(spark, table).collect()} == {1}
         assert ice.snapshot_delete_files(table) == []
+
+
+class TestSnapshotRefs:
+    """Named snapshot references (spec 'Snapshot References'): tags pin
+    snapshots under stable names for by-name time travel AND against
+    expiry; 'main' moves with commits; branches are movable heads."""
+
+    def _t3(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = str(tmp_path / "table")
+        for i in range(3):
+            append(
+                spark.createDataFrame(
+                    [(i, f"v{i}")], "doc_id long, text string"
+                ),
+                table,
+            )
+        return table
+
+    def test_tag_read_and_commit_preservation(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, read_table
+
+        table = self._t3(spark, tmp_path)
+        first = ice.snapshots(table)[0]["snapshot-id"]
+        ice.set_ref(table, "golden-v0", first)
+        # read by NAME resolves to the pinned snapshot
+        assert {r["doc_id"] for r in read_table(spark, table, snapshot_id="golden-v0").collect()} == {0}
+        # a later commit moves main but keeps the tag
+        append(spark.createDataFrame([(9, "v9")], "doc_id long, text string"), table)
+        refs = ice.current_metadata(table)["refs"]
+        assert refs["golden-v0"] == {"snapshot-id": first, "type": "tag"}
+        assert refs["main"]["snapshot-id"] == ice.snapshots(table)[-1]["snapshot-id"]
+        assert read_table(spark, table, snapshot_id="golden-v0").count() == 1
+        with pytest.raises(ValueError, match="no ref named"):
+            ice.snapshot_files(table, "nope")
+        with pytest.raises(ValueError):
+            ice.set_ref(table, "main", first)
+
+    def test_tag_pins_snapshot_against_expiry(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import read_table
+
+        table = self._t3(spark, tmp_path)
+        first = ice.snapshots(table)[0]["snapshot-id"]
+        ice.set_ref(table, "audit", first)
+        rep = ice.expire_snapshots(table, keep_last=1)
+        # the tagged first snapshot survived; the untagged middle expired
+        kept = {s["snapshot-id"] for s in ice.snapshots(table)}
+        assert first in kept and len(kept) == 2
+        assert len(rep["expired_snapshot_ids"]) == 1
+        assert read_table(spark, table, snapshot_id="audit").count() == 1
+        # dropping the ref makes it expirable again
+        ice.remove_ref(table, "audit")
+        ice.expire_snapshots(table, keep_last=1)
+        assert first not in {s["snapshot-id"] for s in ice.snapshots(table)}

@@ -7,6 +7,8 @@ Usage:
     python tools/iceberg_cli.py expire <table_dir> --keep N [--remove]
     python tools/iceberg_cli.py orphans <table_dir> [--data-dir DIR]
     python tools/iceberg_cli.py deletes <table_dir> [--snapshot ID]
+    python tools/iceberg_cli.py tag <table_dir> <name> [--snapshot ID] [--type tag|branch]
+    python tools/iceberg_cli.py untag <table_dir> <name>
 
 Every command prints one JSON document to stdout — pipe into jq or a
 monitoring job. Pure metadata: no Spark session is started.
@@ -36,7 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("snapshots", "files", "history", "expire", "orphans",
-                 "incremental", "deletes"):
+                 "incremental", "deletes", "tag", "untag"):
         s = sub.add_parser(name)
         s.add_argument("table")
         if name == "files":
@@ -44,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--partition", action="append", default=[])
         if name == "deletes":
             s.add_argument("--snapshot", type=int, default=None)
+        if name == "tag":
+            s.add_argument("name")
+            s.add_argument("--snapshot", type=int, default=None)
+            s.add_argument("--type", default="tag", choices=["tag", "branch"])
+        if name == "untag":
+            s.add_argument("name")
         if name == "incremental":
             s.add_argument("--since", type=int, required=True)
             s.add_argument("--to", type=int, default=None)
@@ -120,6 +128,12 @@ def main(argv: list[str] | None = None) -> int:
                 for f in dels
             ],
         }
+    elif args.cmd == "tag":
+        ice.set_ref(args.table, args.name, args.snapshot, type=args.type)
+        out = {"refs": ice.current_metadata(args.table)["refs"]}
+    elif args.cmd == "untag":
+        ice.remove_ref(args.table, args.name)
+        out = {"refs": ice.current_metadata(args.table)["refs"]}
     elif args.cmd == "expire":
         out = ice.expire_snapshots(args.table, keep_last=args.keep, remove=args.remove)
     else:  # orphans
