@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle_check covers them) ---
         "q4_order_priority": rel.q4_order_priority,
         "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
+        "q10_returned_items": rel.q10_returned_items,
+        "q7_nation_volume": rel.q7_nation_volume,
     }
 
 
@@ -1351,4 +1353,37 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < (
                   SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
                   WHERE l2.l_partkey = p_partkey)""",
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(l_extendedprice AS {dec}) *
+                            (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20""",
+        "q7_nation_volume": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(sum(CAST(l_extendedprice AS {dec}) *
+                            (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+                OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+            GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+            ORDER BY supp_nation, cust_nation, l_year""",
     }

@@ -440,6 +440,98 @@ def q4_order_priority(spark, sf_dir) -> DataFrame:
     )
 
 
+def q10_returned_items(spark, sf_dir) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer over
+    one quarter, top 20. Fact-side: the return flag and the quarter cut
+    both push into the parquet scans BEFORE the orderkey join; dim-side:
+    customer joins the aggregated 20-row-bound output... no — customer is
+    a fact-scale dim here, so it hash-joins, and only NATION broadcasts.
+    The top-20 is TakeOrderedAndProject (no global sort)."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return (
+        rev.join(cust, rev["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q7_nation_volume(spark, sf_dir) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year — the
+    supplier's nation and the (order's) customer's nation must be the
+    specific opposite pair, either direction. Both nation dims BROADCAST
+    (2 rows each after the name filter); the only wide joins are the
+    orderkey and custkey fact joins; the year comes from the shipdate so
+    the two-year cut pushes into the lineitem scan."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    pair = F.col("n_name").isin("NATION_3", "NATION_9")
+    n1 = _t(spark, sf_dir, "nation").filter(pair).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").filter(pair).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_9")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_9")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 def q17_small_quantity_revenue(spark, sf_dir) -> DataFrame:
     """TPC-H Q17 shape: average yearly revenue loss from small-quantity
     orders of one brand — lineitems with quantity under 20% of their

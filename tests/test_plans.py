@@ -243,3 +243,30 @@ def test_q17_broadcasts_brand_dim(spark):
         if "PushedFilters" in ln and "p_brand" in ln
     ]
     assert pushed, plan
+
+
+def test_q10_pushes_flag_and_quarter_takeordered(spark):
+    """Return-flag and quarter cuts must reach the scans; the top-20 must
+    be TakeOrderedAndProject, never a global sort."""
+    from parquet_to_arrow_spark.operators.relational import q10_returned_items
+
+    plan = plan_of(q10_returned_items(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert any(
+        "PushedFilters" in ln and "l_returnflag" in ln for ln in plan.splitlines()
+    ), plan
+    assert any(
+        "PushedFilters" in ln and "o_orderdate" in ln for ln in plan.splitlines()
+    ), plan
+
+
+def test_q7_broadcasts_filtered_nation_dims(spark):
+    """Both nation dims must broadcast (2 rows each after the pair filter)
+    and the two-year shipdate cut must push into the lineitem scan."""
+    from parquet_to_arrow_spark.operators.relational import q7_nation_volume
+
+    plan = plan_of(q7_nation_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert any(
+        "PushedFilters" in ln and "l_shipdate" in ln for ln in plan.splitlines()
+    ), plan
