@@ -1778,6 +1778,120 @@ def expire_snapshots(
     }
 
 
+def rewrite_manifests(table_dir: str, ts_ms: int | None = None) -> int | None:
+    """Consolidate the current snapshot's manifests (Iceberg's
+    rewrite_manifests): after N commits a snapshot drags N manifest files
+    through every planning walk — this folds all live DATA entries into
+    ONE manifest (and all delete entries into one content=1 manifest),
+    committed as a spec 'replace' snapshot that changes no data. Entries
+    keep their ORIGINAL snapshot ids and sequence numbers as EXISTING —
+    time travel, incremental consumption boundaries, and the equality-
+    delete sequence gate are all preserved; the superseded manifests
+    become expirable with their old snapshots. No-op (returns None) when
+    there is nothing to fold."""
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    cur_id = meta.get("current-snapshot-id", -1)
+    if cur_id == -1:
+        return None
+    snap = meta["snapshots"][_snapshot_index(meta["snapshots"], cur_id)]
+    _, manifests = avro_io.read_container(open(snap["manifest-list"], "rb").read())
+    by_content: dict[int, list[dict]] = {}
+    for mf in manifests:
+        by_content.setdefault(mf.get("content", 0), []).append(mf)
+    if all(len(v) <= 1 for v in by_content.values()):
+        return None
+    meta_dir = _meta_dir(table_dir)
+    uid = meta["table-uuid"]
+    seq = meta["last-sequence-number"] + 1
+    pfields = _partition_fields(meta)
+    ts = int(ts_ms if ts_ms is not None else time.time() * 1000)
+
+    new_manifests: list[dict] = []
+    manifest_names: list[str] = []
+    for content in sorted(by_content):
+        entries: list[dict] = []
+        for mf in by_content[content]:
+            _, es = avro_io.read_container(open(mf["manifest_path"], "rb").read())
+            for e in es:
+                if e["status"] == 2:
+                    continue
+                e = dict(e)
+                e["status"] = 0  # EXISTING: original snapshot/sequence kept
+                e["data_file"].setdefault("equality_ids", None)
+                entries.append(e)
+        digest = hashlib.md5(
+            "\n".join(e["data_file"]["file_path"] for e in entries).encode()
+        ).hexdigest()[:12]
+        name = f"{uid}-seq{seq}-rwm{digest}-c{content}.avro"
+        path = os.path.join(meta_dir, name)
+        payload = avro_io.write_container(
+            manifest_entry_schema(pfields),
+            entries,
+            meta={"content": "data" if content == 0 else "deletes"},
+        )
+        with open(path, "wb") as f:
+            f.write(payload)
+        manifest_names.append(name)
+        new_manifests.append(
+            {
+                "manifest_path": os.path.abspath(path),
+                "manifest_length": len(payload),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    (e["sequence_number"] for e in entries), default=seq
+                ),
+                "added_snapshot_id": 0,  # patched below once snap_id exists
+                "added_files_count": 0,
+                "existing_files_count": len(entries),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "deleted_rows_count": 0,
+                "partitions": [],
+            }
+        )
+    snap_id = _snapshot_id(uid, seq, manifest_names)
+    for mf in new_manifests:
+        mf["added_snapshot_id"] = snap_id
+    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-1-{uid}.avro")
+    with open(mlist_path, "wb") as f:
+        f.write(avro_io.write_container(MANIFEST_FILE_SCHEMA, new_manifests))
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": os.path.abspath(mlist_path),
+        "summary": {
+            "operation": "replace",
+            "operation-detail": f"rewrite-manifests:{len(manifests)}->{len(new_manifests)}",
+            "added-data-files": "0",
+            "added-records": "0",
+        },
+        "schema-id": meta["current-schema-id"],
+        "parent-snapshot-id": cur_id,
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = ts
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["refs"] = {
+        **meta.get("refs", {}),
+        "main": {"snapshot-id": snap_id, "type": "branch"},
+    }
+    new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+    new_meta["snapshot-log"] = meta["snapshot-log"] + [
+        {"timestamp-ms": ts, "snapshot-id": snap_id}
+    ]
+    _publish_metadata(table_dir, new_meta)
+    return snap_id
+
+
 def orphan_files(table_dir: str, data_dir: str | None = None) -> list[str]:
     """Parquet files under the table's data directory that NO live snapshot
     references — crash leftovers from writes whose commit never landed.

@@ -1693,3 +1693,60 @@ class TestSnapshotRefs:
         ice.remove_ref(table, "audit")
         ice.expire_snapshots(table, keep_last=1)
         assert first not in {s["snapshot-id"] for s in ice.snapshots(table)}
+
+
+class TestRewriteManifests:
+    def test_consolidates_without_changing_data(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, read_table
+
+        table = str(tmp_path / "table")
+        for i in range(5):
+            append(
+                spark.createDataFrame(
+                    [(i * 10 + j, f"t{i}-{j}") for j in range(10)],
+                    "doc_id long, text string",
+                ).coalesce(1),
+                table,
+            )
+        before = ice.current_metadata(table)["current-snapshot-id"]
+        files_before = {f.path for f in ice.snapshot_files(table)}
+        seqs_before = {f.path: f.sequence for f in ice.snapshot_files(table)}
+
+        sid = ice.rewrite_manifests(table)
+        assert sid is not None
+        snap = ice.snapshots(table)[-1]
+        assert snap["summary"]["operation"] == "replace"
+        # ONE data manifest now; same files, ORIGINAL sequences preserved
+        _, mfs = __import__(
+            "parquet_to_arrow_spark.sources.avro_io", fromlist=["read_container"]
+        ).read_container(open(snap["manifest-list"], "rb").read())
+        assert len(mfs) == 1 and mfs[0]["existing_files_count"] == 5
+        assert {f.path for f in ice.snapshot_files(table)} == files_before
+        assert {f.path: f.sequence for f in ice.snapshot_files(table)} == seqs_before
+        assert {r["doc_id"] for r in read_table(spark, table).collect()} == set(range(50))
+        # history intact; second call is a no-op
+        assert len(ice.snapshot_files(table, snapshot_id=before)) == 5
+        assert ice.rewrite_manifests(table) is None
+        # expiry can now reclaim the superseded manifests
+        rep = ice.expire_snapshots(table, keep_last=1)
+        assert len(rep["removable_files"]) >= 5
+
+    def test_preserves_equality_delete_gating(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import (
+            append,
+            delete_keys_mor,
+            read_table,
+        )
+
+        table = str(tmp_path / "table")
+        append(spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string"), table)
+        delete_keys_mor(spark, table, spark.createDataFrame([(1,)], "doc_id long"), "doc_id")
+        # re-append key 1 AFTER the delete: must survive, also after rewrite
+        append(spark.createDataFrame([(1, "reborn")], "doc_id long, text string"), table)
+        want = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+        assert want == {1: "reborn", 2: "b"}
+        sid = ice.rewrite_manifests(table)
+        assert sid is not None
+        got = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+        assert got == want  # original sequences kept -> delete gate unchanged
+        assert len(ice.snapshot_delete_files(table)) == 1

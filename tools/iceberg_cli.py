@@ -9,6 +9,7 @@ Usage:
     python tools/iceberg_cli.py deletes <table_dir> [--snapshot ID]
     python tools/iceberg_cli.py tag <table_dir> <name> [--snapshot ID] [--type tag|branch]
     python tools/iceberg_cli.py untag <table_dir> <name>
+    python tools/iceberg_cli.py rewrite-manifests <table_dir>
 
 Every command prints one JSON document to stdout — pipe into jq or a
 monitoring job. Pure metadata: no Spark session is started.
@@ -38,7 +39,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("snapshots", "files", "history", "expire", "orphans",
-                 "incremental", "deletes", "tag", "untag"):
+                 "incremental", "deletes", "tag", "untag", "rewrite-manifests"):
         s = sub.add_parser(name)
         s.add_argument("table")
         if name == "files":
@@ -128,6 +129,9 @@ def main(argv: list[str] | None = None) -> int:
                 for f in dels
             ],
         }
+    elif args.cmd == "rewrite-manifests":
+        sid = ice.rewrite_manifests(args.table)
+        out = {"snapshot_id": sid, "noop": sid is None}
     elif args.cmd == "tag":
         ice.set_ref(args.table, args.name, args.snapshot, type=args.type)
         out = {"refs": ice.current_metadata(args.table)["refs"]}
