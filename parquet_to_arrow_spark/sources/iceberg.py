@@ -498,6 +498,59 @@ def upsert_keys_mor(
     )
 
 
+def _eq_affected(table_or_path: str, eq_dels, old_files) -> set[str]:
+    """Data files an equality delete can actually touch, narrowed by the
+    manifests' column min/max bounds: a file whose recorded key range
+    contains NO delete key cannot lose a row and is carried forward
+    untouched — a one-key GDPR purge then rewrites one file, not the
+    table. Narrowing needs single-column key sets, non-null keys, a
+    bounded key count (10M driver-side cap) and per-file bounds; anything
+    else falls back to the conservative full pre-delete-sequence set
+    (correct either way — the rewrite content always comes from the
+    delete-applied scan)."""
+    import bisect
+
+    import pyarrow.parquet as pq
+
+    meta = iceberg_meta.current_metadata(table_or_path)
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    name_by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    conservative = {f.path for f in old_files}
+    keysets: dict[int, list] = {}
+    for f in eq_dels:
+        ids = f.equality_ids or []
+        if len(ids) != 1:
+            return conservative
+        keysets.setdefault(ids[0], []).append(f)
+    if sum(f.record_count for f in eq_dels) > 10_000_000:
+        return conservative
+    sorted_keys: dict[int, list] = {}
+    for fid, fs in keysets.items():
+        col = name_by_id[fid]
+        vals: list = []
+        for f in fs:
+            got = pq.read_table(f.path, columns=[col])[col].to_pylist()
+            if any(v is None for v in got):
+                return conservative  # null keys have no bound story
+            vals.extend(got)
+        sorted_keys[fid] = sorted(set(vals))
+    out: set[str] = set()
+    for f in old_files:
+        for fid, ks in sorted_keys.items():
+            lo = (f.lower_bounds or {}).get(fid)
+            hi = (f.upper_bounds or {}).get(fid)
+            if lo is None or hi is None:
+                out.add(f.path)  # no recorded bounds: keep conservatively
+                break
+            i = bisect.bisect_left(ks, lo)
+            if i < len(ks) and ks[i] <= hi:
+                out.add(f.path)
+                break
+    return out
+
+
 def materialize_deletes(spark: SparkSession, table_or_path: str) -> int | None:
     """Fold pending delete files back into data files (Iceberg's
     rewrite_data_files over delete-bearing files): every LIVE data file a
@@ -506,10 +559,10 @@ def materialize_deletes(spark: SparkSession, table_or_path: str) -> int | None:
     maintenance pass that caps merge-on-read amplification. After it, the
     snapshot is pure data files again (compaction and the fast-path encode
     require that). Position deletes target exactly the files they
-    reference; equality deletes conservatively rewrite every data file
-    whose commit sequence precedes the newest equality delete (their
-    application set — a key-level narrowing would need the very scan this
-    pass performs anyway). Untargeted data files are carried forward
+    reference; equality deletes narrow by the manifests' key min/max
+    bounds (_eq_affected — a one-key purge rewrites one file), falling
+    back to every pre-delete-sequence file when bounds or the narrowing
+    preconditions are missing. Untargeted data files are carried forward
     untouched; stale position-delete rows referencing already-rewritten
     (non-live) files are simply dropped. Returns the snapshot id, or None
     when no deletes are pending."""
@@ -538,9 +591,8 @@ def materialize_deletes(spark: SparkSession, table_or_path: str) -> int | None:
         affected_paths |= {p for p in by_uri.values() if p in live}
     if eq_dels:
         max_dseq = max(f.sequence or 0 for f in eq_dels)
-        affected_paths |= {
-            f.path for f in live_files if (f.sequence or 0) < max_dseq
-        }
+        old_files = [f for f in live_files if (f.sequence or 0) < max_dseq]
+        affected_paths |= _eq_affected(table_or_path, eq_dels, old_files)
     # read_snapshot already applies the deletes; keep positions to select
     # the affected files. __fp is the scanner's URI while affected_paths
     # are manifest abspaths — resolve the mapping exactly by collecting

@@ -1750,3 +1750,39 @@ class TestRewriteManifests:
         got = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
         assert got == want  # original sequences kept -> delete gate unchanged
         assert len(ice.snapshot_delete_files(table)) == 1
+
+
+class TestEqMaterializeNarrowing:
+    def test_one_key_purge_rewrites_one_file(self, spark, tmp_path):
+        """Equality-delete materialization must use the manifest key bounds:
+        a delete key living only in file 0's range leaves files 1 and 2
+        carried forward by identity."""
+        from parquet_to_arrow_spark.sources.iceberg import (
+            append,
+            delete_keys_mor,
+            materialize_deletes,
+            read_table,
+        )
+
+        table = str(tmp_path / "table")
+        for i in range(3):  # disjoint doc_id ranges: [0,10) [10,20) [20,30)
+            append(
+                spark.createDataFrame(
+                    [(i * 10 + j, f"t{i}-{j}") for j in range(10)],
+                    "doc_id long, text string",
+                ).coalesce(1),
+                table,
+            )
+        files_before = {f.path for f in ice.snapshot_files(table)}
+        delete_keys_mor(
+            spark, table, spark.createDataFrame([(5,)], "doc_id long"), "doc_id"
+        )
+        sid = materialize_deletes(spark, table)
+        assert sid is not None
+        files_after = {f.path for f in ice.snapshot_files(table)}
+        # exactly ONE original file was rewritten
+        assert len(files_before & files_after) == 2
+        assert ice.snapshot_delete_files(table) == []
+        assert {r["doc_id"] for r in read_table(spark, table).collect()} == (
+            set(range(30)) - {5}
+        )
