@@ -1786,3 +1786,31 @@ class TestEqMaterializeNarrowing:
         assert {r["doc_id"] for r in read_table(spark, table).collect()} == (
             set(range(30)) - {5}
         )
+
+
+class TestDerivedPartitionEncode:
+    def test_bucket_partitioned_table_fast_path_encodes(self, spark, tmp_path):
+        """Derived-transform partitioning (bucket/truncate/day) keeps every
+        table column physically in the data files — the Arrow file-split
+        fast path must accept such tables (only IDENTITY strips columns)
+        and the decode must be bit-identical."""
+        from parquet_to_arrow_spark.decode import decode_chunks_df
+        from parquet_to_arrow_spark.sources.iceberg import with_bucket_column
+        from parquet_to_arrow_spark.sources.io import encode_iceberg_snapshot
+        from parquet_to_arrow_spark.sources.synth import synth_tokens_df
+        from parquet_to_arrow_spark.verify import diff_report
+
+        tokens = synth_tokens_df(spark, 500).cache()
+        d = str(tmp_path / "w")
+        with_bucket_column(tokens, "doc_id", 4).write.partitionBy(
+            "doc_id_bucket"
+        ).parquet(d)
+        table = str(tmp_path / "table")
+        ice.commit_parquet_dir(
+            table, d, spark_schema=tokens.schema, ts_ms=1,
+            partition_by=["doc_id:bucket[4]"],
+        )
+        dec = decode_chunks_df(encode_iceberg_snapshot(spark, table))
+        rep = diff_report(tokens, dec)
+        assert rep["equal"] and rep["ok"] == 500, rep
+        tokens.unpersist()
