@@ -1929,11 +1929,14 @@ def added_files(
     last processed and reads only newer files, never rescanning the table.
     Pure metadata set difference over the manifest walks.
 
-    The range must contain only APPEND snapshots: a rewrite commit
-    (compaction, CoW delete/merge) re-files old rows, and a path diff
-    would re-deliver them as new — exactly like Iceberg's own incremental
-    read, a non-append snapshot in the range raises and the consumer must
-    rebase (full re-read or reconcile) instead of double-processing."""
+    The range must contain only APPEND (or manifest-maintenance REPLACE)
+    snapshots: a rewrite commit (compaction, CoW delete/merge) re-files
+    old rows, and a path diff would re-deliver them as new — exactly like
+    Iceberg's own incremental read, such a snapshot in the range raises
+    and the consumer must rebase (full re-read or reconcile) instead of
+    double-processing. rewrite_manifests' 'replace' snapshots reorganize
+    METADATA only (identical file paths), so they pass through — table
+    maintenance must not force consumer rebases."""
     meta = current_metadata(table_dir)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_dir}")
@@ -1947,7 +1950,7 @@ def added_files(
     bad = [
         s["snapshot-id"]
         for s in snaps[lo:hi]
-        if s.get("summary", {}).get("operation", "append") != "append"
+        if s.get("summary", {}).get("operation", "append") not in ("append", "replace")
     ]
     if bad:
         raise ValueError(

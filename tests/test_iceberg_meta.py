@@ -1814,3 +1814,24 @@ class TestDerivedPartitionEncode:
         rep = diff_report(tokens, dec)
         assert rep["equal"] and rep["ok"] == 500, rep
         tokens.unpersist()
+
+
+class TestIncrementalAcrossMaintenance:
+    def test_added_files_passes_through_rewrite_manifests(self, spark, tmp_path):
+        """A manifest-maintenance 'replace' snapshot in the incremental
+        range must NOT force a consumer rebase — file paths are identical,
+        so the path diff stays exact; only the truly new append shows up."""
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = str(tmp_path / "table")
+        mk = lambda r: spark.createDataFrame([r], "doc_id long, text string").coalesce(1)  # noqa: E731
+        append(mk((1, "a")), table)
+        append(mk((2, "b")), table)
+        cursor = ice.current_metadata(table)["current-snapshot-id"]
+        assert ice.rewrite_manifests(table) is not None
+        append(mk((3, "c")), table)
+        got = ice.added_files(table, cursor)
+        assert len(got) == 1
+        import pyarrow.parquet as pq
+
+        assert pq.read_table(got[0].path)["doc_id"].to_pylist() == [3]
