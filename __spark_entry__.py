@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
         "q10_returned_items": rel.q10_returned_items,
         "q7_nation_volume": rel.q7_nation_volume,
+        "q14_promo_revenue_share": rel.q14_promo_revenue_share,
+        "q19_discounted_band_revenue": rel.q19_discounted_band_revenue,
     }
 
 
@@ -1386,4 +1388,30 @@ def oracle_sql() -> dict[str, str]:
                 OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
             GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
             ORDER BY supp_nation, cust_nation, l_year""",
+        "q14_promo_revenue_share": f"""
+            SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS {dec}) *
+                            (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))
+                       ELSE CAST(0 AS {dec}) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS {dec}) *
+                              (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))) AS DOUBLE)
+                       AS promo_pct,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+        "q19_discounted_band_revenue": f"""
+            SELECT CAST(sum(CAST(l_extendedprice AS {dec}) *
+                            (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity >= 1 AND l_quantity <= 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity >= 10 AND l_quantity <= 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity >= 20 AND l_quantity <= 30)""",
     }

@@ -532,6 +532,66 @@ def q7_nation_volume(spark, sf_dir) -> DataFrame:
     )
 
 
+def q14_promo_revenue_share(spark, sf_dir) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue as a percentage of one month's total
+    — a conditional aggregate (CASE inside SUM) over the part-joined
+    facts. part is the broadcast dim; the month cut pushes to the
+    lineitem scan; the division happens once on two decimal-exact sums
+    cast to double."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_pct"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q19_discounted_band_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR of three (brand, size band,
+    quantity band) conjunctions — the disjunctive-predicate showcase. The
+    whole filter is one JVM boolean expression over the part-joined rows;
+    the part side prunes to the three brands BEFORE broadcasting (Catalyst
+    extracts the common brand disjunction into the dim scan)."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    band = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    return (
+        j.filter(
+            band("Brand#11", 5, 1, 11)
+            | band("Brand#23", 10, 10, 20)
+            | band("Brand#34", 15, 20, 30)
+        )
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
 def q17_small_quantity_revenue(spark, sf_dir) -> DataFrame:
     """TPC-H Q17 shape: average yearly revenue loss from small-quantity
     orders of one brand — lineitems with quantity under 20% of their

@@ -270,3 +270,26 @@ def test_q7_broadcasts_filtered_nation_dims(spark):
     assert any(
         "PushedFilters" in ln and "l_shipdate" in ln for ln in plan.splitlines()
     ), plan
+
+
+def test_q14_broadcasts_part_and_pushes_month(spark):
+    from parquet_to_arrow_spark.operators.relational import q14_promo_revenue_share
+
+    plan = plan_of(q14_promo_revenue_share(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert any(
+        "PushedFilters" in ln and "l_shipdate" in ln for ln in plan.splitlines()
+    ), plan
+
+
+def test_q19_disjunction_reaches_the_part_scan(spark):
+    """Catalyst must extract the brand disjunction from the OR-of-ANDs and
+    push it into the part scan — the dim side prunes to three brands
+    before broadcasting."""
+    from parquet_to_arrow_spark.operators.relational import q19_discounted_band_revenue
+
+    plan = plan_of(q19_discounted_band_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert any(
+        "PushedFilters" in ln and "p_brand" in ln for ln in plan.splitlines()
+    ), plan
