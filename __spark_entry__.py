@@ -174,6 +174,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": rel.q7_nation_volume,
         "q14_promo_revenue_share": rel.q14_promo_revenue_share,
         "q19_discounted_band_revenue": rel.q19_discounted_band_revenue,
+        "q13_customer_distribution": rel.q13_customer_distribution,
+        "q18_large_volume_customers": rel.q18_large_volume_customers,
+        "q22_dormant_high_balance": rel.q22_dormant_high_balance,
+        "q15_top_supplier": rel.q15_top_supplier,
+        "q8_market_share": rel.q8_market_share,
+        "q9_product_profit": rel.q9_product_profit,
+        "q21_sole_failing_supplier": rel.q21_sole_failing_supplier,
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "q11_important_parts": rel.q11_important_parts,
+        "q16_supplier_diversity": rel.q16_supplier_diversity,
+        "q20_part_share_suppliers": rel.q20_part_share_suppliers,
+        "bpe_pair_stats": ts.bpe_pair_stats,
     }
 
 
@@ -1414,4 +1426,160 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity >= 10 AND l_quantity <= 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity >= 20 AND l_quantity <= 30)""",
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey) t
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC""",
+        "q18_large_volume_customers": f"""
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(qty_dec AS DOUBLE) AS total_qty
+            FROM orders
+            JOIN (SELECT l_orderkey,
+                         sum(CAST(l_quantity AS {dec})) AS qty_dec
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(CAST(l_quantity AS {dec})) > 250) b
+              ON o_orderkey = b.l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        "q22_dormant_high_balance": f"""
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS {dec})) AS DOUBLE) AS totacctbal
+            FROM customer c
+            WHERE CAST(c_acctbal AS {dec}) *
+                  (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+                  > (SELECT sum(CAST(c_acctbal AS {dec}))
+                     FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >=
+                                    TIMESTAMP '2000-07-01 00:00:00')
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey""",
+        "q15_top_supplier": f"""
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS {dec}) *
+                           (CAST(1 AS {dec}) - CAST(l_discount AS {dec})))
+                           AS rev_dec
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+            FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+            WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)""",
+        "q8_market_share": f"""
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+                            THEN CAST(l_extendedprice AS {dec}) *
+                                 (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))
+                            ELSE CAST(0 AS {dec}) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS {dec}) *
+                              (CAST(1 AS {dec}) - CAST(l_discount AS {dec})))
+                          AS DOUBLE) AS mkt_share,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY year(o_orderdate)
+            ORDER BY o_year""",
+        "q9_product_profit": f"""
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(sum(CAST(l_extendedprice AS {dec}) *
+                            (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))
+                          - CAST(p_retailprice AS {dec}) *
+                            CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+            ORDER BY nation, o_year DESC""",
+        "q21_sole_failing_supplier": """
+            SELECT s_name, count(*) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            WHERE l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l1.l_orderkey
+                            AND o_orderstatus = 'F')
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 100""",
+        "q2_min_cost_supplier": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem GROUP BY l_partkey, l_suppkey)
+            SELECT s_acctbal, s_name, p_partkey, p_brand, unit_cost
+            FROM ps
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE p_size BETWEEN 4 AND 6
+              AND unit_cost = (SELECT min(unit_cost) FROM ps p2
+                               WHERE p2.l_partkey = ps.l_partkey)
+            ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""",
+        "q11_important_parts": f"""
+            WITH base AS (
+                SELECT l_partkey, CAST(l_extendedprice AS {dec}) AS px
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                WHERE s_nationkey = 2),
+            per AS (SELECT l_partkey, sum(px) AS value_dec
+                    FROM base GROUP BY l_partkey)
+            SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+            FROM per
+            WHERE value_dec * 1000 > (SELECT sum(value_dec) FROM per)
+            ORDER BY value DESC, l_partkey""",
+        "q16_supplier_diversity": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#11' AND p_size IN (2, 5, 9, 14, 21)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "q20_part_share_suppliers": f"""
+            WITH pairq AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(CAST(l_quantity AS {dec})) AS q_dec
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE '%red%')
+                GROUP BY l_partkey, l_suppkey),
+            totq AS (SELECT l_partkey, sum(q_dec) AS tq_dec
+                     FROM pairq GROUP BY l_partkey)
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey
+                                FROM pairq JOIN totq USING (l_partkey)
+                                WHERE q_dec * 10 > tq_dec)
+            ORDER BY s_name""",
+        "bpe_pair_stats": f"""
+            WITH w AS (SELECT {_WORDS_SQL} AS ws FROM documents),
+            g AS (SELECT unnest({_kgram_sql('ws', 2)}) AS pair FROM w)
+            SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM g GROUP BY pair
+            ORDER BY n_occurrences DESC, pair LIMIT 50""",
     }

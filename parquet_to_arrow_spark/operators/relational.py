@@ -712,3 +712,386 @@ def json_props_stats(spark, sf_dir) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.countDistinct("k").alias("n_distinct_k"),
     )
+
+
+# --- outer joins, decorrelated subqueries, derived partsupp ------------------
+
+
+def q13_customer_distribution(spark, sf_dir) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer non-urgent order
+    counts — the LEFT OUTER join showcase (customers with zero qualifying
+    orders must survive with c_count = 0, which an inner join would drop).
+
+    Scale shape: the outer join and the per-customer count share the
+    c_custkey/o_custkey shuffle key; the second groupBy keys on c_count,
+    whose cardinality is the max orders-per-customer — tiny at any SF."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q18_large_volume_customers(spark, sf_dir, min_qty: int = 250) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders — an
+    IN-subquery over a grouped HAVING (orders whose lineitems sum past
+    min_qty), decorrelated into one aggregate + join.
+
+    Scale shape: the qty aggregate shuffles on l_orderkey (partial sums
+    map-side); the surviving order set is the HAVING's output — small by
+    construction — so it broadcasts into orders and customer instead of
+    reshuffling the two big tables. Top-100 is TakeOrderedAndProject with
+    o_orderkey as the deterministic tiebreak."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > F.lit(min_qty).cast("decimal(18,4)"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sel = orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+    return (
+        cust.join(F.broadcast(sel), cust["c_custkey"] == sel["o_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q22_dormant_high_balance(spark, sf_dir) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers with no recent order, by
+    nation — a global-scalar subquery (the positive-balance average) plus
+    an anti join (adapted: NOT EXISTS over RECENT orders, because at this
+    SF every customer has ordered at least once).
+
+    The average compare is exact: instead of dividing (float summation
+    order would make the boundary engine-dependent), the filter
+    cross-multiplies decimals — acctbal * n_pos > sum_pos.
+
+    Scale shape: the scalar aggregate is one row, broadcast; the anti join
+    shuffles on the customer key; the final groupBy keys on nation (25)."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    cust = _t(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(dec("c_acctbal")).alias("sum_pos"),
+        F.count("*").alias("n_pos"),
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(dec("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q15_top_supplier(spark, sf_dir) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue in one
+    quarter — a scalar-max subquery over a grouped view, kept exact by
+    comparing the DECIMAL revenue (ties both engines resolve identically)
+    and casting to double only for output.
+
+    Scale shape: one l_suppkey aggregate; the one-row max broadcasts back
+    over it — no re-aggregation, no window over the whole vocabulary."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+        ).alias("rev_dec")
+    )
+    mx = rev.agg(F.max("rev_dec").alias("max_dec"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q8_market_share(spark, sf_dir) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part revenue
+    per order year — the two-role nation join (customer-side nation decides
+    region membership, supplier-side nation gets the share attribution).
+
+    Scale shape: lineitem joins orders on the orderkey shuffle, then
+    customer on custkey; part (pre-filtered to PROMO), supplier and both
+    nation roles plus region broadcast. The share is a conditional
+    decimal-sum ratio evaluated once per year group."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    n_cust = _t(spark, sf_dir, "nation").alias("nc")
+    n_supp = _t(spark, sf_dir, "nation").alias("ns")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n_cust), cust["c_nationkey"] == F.col("nc.n_nationkey"))
+        .join(F.broadcast(region), F.col("nc.n_regionkey") == region["r_regionkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(n_supp), sup["s_nationkey"] == F.col("ns.n_nationkey"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("ns.n_name") == "NATION_7", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark, sf_dir) -> DataFrame:
+    """TPC-H Q9 shape: profit on red parts by supplier nation and order
+    year (adapted: p_retailprice * l_quantity stands in for the
+    ps_supplycost term — the testdata ships no partsupp table).
+
+    Scale shape: part (LIKE-filtered), supplier and nation broadcast;
+    orders joins on the orderkey shuffle; one decimal sum per
+    (nation, year) group."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    amount = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - dec("l_discount")
+    ) - dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q21_sole_failing_supplier(spark, sf_dir) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for the returned line
+    in a finished multi-supplier order (adapted: l_returnflag = 'R' stands
+    in for the receipt-after-commit lateness predicate — the testdata has
+    no commit/receipt dates). EXISTS becomes a left-semi join with a
+    non-equi conjunct (same order, different supplier); NOT EXISTS the
+    left-anti twin over the returned subset.
+
+    Scale shape: both the semi and the anti key their shuffle on
+    l_orderkey; the non-equi supplier test rides along as a join conjunct,
+    never a cross product. orders prunes to status 'F' before its join;
+    supplier broadcasts; top-100 is TakeOrderedAndProject with the unique
+    s_name tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf_dir, "supplier")
+    cand = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("ok2"))
+            & (F.col("l1.l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("ok3"))
+            & (F.col("l1.l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+        .join(orders, F.col("l1.l_orderkey") == orders["o_orderkey"], "left_semi")
+        .join(F.broadcast(sup), F.col("l1.l_suppkey") == sup["s_suppkey"])
+    )
+    return (
+        cand.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+def _lineitem_pairs(li: DataFrame) -> DataFrame:
+    """The derived partsupp relation: one row per observed
+    (l_partkey, l_suppkey) pair with its min unit price and summed
+    quantity — the TPC-H partsupp analogue over a schema that ships none.
+    One partial-aggregated shuffle on the pair key."""
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_dec"),
+    )
+
+
+def q2_min_cost_supplier(spark, sf_dir) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest supplier(s) for every mid-size part —
+    the correlated-min subquery, decorrelated into ONE window min
+    partitioned by part (no self-join, no re-aggregation).
+
+    The unit cost is the min observed l_extendedprice/l_quantity per
+    (part, supplier) pair — per-row IEEE division is engine-identical, so
+    the min and the equality against it are exact.
+
+    Scale shape: the pair aggregate shuffles once on (part, supplier); the
+    part filter broadcasts and prunes BEFORE the window (every pair of a
+    part shares its p_size, so the per-part min is unaffected); the window
+    partitions by l_partkey — never a global sort."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").between(4, 6))
+    sup = _t(spark, sf_dir, "supplier")
+    pairs = _lineitem_pairs(li).join(
+        F.broadcast(part), F.col("l_partkey") == part["p_partkey"]
+    )
+    w = Window.partitionBy("l_partkey")
+    best = pairs.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select("s_acctbal", "s_name", "p_partkey", "p_brand", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_parts(spark, sf_dir) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue from one nation's suppliers
+    exceeds 0.1% of that nation's total — a group HAVING measured against
+    a broadcast global scalar, kept exact by cross-multiplying decimals
+    (value * 1000 > total) instead of dividing.
+
+    Scale shape: one l_partkey aggregate over the nation-filtered facts;
+    the one-row total is derived from the SAME aggregate (re-agg of the
+    partials, not a second corpus scan) and broadcasts back."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem")
+    sup_k = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 2)
+    base = li.join(F.broadcast(sup_k), li["l_suppkey"] == sup_k["s_suppkey"])
+    per = base.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).alias("value_dec")
+    )
+    tot = per.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_dec") * 1000 > F.col("total_dec"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+def q16_supplier_diversity(spark, sf_dir) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each qualifying
+    (brand, type, size) — with a NOT IN exclusion set (negative-balance
+    suppliers, the complaints-comment analogue) realized as a left-anti
+    join on the distinct pair relation.
+
+    Scale shape: the pair distinct is the only wide shuffle; the exclusion
+    set and the filtered part dim broadcast; countDistinct keys on the
+    (brand, type, size) triple whose cardinality is the dim's, not the
+    fact's."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11") & F.col("p_size").isin(2, 5, 9, 14, 21)
+    )
+    return (
+        pairs.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_part_share_suppliers(spark, sf_dir) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 10% of some red
+    part's total quantity — nested aggregates feeding a semi join back to
+    supplier. The share compare cross-multiplies decimals (qty * 10 >
+    total) so the boundary is exact in both engines.
+
+    Scale shape: facts prune to red parts FIRST (broadcast semi via the
+    filtered part dim); the per-pair aggregate is the one wide shuffle and
+    the per-part total re-aggregates its partials; the surviving supplier
+    keys deduplicate before the left-semi into supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    redp = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    li_red = li.join(F.broadcast(redp), li["l_partkey"] == F.col("p_partkey"))
+    pairq = li_red.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q_dec")
+    )
+    totq = pairq.groupBy("l_partkey").agg(F.sum("q_dec").alias("tq_dec"))
+    cand = (
+        pairq.join(totq, "l_partkey")
+        .filter(F.col("q_dec") * 10 > F.col("tq_dec"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.join(cand, sup["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -607,3 +607,28 @@ def vocab_coverage(spark, sf_dir) -> DataFrame:
             F.round(F.col("cum") / F.lit(total), 6).alias("coverage"),
         )
     )
+
+
+def bpe_pair_stats(spark, sf_dir, top_n: int = 50) -> DataFrame:
+    """The first BPE merge-step statistic (Sennrich et al. 2016): global
+    adjacent word-pair frequencies over the corpus, top-N by count — what a
+    tokenizer-training pass computes before every merge.
+
+    Scale shape: one explode over per-document adjacent pairs (NOT
+    distinct — occurrence counts, not document frequency), one
+    partial-aggregated shuffle on the pair key (the heavy stopword pairs
+    are exactly what map-side combine absorbs), and the top-N is a
+    TakeOrderedAndProject with the pair string as the deterministic
+    tiebreak — never a global sort."""
+    from .dedup import _spread
+
+    docs = _spread(_docs(spark, sf_dir))
+    g = docs.select(
+        F.explode(_word_kgrams(_words(F.col("text")), 2)).alias("pair")
+    )
+    return (
+        g.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(top_n)
+    )

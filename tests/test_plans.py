@@ -293,3 +293,65 @@ def test_q19_disjunction_reaches_the_part_scan(spark):
     assert any(
         "PushedFilters" in ln and "p_brand" in ln for ln in plan.splitlines()
     ), plan
+
+
+def test_q13_outer_join_survives_zero_order_customers(spark):
+    """The left-outer must not degrade to inner: the plan keeps LeftOuter
+    and the priority filter pushes into the orders scan."""
+    from parquet_to_arrow_spark.operators.relational import q13_customer_distribution
+
+    plan = plan_of(q13_customer_distribution(spark, SF))
+    assert "LeftOuter" in plan, plan
+    assert any(
+        "PushedFilters" in ln and "o_orderpriority" in ln for ln in plan.splitlines()
+    ), plan
+
+
+def test_q18_topk_is_take_ordered(spark):
+    from parquet_to_arrow_spark.operators.relational import q18_large_volume_customers
+
+    plan = plan_of(q18_large_volume_customers(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q21_semi_and_anti_share_the_orderkey(spark):
+    """EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti; both must appear as join
+    strategies keyed on l_orderkey, never a cross product."""
+    from parquet_to_arrow_spark.operators.relational import q21_sole_failing_supplier
+
+    plan = plan_of(q21_sole_failing_supplier(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_q2_window_is_partitioned_by_part(spark):
+    """The correlated min decorrelates into a window PARTITIONED by
+    l_partkey — a global (unpartitioned) window would serialize the pair
+    relation through one task at corpus scale."""
+    from parquet_to_arrow_spark.operators.relational import q2_min_cost_supplier
+
+    plan = plan_of(q2_min_cost_supplier(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    spec = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert spec and all("windowspecdefinition(l_partkey" in ln for ln in spec), spec
+
+
+def test_q16_exclusion_is_left_anti(spark):
+    from parquet_to_arrow_spark.operators.relational import q16_supplier_diversity
+
+    plan = plan_of(q16_supplier_diversity(spark, SF))
+    assert "LeftAnti" in plan, plan
+
+
+def test_bpe_pairs_topn_is_take_ordered_with_partial_agg(spark):
+    """The pair census must partial-aggregate map-side (the stopword pairs
+    are the heavy keys) and the top-N must be TakeOrderedAndProject, not a
+    global sort."""
+    from parquet_to_arrow_spark.operators.textstats import bpe_pair_stats
+
+    plan = plan_of(bpe_pair_stats(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
