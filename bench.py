@@ -200,6 +200,11 @@ def main() -> None:
     timings["encode_tokens"] = medians["encode_tokens"] = encode["seconds"]
     decode = _measure_decode(CPUS, max(BENCH_ROWS, 2_000_000))
     timings["decode_tokens"] = medians["decode_tokens"] = decode["seconds"]
+    # encode throughput on the SAME 1.73 GiB table decode measures on: the
+    # sf-scaled input (200k rows at sf0.1) has fewer chunks than cores, so
+    # its gib_per_s is mostly fixed overhead, not engine capability. Kept
+    # OUT of the headline timings for cross-round comparability.
+    encode_big = _measure_encode(CPUS, max(BENCH_ROWS, 2_000_000))
 
     result = {
         "metric": "headline_seconds",
@@ -209,6 +214,7 @@ def main() -> None:
         "queries_median": medians,
         "sf": SF,
         "encode": encode,
+        "encode_big": encode_big,
         "decode": decode,
     }
 
