@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": rel.q11_important_parts,
         "q16_supplier_diversity": rel.q16_supplier_diversity,
         "q20_part_share_suppliers": rel.q20_part_share_suppliers,
+        "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
         "bpe_pair_stats": ts.bpe_pair_stats,
     }
 
@@ -1576,6 +1577,17 @@ def oracle_sql() -> dict[str, str]:
                                 FROM pairq JOIN totq USING (l_partkey)
                                 WHERE q_dec * 10 > tq_dec)
             ORDER BY s_name""",
+        "q12_priority_by_returnflag": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag""",
         "bpe_pair_stats": f"""
             WITH w AS (SELECT {_WORDS_SQL} AS ws FROM documents),
             g AS (SELECT unnest({_kgram_sql('ws', 2)}) AS pair FROM w)

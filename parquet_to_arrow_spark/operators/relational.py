@@ -1095,3 +1095,29 @@ def q20_part_share_suppliers(spark, sf_dir) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+def q12_priority_by_returnflag(spark, sf_dir) -> DataFrame:
+    """TPC-H Q12 shape (adapted: l_returnflag classes stand in for
+    l_shipmode, which the testdata lacks): per line class, how many of the
+    year's orders were critical (1-URGENT/2-HIGH) vs not — the
+    two-CASE-count classification join.
+
+    Scale shape: the year cut pushes to the lineitem scan; the join
+    shuffles on the orderkey; both CASE counts come out of ONE aggregate
+    pass (no second scan, no pivot)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~crit, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
