@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- streaming (Structured Streaming drained via availableNow) ---
         "streaming_windowed_counts": _streaming_windowed_counts,
         "streaming_exact_dedup": _streaming_exact_dedup,
+        "streaming_session_windows": _streaming_session_windows,
         # --- multimodal (real WAV/PPM/PNG/RAWV decode; codec formats stubbed) ---
         "media_meta": multimodal.media_meta,
         "media_audio_features": multimodal.media_audio_features,
@@ -200,6 +201,12 @@ def _streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_to_arrow_spark.streaming.incremental import streaming_exact_dedup
 
     return streaming_exact_dedup(spark, sf_dir)
+
+
+def _streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_to_arrow_spark.streaming.incremental import streaming_session_windows
+
+    return streaming_session_windows(spark, sf_dir)
 
 
 def _occ(needle: str) -> str:
@@ -1135,6 +1142,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "streaming_session_windows": """
+            -- gap-based sessions, mirroring Spark session_window semantics:
+            -- a session spans [first_ts, last_ts + gap); an event at exactly
+            -- prev + gap opens a NEW session (end-exclusive), hence >=
+            WITH o AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT min(ts) AS win_start,
+                   max(ts) + INTERVAL 30 MINUTE AS win_end,
+                   user_id, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM s GROUP BY user_id, sid""",
         "ann_bruteforce_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings ORDER BY vec_id LIMIT 5),

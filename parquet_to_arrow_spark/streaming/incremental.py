@@ -410,6 +410,59 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str):
+    """Gap-based sessionization via Structured Streaming's built-in
+    session_window: per-user sessions that merge events closer than the
+    30-minute gap, each emitted as (user, window start, event count, value
+    sum). The batch twin is relational.sessionize_events; THIS path runs the
+    stateful streaming operator (session-window state store, watermark
+    bounding state), drained with availableNow into a memory sink so the
+    driver's oracle gate covers the streaming sessionizer exactly.
+
+    Spark's session semantics: a session's window is [first_ts,
+    last_ts + gap); an event landing exactly at last_ts + gap does NOT
+    extend it (end-exclusive) — the SQL oracle mirrors that with a
+    break on ts >= prev + gap.
+
+    At scale: state is partitioned by user_id like any keyed shuffle; the
+    watermark closes sessions older than the lateness horizon, so state
+    holds only the open-session frontier, not the corpus."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    name = "sess_win_" + uuid.uuid4().hex[:8]
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/*events.parquet")
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("session_window.start").alias("win_start"),
+        F.col("session_window.end").alias("win_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
 def streaming_encode_metrics(
     spark: SparkSession,
     input_dir: str,

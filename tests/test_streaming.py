@@ -272,3 +272,41 @@ def test_streaming_upsert_to_iceberg_latest_row_wins(spark, tmp_path):
     assert len(ice.snapshots(table)) == 2
     got2 = {r["doc_id"]: (r["text"], r["v"]) for r in ice.read_snapshot(spark, table).collect()}
     assert got2 == got
+
+
+def test_streaming_session_windows_match_batch_session_window(spark):
+    """The streaming session_window aggregation drained via availableNow
+    must equal the BATCH session_window over the same data — gap-merge
+    semantics identical whether the state store or the batch operator
+    builds the sessions."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_arrow_spark.streaming.incremental import streaming_session_windows
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["win_start"], r["win_end"], r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in streaming_session_windows(spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        (r["win_start"], r["win_end"], r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 100
