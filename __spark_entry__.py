@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_diversity": rel.q16_supplier_diversity,
         "q20_part_share_suppliers": rel.q20_part_share_suppliers,
         "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
+        "order_cadence_by_segment": rel.order_cadence_by_segment,
         "bpe_pair_stats": ts.bpe_pair_stats,
     }
 
@@ -1619,6 +1620,25 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
             GROUP BY l_returnflag
             ORDER BY l_returnflag""",
+        "order_cadence_by_segment": """
+            WITH g AS (
+                SELECT o_custkey, o_orderdate,
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS prev_date
+                FROM orders
+            ), gaps AS (
+                SELECT o_custkey,
+                       date_diff('day', prev_date, o_orderdate) AS gap_days
+                FROM g WHERE prev_date IS NOT NULL
+            )
+            SELECT c_mktsegment, count(*) AS n_gaps,
+                   CAST(sum(gap_days) AS BIGINT) AS sum_gap_days,
+                   CAST(max(gap_days) AS INTEGER) AS max_gap_days,
+                   round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6)
+                       AS avg_gap_days
+            FROM gaps JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment""",
         "bpe_pair_stats": f"""
             WITH w AS (SELECT {_WORDS_SQL} AS ws FROM documents),
             g AS (SELECT unnest({_kgram_sql('ws', 2)}) AS pair FROM w)

@@ -1121,3 +1121,41 @@ def q12_priority_by_returnflag(spark, sf_dir) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def order_cadence_by_segment(spark, sf_dir) -> DataFrame:
+    """Analytic-window breadth: per market segment, the average and max gap
+    in days between a customer's consecutive orders — lag() over a
+    per-customer window feeding a segment aggregate.
+
+    Scale shape: the window partitions by o_custkey (never global); the
+    customer join brings only (c_custkey, c_mktsegment); the final groupBy
+    keys on the 5-value segment."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .withColumn(
+            "gap_days", F.datediff(F.col("o_orderdate"), F.col("prev_date"))
+        )
+    )
+    return (
+        gaps.join(cust, gaps["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap_days").alias("sum_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .withColumn(
+            "avg_gap_days",
+            F.round(
+                F.col("sum_gap_days").cast("double") / F.col("n_gaps"), 6
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
