@@ -17,6 +17,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _dec(c):
+    """The parity-relevant money/quantity cast: decimal(18,4) everywhere a
+    sum feeds an oracle compare, so partial-aggregation order can't move the
+    result (the DuckDB twins use the same CAST — keep them in lockstep)."""
+    return F.col(c).cast("decimal(18,4)")
+
+
 # --- S1: full scan -----------------------------------------------------------
 
 
@@ -98,15 +105,14 @@ def q1_pricing_summary(spark, sf_dir) -> DataFrame:
     """TPC-H Q1 shape over lineitem; decimal-exact sums cast to double so the
     value-hash is engine-independent."""
     li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
             ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
@@ -166,14 +172,13 @@ def revenue_by_nation(spark, sf_dir) -> DataFrame:
     ords = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
         .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
             .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_items"),
@@ -326,7 +331,6 @@ def q3_shipping_priority(spark, sf_dir) -> DataFrame:
     the scans (pushdown) and the small filtered sides hash-join into the
     lineitem scan; decimal-exact revenue cast to double for the oracle."""
     cutoff = F.lit("1998-06-01").cast("timestamp")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
@@ -335,7 +339,7 @@ def q3_shipping_priority(spark, sf_dir) -> DataFrame:
         .join(li, orders["o_orderkey"] == li["l_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
             .cast("double")
             .alias("revenue")
         )
@@ -359,7 +363,6 @@ def q5_local_supplier_volume(spark, sf_dir) -> DataFrame:
     the fact join, the same-nation predicate prunes after the two key
     joins, and the only wide stage is the 25-row per-nation aggregate.
     Decimal-exact revenue cast to double for the oracle."""
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     lo = F.lit("1996-01-01").cast("timestamp")
     hi = F.lit("1997-01-01").cast("timestamp")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -383,8 +386,8 @@ def q5_local_supplier_volume(spark, sf_dir) -> DataFrame:
         joined.groupBy("n_name")
         .agg(
             F.sum(
-                dec("l_extendedprice")
-                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
             )
             .cast("double")
             .alias("revenue")
@@ -397,7 +400,6 @@ def q6_forecast_revenue(spark, sf_dir) -> DataFrame:
     """TPC-H Q6 shape: the pure filter-and-sum forecast — every predicate
     pushes to the parquet scan, zero joins, one scalar out."""
     li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -407,7 +409,7 @@ def q6_forecast_revenue(spark, sf_dir) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"),
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -447,7 +449,6 @@ def q10_returned_items(spark, sf_dir) -> DataFrame:
     customer joins the aggregated 20-row-bound output... no — customer is
     a fact-scale dim here, so it hash-joins, and only NATION broadcasts.
     The top-20 is TakeOrderedAndProject (no global sort)."""
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     lo = F.lit("1996-01-01").cast("timestamp")
     hi = F.lit("1996-04-01").cast("timestamp")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -461,8 +462,8 @@ def q10_returned_items(spark, sf_dir) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.sum(
-                dec("l_extendedprice")
-                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
             )
             .cast("double")
             .alias("revenue")
@@ -484,7 +485,6 @@ def q7_nation_volume(spark, sf_dir) -> DataFrame:
     (2 rows each after the name filter); the only wide joins are the
     orderkey and custkey fact joins; the year comes from the shipdate so
     the two-year cut pushes into the lineitem scan."""
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -522,8 +522,8 @@ def q7_nation_volume(spark, sf_dir) -> DataFrame:
         )
         .agg(
             F.sum(
-                dec("l_extendedprice")
-                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
             )
             .cast("double")
             .alias("revenue")
@@ -538,13 +538,12 @@ def q14_promo_revenue_share(spark, sf_dir) -> DataFrame:
     facts. part is the broadcast dim; the month cut pushes to the
     lineitem scan; the division happens once on two decimal-exact sums
     cast to double."""
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     part = _t(spark, sf_dir, "part")
-    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
     return j.agg(
         (
@@ -564,7 +563,6 @@ def q19_discounted_band_revenue(spark, sf_dir) -> DataFrame:
     whole filter is one JVM boolean expression over the part-joined rows;
     the part side prunes to the three brands BEFORE broadcasting (Catalyst
     extracts the common brand disjunction into the dim scan)."""
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
@@ -582,8 +580,8 @@ def q19_discounted_band_revenue(spark, sf_dir) -> DataFrame:
         )
         .agg(
             F.sum(
-                dec("l_extendedprice")
-                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
             )
             .cast("double")
             .alias("revenue"),
@@ -601,7 +599,6 @@ def q17_small_quantity_revenue(spark, sf_dir) -> DataFrame:
     BROADCAST into both sides, and the threshold comparison as a plain
     join-filter. avg of integral quantities is exact in double, so the
     oracle comparison cannot wobble on summation order."""
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
         "p_partkey"
     )
@@ -614,7 +611,7 @@ def q17_small_quantity_revenue(spark, sf_dir) -> DataFrame:
         brand_li.join(thresh, "l_partkey")
         .filter(F.col("l_quantity") < F.col("q_thresh"))
         .agg(
-            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
                 "avg_yearly"
             ),
             F.count("*").alias("n_rows"),
@@ -751,11 +748,10 @@ def q18_large_volume_customers(spark, sf_dir, min_qty: int = 250) -> DataFrame:
     construction — so it broadcasts into orders and customer instead of
     reshuffling the two big tables. Top-100 is TakeOrderedAndProject with
     o_orderkey as the deterministic tiebreak."""
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > F.lit(min_qty).cast("decimal(18,4)"))
     )
     orders = _t(spark, sf_dir, "orders")
@@ -788,10 +784,9 @@ def q22_dormant_high_balance(spark, sf_dir) -> DataFrame:
 
     Scale shape: the scalar aggregate is one row, broadcast; the anti join
     shuffles on the customer key; the final groupBy keys on nation (25)."""
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     cust = _t(spark, sf_dir, "customer")
     pos = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.sum(dec("c_acctbal")).alias("sum_pos"),
+        F.sum(_dec("c_acctbal")).alias("sum_pos"),
         F.count("*").alias("n_pos"),
     )
     recent = _t(spark, sf_dir, "orders").filter(
@@ -799,12 +794,12 @@ def q22_dormant_high_balance(spark, sf_dir) -> DataFrame:
     ).select("o_custkey")
     return (
         cust.crossJoin(F.broadcast(pos))
-        .filter(dec("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
+        .filter(_dec("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
         .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -818,14 +813,13 @@ def q15_top_supplier(spark, sf_dir) -> DataFrame:
 
     Scale shape: one l_suppkey aggregate; the one-row max broadcasts back
     over it — no re-aggregation, no window over the whole vocabulary."""
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
         F.sum(
-            dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
         ).alias("rev_dec")
     )
     mx = rev.agg(F.max("rev_dec").alias("max_dec"))
@@ -851,7 +845,6 @@ def q8_market_share(spark, sf_dir) -> DataFrame:
     customer on custkey; part (pre-filtered to PROMO), supplier and both
     nation roles plus region broadcast. The share is a conditional
     decimal-sum ratio evaluated once per year group."""
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -863,7 +856,7 @@ def q8_market_share(spark, sf_dir) -> DataFrame:
     n_cust = _t(spark, sf_dir, "nation").alias("nc")
     n_supp = _t(spark, sf_dir, "nation").alias("ns")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    vol = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     j = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -896,15 +889,14 @@ def q9_product_profit(spark, sf_dir) -> DataFrame:
     Scale shape: part (LIKE-filtered), supplier and nation broadcast;
     orders joins on the orderkey shuffle; one decimal sum per
     (nation, year) group."""
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     sup = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
-    amount = dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,4)") - dec("l_discount")
-    ) - dec("p_retailprice") * dec("l_quantity")
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    ) - _dec("p_retailprice") * _dec("l_quantity")
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
@@ -970,12 +962,13 @@ def q21_sole_failing_supplier(spark, sf_dir) -> DataFrame:
 
 def _lineitem_pairs(li: DataFrame) -> DataFrame:
     """The derived partsupp relation: one row per observed
-    (l_partkey, l_suppkey) pair with its min unit price and summed
-    quantity — the TPC-H partsupp analogue over a schema that ships none.
-    One partial-aggregated shuffle on the pair key."""
+    (l_partkey, l_suppkey) pair with its min unit price — the TPC-H
+    partsupp analogue over a schema that ships none. One
+    partial-aggregated shuffle on the pair key. (q20 builds its own pair
+    aggregate because it needs quantities over a red-filtered fact set,
+    not costs over the full one.)"""
     return li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
-        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_dec"),
     )
 
 
@@ -1021,12 +1014,11 @@ def q11_important_parts(spark, sf_dir) -> DataFrame:
     Scale shape: one l_partkey aggregate over the nation-filtered facts;
     the one-row total is derived from the SAME aggregate (re-agg of the
     partials, not a second corpus scan) and broadcasts back."""
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     li = _t(spark, sf_dir, "lineitem")
     sup_k = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 2)
     base = li.join(F.broadcast(sup_k), li["l_suppkey"] == sup_k["s_suppkey"])
     per = base.groupBy("l_partkey").agg(
-        F.sum(dec("l_extendedprice")).alias("value_dec")
+        F.sum(_dec("l_extendedprice")).alias("value_dec")
     )
     tot = per.agg(F.sum("value_dec").alias("total_dec"))
     return (

@@ -175,42 +175,32 @@ def streaming_upsert_to_iceberg(
     )
 
 
-def streaming_windowed_counts(spark: SparkSession, sf_dir: str):
-    """Event-time windowed aggregation via Structured Streaming: watermark +
-    tumbling window over the events table, drained with availableNow into a
-    memory sink. Deterministic (event time, not arrival time), so it is
-    oracle-checkable against plain SQL — the driver's exactness gate covers
-    the streaming aggregation path, not just batch.
+def _drain_event_stream_agg(spark: SparkSession, sf_dir: str, build_agg, prefix: str):
+    """Shared harness for the oracle-checkable event-stream aggregations:
+    file-stream the events table, cast ts, apply ``build_agg`` (a
+    watermarked streaming aggregation builder), drain with availableNow
+    into a uniquely-named memory sink, and return its table.
 
-    At scale the memory sink becomes a table/Kafka sink and availableNow a
-    continuous trigger; the aggregation shape (watermark bounds state,
-    window+key partitions the shuffle) is unchanged.
-    """
+    - the file-stream source accepts directories/globs, not bare files;
+      the wildcard makes a single-file table stream-readable (prod inputs
+      are landing DIRECTORIES and pass the dir path straight through)
+    - watermarks require TIMESTAMP (not NTZ); the cast is
+      instant-preserving under the engine's UTC session timezone
+    - at scale the memory sink becomes a table/Kafka sink and availableNow
+      a continuous trigger; the aggregation shape (watermark bounds state,
+      key partitions the shuffle) is unchanged."""
     import tempfile
     import uuid
 
     from pyspark.sql import functions as F
 
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    name = "win_counts_" + uuid.uuid4().hex[:8]
-    # the file-stream source accepts directories/globs, not bare files; the
-    # wildcard makes a single-file table stream-readable (prod inputs are
-    # landing DIRECTORIES and pass the dir path straight through)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    name = prefix + uuid.uuid4().hex[:8]
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/*events.parquet")
-    # watermarks require TIMESTAMP (not NTZ); the cast is instant-preserving
-    # under the engine's UTC session timezone
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "6 hours"), F.col("event_type"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
-        )
-    )
     q = (
-        agg.writeStream.outputMode("complete")
+        build_agg(stream.withWatermark("ts", "1 hour"))
+        .writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
@@ -218,7 +208,25 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
+    return spark.table(name)
+
+
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str):
+    """Event-time windowed aggregation via Structured Streaming: watermark +
+    tumbling window over the events table, drained with availableNow into a
+    memory sink. Deterministic (event time, not arrival time), so it is
+    oracle-checkable against plain SQL — the driver's exactness gate covers
+    the streaming aggregation path, not just batch.
+    """
+    from pyspark.sql import functions as F
+
+    def build(stream):
+        return stream.groupBy(F.window("ts", "6 hours"), F.col("event_type")).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+
+    return _drain_event_stream_agg(spark, sf_dir, build, "win_counts_").select(
         F.col("window.start").alias("win_start"), "event_type", "n_events", "sum_value"
     )
 
@@ -416,8 +424,8 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str):
     30-minute gap, each emitted as (user, window start, event count, value
     sum). The batch twin is relational.sessionize_events; THIS path runs the
     stateful streaming operator (session-window state store, watermark
-    bounding state), drained with availableNow into a memory sink so the
-    driver's oracle gate covers the streaming sessionizer exactly.
+    bounding state), drained via the shared harness so the driver's oracle
+    gate covers the streaming sessionizer exactly.
 
     Spark's session semantics: a session's window is [first_ts,
     last_ts + gap); an event landing exactly at last_ts + gap does NOT
@@ -427,34 +435,17 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str):
     At scale: state is partitioned by user_id like any keyed shuffle; the
     watermark closes sessions older than the lateness horizon, so state
     holds only the open-session frontier, not the corpus."""
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    name = "sess_win_" + uuid.uuid4().hex[:8]
-    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/*events.parquet")
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
-        .agg(
+    def build(stream):
+        return stream.groupBy(
+            F.session_window("ts", "30 minutes"), F.col("user_id")
+        ).agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
-    )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+
+    return _drain_event_stream_agg(spark, sf_dir, build, "sess_win_").select(
         F.col("session_window.start").alias("win_start"),
         F.col("session_window.end").alias("win_end"),
         "user_id",

@@ -353,5 +353,5 @@ def test_bpe_pairs_topn_is_take_ordered_with_partial_agg(spark):
 
     plan = plan_of(bpe_pair_stats(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
-    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert "partial_count" in plan, plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
