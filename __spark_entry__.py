@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_share_suppliers": rel.q20_part_share_suppliers,
         "q12_priority_by_returnflag": rel.q12_priority_by_returnflag,
         "order_cadence_by_segment": rel.order_cadence_by_segment,
+        "event_cooccurrence_pairs": rel.event_cooccurrence_pairs,
         "bpe_pair_stats": ts.bpe_pair_stats,
     }
 
@@ -1639,6 +1640,17 @@ def oracle_sql() -> dict[str, str]:
             FROM gaps JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment""",
+        "event_cooccurrence_pairs": """
+            -- the range join the Spark side realizes via time-bucket
+            -- blocking; integer microseconds on both sides
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND epoch_us(b.ts) > epoch_us(a.ts)
+             AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+            GROUP BY 1, 2
+            ORDER BY type_a, type_b""",
         "bpe_pair_stats": f"""
             WITH w AS (SELECT {_WORDS_SQL} AS ws FROM documents),
             g AS (SELECT unnest({_kgram_sql('ws', 2)}) AS pair FROM w)

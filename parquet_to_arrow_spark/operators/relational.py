@@ -1151,3 +1151,60 @@ def order_cadence_by_segment(spark, sf_dir) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def event_cooccurrence_pairs(spark, sf_dir, window_s: int = 300) -> DataFrame:
+    """Range join, bucketized: which event types follow which within
+    window_s seconds of the same user — every ordered pair (a, b) with
+    0 < b.ts - a.ts <= window_s, rolled up to a type-pair co-occurrence
+    matrix.
+
+    Spark has no native band/range join; the naive theta join
+    (a.user = b.user AND b.ts BETWEEN ...) degenerates to a per-user cross
+    product. This is the standard blocking rewrite: both sides key on
+    (user, floor(ts / window_s)); the probe side ALSO probes the previous
+    block (any in-window pair spans at most one block boundary), so the
+    join is a plain equi-join on (user, block) — hash-partitioned,
+    AQE-skew-splittable — and each qualifying pair is found EXACTLY once
+    (a's block is a single value; b's two probe blocks are distinct). The
+    residual time predicate filters within the matched block pair.
+
+    Equal timestamps pair in neither direction (strict >): deterministic
+    in both engines, no tie-order dependence. Time is integer MICROSECONDS
+    on both sides (unix_micros / epoch_us) — the events carry sub-second
+    precision, so a seconds truncation would diverge from the oracle."""
+    win_us = window_s * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    a = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("ts_us").alias("a_ts"),
+        F.col("event_type").alias("type_a"),
+    ).withColumn("block", F.floor(F.col("a_ts") / win_us))
+    b = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("ts_us").alias("b_ts"),
+        F.col("event_type").alias("type_b"),
+    ).withColumn(
+        "probe",
+        F.explode(
+            F.array(
+                F.floor(F.col("b_ts") / win_us),
+                F.floor(F.col("b_ts") / win_us) - 1,
+            )
+        ),
+    )
+    pairs = a.join(
+        b, (F.col("u") == F.col("u2")) & (F.col("block") == F.col("probe"))
+    ).filter(
+        (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + win_us)
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )

@@ -355,3 +355,14 @@ def test_bpe_pairs_topn_is_take_ordered_with_partial_agg(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_count" in plan, plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_range_join_is_blocked_equi_join(spark):
+    """The bucketized range join must plan as a hash/merge EQUI-join on
+    (user, block) — never a nested-loop/cartesian theta join, which is the
+    per-user cross product that dies at corpus scale."""
+    from parquet_to_arrow_spark.operators.relational import event_cooccurrence_pairs
+
+    plan = plan_of(event_cooccurrence_pairs(spark, SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan, plan
