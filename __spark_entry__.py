@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cadence_by_segment": rel.order_cadence_by_segment,
         "event_cooccurrence_pairs": rel.event_cooccurrence_pairs,
         "bpe_pair_stats": ts.bpe_pair_stats,
+        "streaming_click_attribution": _streaming_click_attribution,
     }
 
 
@@ -209,6 +210,14 @@ def _streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_to_arrow_spark.streaming.incremental import streaming_session_windows
 
     return streaming_session_windows(spark, sf_dir)
+
+
+def _streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_to_arrow_spark.streaming.incremental import (
+        streaming_click_attribution,
+    )
+
+    return streaming_click_attribution(spark, sf_dir)
 
 
 def _occ(needle: str) -> str:
@@ -1168,6 +1177,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                        AS sum_value
             FROM s GROUP BY user_id, sid""",
+        "streaming_click_attribution": """
+            -- stream-stream inner join twin: purchases x same-user clicks
+            -- within the preceding hour (band inclusive on both ends,
+            -- matching the streaming condition)
+            SELECT p.event_id AS purchase_id,
+                   c.event_id AS click_id,
+                   p.user_id AS user_id,
+                   p.ts AS purchase_ts,
+                   c.ts AS click_ts
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
         "ann_bruteforce_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -454,6 +454,70 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str):
     )
 
 
+def streaming_click_attribution(spark: SparkSession, sf_dir: str):
+    """Watermarked STREAM-STREAM inner join (the last Structured Streaming
+    operator class in the engine): purchases joined to the same user's
+    clicks in the preceding hour — streaming attribution. Two independent
+    file streams over the events table, each filtered to its event type and
+    watermarked; the equi-key (user) plus the bounded time-band condition
+    is exactly what lets Spark's symmetric hash join evict state — without
+    the band, both sides' state would be corpus-sized.
+
+    Deterministic (event-time semantics, inner join, availableNow drain
+    emits every qualifying pair), so the streaming join path is
+    oracle-checkable against the plain SQL self-join.
+
+    At scale: both sides shuffle on user_id into the same state store
+    partitions; the watermark + band bound retained state to ~2 hours of
+    events per side, independent of stream length. Reference analogue: the
+    engine's batch as-of join (relational.asof_purchase_last_click) — this
+    is its always-on form."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type: str, alias: str):
+        s = spark.readStream.schema(schema).parquet(f"{sf_dir}/*events.parquet")
+        return (
+            s.withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    joined = side("purchase", "purchase").join(
+        side("click", "click"),
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    name = "click_attr_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "purchase_id",
+        "click_id",
+        F.col("purchase_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+
+
 def streaming_encode_metrics(
     spark: SparkSession,
     input_dir: str,

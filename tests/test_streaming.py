@@ -310,3 +310,39 @@ def test_streaming_session_windows_match_batch_session_window(spark):
         .collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_streaming_click_attribution_matches_batch_join(spark):
+    """The watermarked stream-stream inner join drained via availableNow
+    must emit exactly the batch join's pairs: every purchase matched to
+    the same user's clicks within the preceding hour, band inclusive."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_arrow_spark.streaming.incremental import (
+        streaming_click_attribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in streaming_click_attribution(spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    want = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("cts") <= F.col("pts")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
