@@ -744,12 +744,88 @@ def merge_keys(
     )
 
 
+def _zvalue_expr(cols: list[str], bounds: dict[str, tuple[float, float]], bits: int = 16):
+    """Morton (Z-order) interleave of ``cols`` as ONE JVM column expression:
+    each column is min-max normalized to ``bits`` bits, then bit b of
+    column i lands at position b*k+i — so a range predicate on ANY single
+    column constrains a strided subset of z's bits and the z-sorted file
+    layout keeps that column's per-file min/max tight. Pure
+    shift/and/or codegen (no UDF, no shuffle); k*bits terms fold into one
+    whole-stage-codegen projection."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = bounds[c]
+        if hi > lo:
+            s = F.least(
+                F.lit(top).cast("long"),
+                F.floor(
+                    (F.coalesce(F.col(c).cast("double"), F.lit(float(lo))) - F.lit(float(lo)))
+                    / F.lit(float(hi) - float(lo))
+                    * F.lit(float(top))
+                ).cast("long"),
+            )
+            s = F.greatest(F.lit(0).cast("long"), s)  # nulls/outliers clamp
+        else:
+            s = F.lit(0).cast("long")
+        scaled.append(s)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z.bitwiseOR(F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * k + i))
+    return z
+
+
+_Z_NUMERIC = {"int", "long", "float", "double"}
+
+
+def _zorder_bounds(
+    cols: list[str], fs: list, cur_schema: dict, df: DataFrame
+) -> dict[str, tuple[float, float]]:
+    """Global [min, max] per z-order column for normalization — taken from
+    the MANIFEST bounds of the files being rewritten when every file
+    recorded them (zero extra data pass; the shape that exists at 100 TB),
+    falling back to one aggregation over the group otherwise. Numeric
+    columns only: z-kissing strings needs an order-preserving prefix code,
+    out of scope."""
+    from pyspark.sql import functions as F
+
+    by_name = {f["name"]: f for f in cur_schema["fields"]}
+    for c in cols:
+        f = by_name.get(c)
+        if f is None or str(f["type"]) not in _Z_NUMERIC:
+            raise ValueError(f"zorder supports numeric columns only, got {c!r}")
+    out: dict[str, tuple[float, float]] = {}
+    need_agg: list[str] = []
+    for c in cols:
+        fid = by_name[c]["id"]
+        los = [(f.lower_bounds or {}).get(fid) for f in fs]
+        his = [(f.upper_bounds or {}).get(fid) for f in fs]
+        if all(v is not None for v in los + his):
+            out[c] = (float(min(los)), float(max(his)))
+        else:
+            need_agg.append(c)
+    if need_agg:
+        row = df.select(
+            *[F.min(c).alias(f"lo_{c}") for c in need_agg],
+            *[F.max(c).alias(f"hi_{c}") for c in need_agg],
+        ).first()
+        for c in need_agg:
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            out[c] = (float(lo), float(hi)) if lo is not None else (0.0, 0.0)
+    return out
+
+
 def compact_files(
     spark: SparkSession,
     table_or_path: str,
     target_bytes: int = 128 << 20,
     min_group: int = 2,
     sort_by: str | None = None,
+    zorder: list[str] | None = None,
 ) -> int | None:
     """Small-file compaction (Iceberg's rewrite_data_files): files under
     ``target_bytes`` are read back and rewritten as ~target-sized files,
@@ -764,6 +840,15 @@ def compact_files(
     a range_filter then prunes to the one file holding the key range
     instead of scanning every compacted file (Iceberg's sort-order
     rewrite).
+
+    ``zorder``: cluster the rewrite along a Morton curve over 2+ numeric
+    columns (Iceberg's zorder rewrite strategy). A linear sort serves only
+    its LEADING column — every file spans the full range of the second
+    key, so range filters on it prune nothing. Z-ordering keeps EVERY
+    listed column's per-file min/max tight, so range_filter skips files on
+    any of them. Normalization bounds come from the manifests (no data
+    pass); the z value is one codegen projection, the clustering one
+    range partition — same shuffle count as sort_by.
 
     Partitioned tables compact WITHIN each partition (Iceberg's
     binpack-per-partition): small files group by their manifest partition
@@ -810,7 +895,17 @@ def compact_files(
         total = sum(f.file_size for f in fs)
         n_out = max(1, math.ceil(total / target_bytes))
         df = spark.read.schema(ddl).parquet(*[f.path for f in fs])
-        if sort_by:
+        if zorder:
+            if sort_by:
+                raise ValueError("pass sort_by or zorder, not both")
+            bounds = _zorder_bounds(zorder, fs, cur_schema, df)
+            df = (
+                df.withColumn("__z", _zvalue_expr(zorder, bounds))
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
             df = df.repartitionByRange(n_out, sort_by).sortWithinPartitions(sort_by)
         else:
             df = df.coalesce(n_out)

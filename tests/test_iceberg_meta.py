@@ -937,6 +937,72 @@ class TestSecondReviewRegressions:
             spark, table, range_filter={"doc_id": (10, 12)}).collect()}
         assert {10, 11, 12} <= got
 
+    def test_zorder_compaction_prunes_on_both_dimensions(self, spark, tmp_path):
+        """Z-order compaction: a linear sort serves only its leading
+        column (files sorted by x all span the full y range), while the
+        Morton-curve rewrite keeps BOTH columns' per-file bounds tight —
+        a range filter on either dimension skips files."""
+        from parquet_to_arrow_spark.sources.iceberg import (
+            append,
+            compact_files,
+            read_table,
+        )
+
+        # 4096 points on a 64x64 grid scaled to [0, 4096) on each axis
+        rows = [(i, (i % 64) * 64, (i // 64) * 64) for i in range(4096)]
+
+        def build(path, **compact_kw):
+            table = str(tmp_path / path)
+            for k in range(8):  # 8 appends, each spanning the whole plane
+                append(
+                    spark.createDataFrame(
+                        rows[k::8], "id long, x long, y long"
+                    ).coalesce(1),
+                    table,
+                )
+            total = sum(f.file_size for f in ice.snapshot_files(table))
+            compact_files(
+                spark, table, target_bytes=total // 8 + 1, **compact_kw
+            )
+            return table
+
+        ztab = build("ztbl", zorder=["x", "y"])
+        n = len(ice.snapshot_files(ztab))
+        assert n >= 4  # the range partition actually split the rewrite
+        hit_x = len(ice.snapshot_files(ztab, range_filter={"x": (0, 511)}))
+        hit_y = len(ice.snapshot_files(ztab, range_filter={"y": (0, 511)}))
+        assert hit_x < n and hit_y < n  # pruning on BOTH dimensions
+        # content identical through the rewrite, and the pruned read exact
+        got = {
+            (r["id"], r["x"], r["y"])
+            for r in read_table(
+                spark, ztab, range_filter={"y": (0, 511)}
+            ).collect()
+        }
+        # file-level pruning: every matching row survives (rows from the
+        # surviving files' wider y ranges ride along, as with any
+        # min/max skipping — the query's own predicate finishes the job)
+        assert {(i, x, y) for i, x, y in rows if y <= 511} <= got
+        assert read_table(spark, ztab).count() == 4096
+
+        # contrast: linear sort on x leaves y un-prunable
+        stab = build("stbl", sort_by="x")
+        ns = len(ice.snapshot_files(stab))
+        assert ns >= 4
+        assert len(ice.snapshot_files(stab, range_filter={"y": (0, 511)})) == ns
+
+    def test_zorder_rejects_non_numeric(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, compact_files
+
+        table = str(tmp_path / "zbad")
+        for _ in range(2):
+            append(
+                spark.createDataFrame([(1, "a")], "id long, s string").coalesce(1),
+                table,
+            )
+        with pytest.raises(ValueError, match="numeric"):
+            compact_files(spark, table, target_bytes=1 << 20, zorder=["id", "s"])
+
 
 class TestPartitionedCow:
     """The round-3 scope cut closed: CoW DML + compaction on
