@@ -1901,3 +1901,77 @@ class TestIncrementalAcrossMaintenance:
         import pyarrow.parquet as pq
 
         assert pq.read_table(got[0].path)["doc_id"].to_pylist() == [3]
+
+
+class TestBloomIndex:
+    """Per-file Bloom sidecar: point lookups on hash-distributed keys prune
+    to ~1 file where min/max bounds prune nothing."""
+
+    def _table(self, spark, tmp_path, n_files=8, rows_per=200):
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = str(tmp_path / "btable")
+        # doc ids deliberately hash-distributed across appends: every
+        # file's lexicographic [lo, hi] spans ~the whole key space
+        for k in range(n_files):
+            ids = [f"doc-{(i * n_files + k) * 2654435761 % 10**9:09d}"
+                   for i in range(rows_per)]
+            append(
+                spark.createDataFrame(
+                    [(d, len(d)) for d in ids], "doc_id string, n long"
+                ).coalesce(1),
+                table,
+            )
+        return table
+
+    def test_point_lookup_prunes_and_is_exact(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+
+        table = self._table(spark, tmp_path)
+        out = bi.build_bloom_index(spark, table, "doc_id")
+        assert out.endswith("bloom-doc_id.parquet")
+        # a key that exists (from file k=3)
+        key = f"doc-{(5 * 8 + 3) * 2654435761 % 10**9:09d}"
+        cands = bi.bloom_candidate_files(table, "doc_id", key)
+        assert len(cands) <= 2  # 1 true file + rare false positives
+        got = bi.point_lookup(spark, table, "doc_id", key).collect()
+        assert [r["doc_id"] for r in got] == [key]
+        # a key that does not exist: near-zero candidates, empty exact read
+        missing = bi.bloom_candidate_files(table, "doc_id", "doc-nope")
+        assert len(missing) <= 1
+        assert bi.point_lookup(spark, table, "doc_id", "doc-nope").count() == 0
+
+    def test_post_index_appends_stay_conservative(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = self._table(spark, tmp_path, n_files=4)
+        bi.build_bloom_index(spark, table, "doc_id")
+        append(
+            spark.createDataFrame([("late-doc", 8)], "doc_id string, n long")
+            .coalesce(1),
+            table,
+        )
+        # the unindexed new file is always a candidate -> the row is found
+        cands = bi.bloom_candidate_files(table, "doc_id", "late-doc")
+        assert len(cands) >= 1
+        got = bi.point_lookup(spark, table, "doc_id", "late-doc").collect()
+        assert [r["doc_id"] for r in got] == ["late-doc"]
+
+    def test_no_index_falls_back_to_full_scan(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+
+        table = self._table(spark, tmp_path, n_files=2)
+        assert bi.bloom_candidate_files(table, "doc_id", "x") is None
+        key = f"doc-{(0 * 2 + 0) * 2654435761 % 10**9:09d}"
+        assert bi.point_lookup(spark, table, "doc_id", key).count() == 1
+
+    def test_bloom_roundtrip_and_fpp(self):
+        from parquet_to_arrow_spark.sources.bloom_index import Bloom
+
+        keys = [f"k{i}" for i in range(5000)]
+        b = Bloom.build(keys, fpp=0.01)
+        b2 = Bloom.from_bytes(b.m_bits, b.k, b.to_bytes())
+        assert all(b2.might_contain(k) for k in keys)  # zero false negatives
+        fp = sum(b2.might_contain(f"absent{i}") for i in range(5000))
+        assert fp < 150  # ~1% target, generous 3x headroom
