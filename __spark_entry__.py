@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_cooccurrence_pairs": rel.event_cooccurrence_pairs,
         "bpe_pair_stats": ts.bpe_pair_stats,
         "streaming_click_attribution": _streaming_click_attribution,
+        # rows-only by declared design: the greedy merge loop of a trained
+        # BPE tokenizer has no SQL twin (like the codec metrics views);
+        # trainer semantics are pinned by tests/test_tokenize.py goldens
+        "bpe_encode_documents": _bpe_encode_documents,
     }
 
 
@@ -218,6 +222,12 @@ def _streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_click_attribution(spark, sf_dir)
+
+
+def _bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_to_arrow_spark.operators.tokenize import bpe_encode_documents
+
+    return bpe_encode_documents(spark, sf_dir, n_merges=120)
 
 
 def _occ(needle: str) -> str:

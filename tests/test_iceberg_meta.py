@@ -1966,6 +1966,29 @@ class TestBloomIndex:
         key = f"doc-{(0 * 2 + 0) * 2654435761 % 10**9:09d}"
         assert bi.point_lookup(spark, table, "doc_id", key).count() == 1
 
+    def test_cli_lookup_reports_candidates(self, spark, tmp_path, capsys):
+        import sys
+
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+
+        sys.path.insert(0, "tools")
+        import iceberg_cli
+
+        table = self._table(spark, tmp_path, n_files=4)
+        # unindexed: every file is a candidate
+        assert iceberg_cli.main(
+            ["lookup", table, "--column", "doc_id", "--value", "x"]
+        ) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert not out["indexed"] and out["n_candidates"] == out["n_files"] == 4
+        bi.build_bloom_index(spark, table, "doc_id")
+        key = f"doc-{(7 * 4 + 2) * 2654435761 % 10**9:09d}"
+        assert iceberg_cli.main(
+            ["lookup", table, "--column", "doc_id", "--value", key]
+        ) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["indexed"] and 1 <= out["n_candidates"] <= 2
+
     def test_bloom_roundtrip_and_fpp(self):
         from parquet_to_arrow_spark.sources.bloom_index import Bloom
 

@@ -10,9 +10,12 @@ Usage:
     python tools/iceberg_cli.py tag <table_dir> <name> [--snapshot ID] [--type tag|branch]
     python tools/iceberg_cli.py untag <table_dir> <name>
     python tools/iceberg_cli.py rewrite-manifests <table_dir>
+    python tools/iceberg_cli.py lookup <table_dir> --column c --value v
 
 Every command prints one JSON document to stdout — pipe into jq or a
-monitoring job. Pure metadata: no Spark session is started.
+monitoring job. Pure metadata: no Spark session is started (lookup reads
+the Bloom sidecar and prints candidate files; the scan itself is the
+caller's job).
 """
 
 from __future__ import annotations
@@ -39,9 +42,13 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("snapshots", "files", "history", "expire", "orphans",
-                 "incremental", "deletes", "tag", "untag", "rewrite-manifests"):
+                 "incremental", "deletes", "tag", "untag",
+                 "rewrite-manifests", "lookup"):
         s = sub.add_parser(name)
         s.add_argument("table")
+        if name == "lookup":
+            s.add_argument("--column", required=True)
+            s.add_argument("--value", required=True)
         if name == "files":
             s.add_argument("--snapshot", type=int, default=None)
             s.add_argument("--partition", action="append", default=[])
@@ -128,6 +135,22 @@ def main(argv: list[str] | None = None) -> int:
                 {"path": f.path, "rows": f.record_count, "bytes": f.file_size}
                 for f in dels
             ],
+        }
+    elif args.cmd == "lookup":
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+
+        v = (
+            int(args.value)
+            if args.value.lstrip("-").isdigit()
+            else args.value
+        )
+        cands = bi.bloom_candidate_files(args.table, args.column, v)
+        total = len(ice.snapshot_files(args.table))
+        out = {
+            "indexed": cands is not None,
+            "n_files": total,
+            "n_candidates": total if cands is None else len(cands),
+            "candidates": cands,
         }
     elif args.cmd == "rewrite-manifests":
         sid = ice.rewrite_manifests(args.table)
