@@ -1964,6 +1964,181 @@ def added_files(
     return [after[p] for p in sorted(after)]
 
 
+def read_changelog(
+    spark,
+    table_dir: str,
+    since_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+):
+    """Row-level change stream between two snapshots (Iceberg's changelog
+    scan, the CONSUMER side of the engine's CDC sinks): for every snapshot
+    in (since, to], emit
+
+    - ``insert`` rows — the content of data files ADDED by the snapshot
+      (plain appends, and the append half of a row-delta upsert);
+    - ``delete`` rows — full pre-image rows resolved from POSITION delete
+      files added by the snapshot (read back from their still-live target
+      files by (file_path, pos) — a semi-join against the scanner's native
+      positions, bounded to the targeted files);
+    - ``delete_key`` rows — EQUALITY delete files' key sets, key columns
+      populated and every other column null (the spec's minimal
+      representation; resolving full pre-images would re-scan pre-state).
+
+    Output = table columns + ``_change_op`` + ``_snapshot_id`` +
+    ``_change_ordinal`` (the snapshot's position in the range — snapshot
+    ids are content-derived, NOT monotonic, so consumers order by the
+    ordinal and, within one ordinal, apply deletes before inserts: the
+    row-delta rule that lets an upsert's new rows survive its own delete).
+
+    Manifest-maintenance ``replace`` snapshots contribute nothing and pass
+    through. A rewrite snapshot in the range (compaction, CoW DML, wave
+    overwrite) re-files old rows — emitting its file diff would re-deliver
+    unchanged rows as changes — so, exactly like added_files, the range
+    raises and the consumer rebases.
+
+    Scale shape: pure metadata set-differences pick the per-snapshot file
+    lists; each emission is a plain pruned parquet scan (no shuffle except
+    the position-delete semi-join, which is bounded to targeted files and
+    broadcast-sized delete sets); the union is one plan over at most
+    |range| scan nodes, bounded by snapshot retention."""
+    from pyspark.sql import functions as F
+
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    snaps = meta["snapshots"]
+    lo = (
+        0
+        if since_snapshot_id is None
+        else _snapshot_index(snaps, since_snapshot_id) + 1
+    )
+    hi = (
+        len(snaps)
+        if to_snapshot_id is None
+        else _snapshot_index(snaps, to_snapshot_id) + 1
+    )
+    cur_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    ddl = _spark_ddl(cur_schema)
+
+    def _sty(t):
+        if isinstance(t, dict):
+            return f"array<{_sty(t['element'])}>"
+        return _ICEBERG_TO_SPARK_DDL[t]
+
+    names = [f["name"] for f in cur_schema["fields"]]
+    types = {f["name"]: _sty(f["type"]) for f in cur_schema["fields"]}
+    names_by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
+
+    frames = []
+
+    def _emit(df, op: str, sid: int, ordinal: int):
+        frames.append(
+            df.select(*names)
+            .withColumn("_change_op", F.lit(op))
+            .withColumn("_snapshot_id", F.lit(sid))
+            .withColumn("_change_ordinal", F.lit(ordinal))
+        )
+
+    prev_sid = None if lo == 0 else snaps[lo - 1]["snapshot-id"]
+    prev_data = (
+        set()
+        if lo == 0
+        else {f.path for f in snapshot_files(table_dir, prev_sid)}
+    )
+    prev_dels = (
+        set()
+        if lo == 0
+        else {f.path for f in snapshot_delete_files(table_dir, prev_sid)}
+    )
+    for ordinal, s in enumerate(snaps[lo:hi]):
+        sid = s["snapshot-id"]
+        op = s.get("summary", {}).get("operation", "append")
+        cur_data_files = snapshot_files(table_dir, sid)
+        cur_del_files = snapshot_delete_files(table_dir, sid)
+        cur_data = {f.path for f in cur_data_files}
+        cur_dels = {f.path for f in cur_del_files}
+        if op == "replace":
+            prev_data, prev_dels = cur_data, cur_dels
+            continue
+        if prev_data - cur_data:
+            raise ValueError(
+                f"changelog range contains rewrite snapshot {sid} "
+                "(compaction/CoW/overwrite re-files old rows); rebase the "
+                "consumer"
+            )
+        added_data = [f for f in cur_data_files if f.path not in prev_data]
+        added_dels = [f for f in cur_del_files if f.path not in prev_dels]
+        if added_data:
+            _emit(
+                spark.read.schema(ddl).parquet(*[f.path for f in added_data]),
+                "insert",
+                sid,
+                ordinal,
+            )
+        pos = [f for f in added_dels if f.content == 1]
+        eqs = [f for f in added_dels if f.content == 2]
+        if pos:
+            ddf = spark.read.schema(POS_DELETE_DDL).parquet(
+                *[f.path for f in pos]
+            )
+            # targeted-file count is bounded by the delete set, and the
+            # URIs are the scanner's own rendering (write-side invariant)
+            from urllib.parse import unquote, urlparse
+
+            target_uris = [
+                r["file_path"]
+                for r in ddf.select("file_path").distinct().collect()
+            ]
+            targets = sorted(
+                os.path.abspath(unquote(urlparse(u).path)) for u in target_uris
+            )
+            raw = (
+                spark.read.schema(ddl)
+                .parquet(*targets)
+                .select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+            )
+            if sum(f.file_size for f in pos) < (64 << 20):
+                ddf = F.broadcast(ddf)
+            hit = raw.join(
+                ddf,
+                (F.col("__fp") == F.col("file_path"))
+                & (F.col("__pos") == F.col("pos")),
+                "semi",
+            )
+            _emit(hit, "delete", sid, ordinal)
+        for f in eqs:
+            keys = [names_by_id[i] for i in (f.equality_ids or [])]
+            kdf = spark.read.parquet(f.path)
+            _emit(
+                kdf.select(
+                    *[
+                        F.col(n).cast(types[n])
+                        if n in keys
+                        else F.lit(None).cast(types[n]).alias(n)
+                        for n in names
+                    ]
+                ),
+                "delete_key",
+                sid,
+                ordinal,
+            )
+        prev_data, prev_dels = cur_data, cur_dels
+    if not frames:
+        return spark.createDataFrame(
+            [], ddl + ", _change_op string, _snapshot_id long, _change_ordinal int"
+        )
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def read_incremental(
     spark, table_dir: str, since_snapshot_id: int | None, to_snapshot_id: int | None = None
 ):

@@ -1998,3 +1998,94 @@ class TestBloomIndex:
         assert all(b2.might_contain(k) for k in keys)  # zero false negatives
         fp = sum(b2.might_contain(f"absent{i}") for i in range(5000))
         assert fp < 150  # ~1% target, generous 3x headroom
+
+
+class TestChangelog:
+    """read_changelog: row-level CDC consumption — inserts from appends,
+    full pre-image deletes from position deletes, key-only deletes from
+    equality deletes; rewrites force a rebase."""
+
+    def test_appends_emit_ordered_inserts(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = str(tmp_path / "t")
+        s1 = append(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+            .coalesce(1), table)
+        s2 = append(
+            spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1),
+            table)
+        rows = ice.read_changelog(spark, table).collect()
+        assert {(r["k"], r["_change_op"], r["_snapshot_id"], r["_change_ordinal"])
+                for r in rows} == {
+            (1, "insert", s1, 0), (2, "insert", s1, 0), (3, "insert", s2, 1)}
+        # since= bounds the range
+        inc = ice.read_changelog(spark, table, since_snapshot_id=s1).collect()
+        assert [(r["k"], r["_change_ordinal"]) for r in inc] == [(3, 0)]
+
+    def test_position_deletes_emit_full_preimage(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, delete_where_mor
+
+        table = str(tmp_path / "t")
+        s1 = append(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(6)], "k long, v string"
+            ).coalesce(1), table)
+        delete_where_mor(spark, table, "k >= 4")
+        rows = ice.read_changelog(spark, table, since_snapshot_id=s1).collect()
+        assert {(r["k"], r["v"], r["_change_op"]) for r in rows} == {
+            (4, "v4", "delete"), (5, "v5", "delete")}
+
+    def test_upsert_emits_delete_key_then_insert(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, upsert_keys_mor
+
+        table = str(tmp_path / "t")
+        s1 = append(
+            spark.createDataFrame([(1, "old"), (2, "keep")], "k long, v string")
+            .coalesce(1), table)
+        upsert_keys_mor(
+            spark, table,
+            spark.createDataFrame([(1, "new")], "k long, v string"), "k")
+        rows = ice.read_changelog(spark, table, since_snapshot_id=s1).collect()
+        got = {(r["k"], r["v"], r["_change_op"]) for r in rows}
+        assert got == {(1, None, "delete_key"), (1, "new", "insert")}
+        assert len({r["_change_ordinal"] for r in rows}) == 1  # one snapshot
+
+    def test_rewrite_in_range_requires_rebase(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, compact_files
+
+        table = str(tmp_path / "t")
+        for i in range(3):
+            append(spark.createDataFrame([(i, "x")], "k long, v string")
+                   .coalesce(1), table)
+        compact_files(spark, table, target_bytes=1 << 20)
+        with pytest.raises(ValueError, match="rebase"):
+            ice.read_changelog(spark, table)
+
+    def test_replay_reproduces_table_state(self, spark, tmp_path):
+        """Folding the changelog in ordinal order (deletes before inserts
+        within a snapshot) over an empty state reproduces the live table —
+        the property a downstream CDC consumer relies on."""
+        from parquet_to_arrow_spark.sources.iceberg import (
+            append, read_table, upsert_keys_mor)
+
+        table = str(tmp_path / "t")
+        append(spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5)], "k long, v string").coalesce(1),
+            table)
+        upsert_keys_mor(spark, table, spark.createDataFrame(
+            [(2, "u2"), (7, "v7")], "k long, v string"), "k")
+        upsert_keys_mor(spark, table, spark.createDataFrame(
+            [(2, "u2b")], "k long, v string"), "k")
+        rows = ice.read_changelog(spark, table).collect()
+        state: dict = {}
+        for ordinal in sorted({r["_change_ordinal"] for r in rows}):
+            batch = [r for r in rows if r["_change_ordinal"] == ordinal]
+            for r in batch:
+                if r["_change_op"] in ("delete", "delete_key"):
+                    state.pop(r["k"], None)
+            for r in batch:
+                if r["_change_op"] == "insert":
+                    state[r["k"]] = r["v"]
+        live = {(r["k"], r["v"]) for r in read_table(spark, table).collect()}
+        assert set(state.items()) == live and (2, "u2b") in live
