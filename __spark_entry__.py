@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE tokenizer has no SQL twin (like the codec metrics views);
         # trainer semantics are pinned by tests/test_tokenize.py goldens
         "bpe_encode_documents": _bpe_encode_documents,
+        "grouping_sets_revenue": rel.grouping_sets_revenue,
+        "rolling_hour_user_value": rel.rolling_hour_user_value,
     }
 
 
@@ -1201,6 +1203,22 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= p.ts - INTERVAL 1 HOUR
              AND c.ts <= p.ts
             WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+        "grouping_sets_revenue": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())""",
+        "rolling_hour_user_value": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_in_hour,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                       AS sum_value_hour
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                               AND CURRENT ROW)""",
         "ann_bruteforce_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -1208,3 +1208,55 @@ def event_cooccurrence_pairs(spark, sf_dir, window_s: int = 300) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("type_a", "type_b")
     )
+
+
+def grouping_sets_revenue(spark, sf_dir) -> DataFrame:
+    """Explicit GROUPING SETS ((flag, status), (flag), ()) — the general
+    form of which rollup/cube are shorthands: per-(flag,status) revenue,
+    per-flag subtotals, and the grand total in ONE pass. Catalyst plans it
+    as a single Expand + hash aggregate: each input row fans out once per
+    set, then one partial-aggregated shuffle — at 10^12 rows that is 3x
+    map output for 3 sets, never 3 scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.withColumn("rev", rev)
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+def rolling_hour_user_value(spark, sf_dir) -> DataFrame:
+    """Event-time RANGE window: per event, the same user's event count and
+    value sum over the PRECEDING HOUR (frame = range of the order key, not
+    row count — peers at the same timestamp share a frame). The order key
+    is epoch microseconds, so the frame bound is a plain numeric range —
+    identical semantics in any engine. One shuffle on user_id; state per
+    task is one hour of one user's events."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_in_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value_hour"),
+    )

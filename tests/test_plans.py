@@ -366,3 +366,23 @@ def test_range_join_is_blocked_equi_join(spark):
     plan = plan_of(event_cooccurrence_pairs(spark, SF))
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_grouping_sets_is_one_expand_pass(spark):
+    """GROUPING SETS must plan as ONE scan + Expand + hash aggregate —
+    never one scan per set."""
+    from parquet_to_arrow_spark.operators.relational import grouping_sets_revenue
+
+    plan = plan_of(grouping_sets_revenue(spark, SF))
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1 if "FileScan" in plan else True, plan
+
+
+def test_rolling_hour_window_is_partitioned(spark):
+    """The event-time RANGE window must partition by user_id — a global
+    unpartitioned window serializes the corpus through one task."""
+    from parquet_to_arrow_spark.operators.relational import rolling_hour_user_value
+
+    plan = plan_of(rolling_hour_user_value(spark, SF))
+    assert "Window" in plan, plan
+    assert "partitionBy" not in plan or "user_id" in plan, plan
