@@ -107,7 +107,7 @@ def _index_path(table_dir: str, column: str) -> str:
 
 
 def build_bloom_index(
-    spark, table_or_path: str, column: str, fpp: float = 0.01
+    spark, table_or_path: str, column: str, fpp: float | None = None
 ) -> str:
     """Build (or rebuild) the per-file Bloom index for ``column`` over the
     CURRENT snapshot's data files. One Spark task per file; each worker
@@ -129,6 +129,12 @@ def build_bloom_index(
         raise FileNotFoundError(f"no iceberg table at {table_or_path}")
     sid = meta.get("current-snapshot-id")
     files = iceberg_meta.snapshot_files(table_or_path)
+    if fpp is None:
+        # the quantity that matters is EXPECTED FALSE-POSITIVE FILES per
+        # lookup (n_files * fpp), so the default tightens with file count:
+        # ~1 stray file at any table size, ~2 bits/row per file-count
+        # doubling (16.6 bits/row at 10^2 files, 33 at 10^7)
+        fpp = min(0.01, 1.0 / max(1, len(files)))
 
     def gen(pdfs):
         import pyarrow.parquet as pq
@@ -175,14 +181,24 @@ def build_bloom_index(
     return out
 
 
+_INDEX_CACHE: dict[tuple, tuple[float, dict]] = {}
+
+
 def _load_index(table_or_path: str, column: str) -> dict[str, Bloom] | None:
+    """Read the index parquet, cached per (path, mtime) — repeated point
+    lookups in one process pay the parse once; a rebuilt index (new mtime)
+    invalidates naturally."""
     import pyarrow.parquet as pq
 
     p = _index_path(table_or_path, column)
     if not os.path.exists(p):
         return None
+    mtime = os.path.getmtime(p)
+    hit = _INDEX_CACHE.get(p)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
     t = pq.read_table(p)
-    return {
+    idx = {
         path: Bloom.from_bytes(m, k, raw)
         for path, m, k, raw in zip(
             t["path"].to_pylist(),
@@ -191,6 +207,9 @@ def _load_index(table_or_path: str, column: str) -> dict[str, Bloom] | None:
             t["bits"].to_pylist(),
         )
     }
+    _INDEX_CACHE.clear()  # one-slot: lookups cluster on one table
+    _INDEX_CACHE[p] = (mtime, idx)
+    return idx
 
 
 def bloom_candidate_files(

@@ -571,7 +571,10 @@ def _maybe_evolve_schema(base: dict, spark_schema) -> dict:
             if type_key(a["type"]) != type_key(b["type"]) or a["required"] != b["required"]:
                 raise ValueError(
                     f"unsupported schema evolution for column {f['name']!r}: "
-                    f"{b['type']} -> {a['type']} (only additive changes)"
+                    f"{b['type']}{' required' if b['required'] else ''} -> "
+                    f"{a['type']}{' required' if a['required'] else ''} "
+                    "(only additive changes; a required<->nullable flip "
+                    "usually means the writer's column nullability drifted)"
                 )
     if not added:
         return base

@@ -1,0 +1,187 @@
+"""Scale probe for the round-4 lakehouse surfaces (BENCH/BASELINE.md):
+
+1. BLOOM INDEX over a 256-file / 5.1M-row table of hash-distributed doc
+   ids: index build time (one task per file), index size, and the
+   measured candidate-file count over present/absent point lookups —
+   min/max bounds prune NOTHING on this key shape (every file spans the
+   key space); the bloom prunes to ~1 file.
+2. Z-ORDER COMPACTION of 8M (x, y) rows from 64 interleaved files:
+   measured file-hit fraction of narrow single-dimension range filters on
+   BOTH dimensions, against the sort_by baseline that serves only its
+   leading column.
+3. CHANGELOG over an initial 2M-row append + 16 CDC upsert snapshots x
+   100k updates: read_changelog build + a DISTRIBUTED replay check (last
+   insert per key across ordinals == live table, exceptAll both ways).
+
+Usage: python scripts/lakehouse_probe.py [leg ...]   (default: all three)
+Prints one JSON line per leg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from parquet_to_arrow_spark.session import get_spark
+
+WORK = os.environ.get("LAKEHOUSE_PROBE_DIR", "/tmp/lakehouse_probe")
+
+
+def bloom_leg(spark):
+    from parquet_to_arrow_spark.sources import bloom_index as bi
+    from parquet_to_arrow_spark.sources import iceberg_meta as ice
+    from parquet_to_arrow_spark.sources.iceberg import append
+
+    tab = f"{WORK}/bloom_tab"
+    shutil.rmtree(tab, ignore_errors=True)
+    n, files = 5_120_000, 256
+    df = (
+        spark.range(n)
+        .select(
+            F.format_string(
+                "doc-%013d", F.abs(F.xxhash64(F.col("id"))) % F.lit(10**13)
+            ).alias("doc_id"),
+            F.col("id").alias("n"),
+        )
+        .repartition(files)
+    )
+    append(df, tab)
+    t0 = time.time()
+    idx_path = bi.build_bloom_index(spark, tab, "doc_id")
+    t_build = time.time() - t0
+    idx_bytes = os.path.getsize(idx_path)
+    present = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{tab}/data/*")
+        .select("doc_id")
+        .limit(50)
+        .collect()
+    ]
+    t0 = time.time()
+    hits = [len(bi.bloom_candidate_files(tab, "doc_id", k)) for k in present]
+    absent = [
+        len(bi.bloom_candidate_files(tab, "doc_id", f"doc-x{i}"))
+        for i in range(50)
+    ]
+    t_lookup = (time.time() - t0) / 100
+    row = bi.point_lookup(spark, tab, "doc_id", present[0]).collect()
+    assert row and row[0]["doc_id"] == present[0]
+    return {
+        "leg": "bloom_index",
+        "rows": n,
+        "files": files,
+        "build_s": round(t_build, 1),
+        "index_mib": round(idx_bytes / 2**20, 2),
+        "mean_candidates_present": sum(hits) / len(hits),
+        "mean_candidates_absent": sum(absent) / len(absent),
+        "lookup_ms": round(t_lookup * 1000, 1),
+    }
+
+
+def zorder_leg(spark):
+    from parquet_to_arrow_spark.sources import iceberg_meta as ice
+    from parquet_to_arrow_spark.sources.iceberg import append, compact_files
+
+    out = {}
+    n, files, span = 8_000_000, 64, 1 << 20
+    for mode in ("zorder", "sort"):
+        tab = f"{WORK}/z_{mode}"
+        shutil.rmtree(tab, ignore_errors=True)
+        df = spark.range(n).select(
+            F.col("id"),
+            (F.abs(F.xxhash64("id")) % span).alias("x"),
+            (F.abs(F.xxhash64(F.col("id") + 1)) % span).alias("y"),
+        )
+        append(df.repartition(files), tab)
+        t0 = time.time()
+        kw = (
+            {"zorder": ["x", "y"]}
+            if mode == "zorder"
+            else {"sort_by": "x"}
+        )
+        # every input file must be UNDER target to be eligible, while
+        # ceil(total/target) sets the output count — max_size+1 gives both
+        # (inputs are near-equal, so n_out lands at ~files-1)
+        sizes = [f.file_size for f in ice.snapshot_files(tab)]
+        compact_files(spark, tab, target_bytes=max(sizes) + 1, **kw)
+        t_c = time.time() - t0
+        nf = len(ice.snapshot_files(tab))
+        band = span // 64  # 1/64th of the range
+        hx = hy = 0
+        probes = 32
+        for i in range(probes):
+            lo = (i * 104729) % (span - band)
+            hx += len(ice.snapshot_files(tab, range_filter={"x": (lo, lo + band)}))
+            hy += len(ice.snapshot_files(tab, range_filter={"y": (lo, lo + band)}))
+        out[mode] = {
+            "compact_s": round(t_c, 1),
+            "files": nf,
+            "hit_frac_x": round(hx / probes / nf, 3),
+            "hit_frac_y": round(hy / probes / nf, 3),
+        }
+    return {"leg": "zorder", "rows": n, **out}
+
+
+def changelog_leg(spark):
+    from parquet_to_arrow_spark.sources import iceberg_meta as ice
+    from parquet_to_arrow_spark.sources.iceberg import append, read_table, upsert_keys_mor
+
+    tab = f"{WORK}/cl_tab"
+    shutil.rmtree(tab, ignore_errors=True)
+    n, batches, bsz = 2_000_000, 16, 100_000
+    # k via the same modulo arithmetic as the upserts, so nullability (and
+    # therefore the iceberg schema) matches across commits
+    append(
+        spark.range(n).select(
+            (F.col("id") % n).alias("k"), F.lit(0).alias("ver")
+        ).repartition(16),
+        tab,
+    )
+    t0 = time.time()
+    for b in range(1, batches + 1):
+        upd = spark.range(bsz).select(
+            ((F.col("id") * 7919 + b) % n).alias("k"), F.lit(b).alias("ver")
+        ).dropDuplicates(["k"])
+        upsert_keys_mor(spark, tab, upd, "k")
+    t_upserts = time.time() - t0
+    t0 = time.time()
+    cl = ice.read_changelog(spark, tab)
+    ins = cl.filter(F.col("_change_op") == "insert")
+    final = ins.groupBy("k").agg(
+        F.max(F.struct("_change_ordinal", "ver")).alias("m")
+    ).select("k", F.col("m.ver").alias("ver"))
+    live = read_table(spark, tab).select("k", "ver")
+    d1 = final.exceptAll(live).count()
+    d2 = live.exceptAll(final).count()
+    t_replay = time.time() - t0
+    n_ops = cl.groupBy("_change_op").count().collect()
+    assert d1 == 0 and d2 == 0, (d1, d2)
+    return {
+        "leg": "changelog",
+        "rows": n,
+        "upsert_snapshots": batches,
+        "upserts_s": round(t_upserts, 1),
+        "replay_check_s": round(t_replay, 1),
+        "ops": {r["_change_op"]: r["count"] for r in n_ops},
+        "replay_matches_live": True,
+    }
+
+
+if __name__ == "__main__":
+    legs = sys.argv[1:] or ["bloom", "zorder", "changelog"]
+    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    os.makedirs(WORK, exist_ok=True)
+    for leg in legs:
+        fn = {"bloom": bloom_leg, "zorder": zorder_leg, "changelog": changelog_leg}[leg]
+        t0 = time.time()
+        res = fn(spark)
+        res["wall_s"] = round(time.time() - t0, 1)
+        print(json.dumps(res), flush=True)
+    spark.stop()
