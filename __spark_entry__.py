@@ -197,6 +197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_documents": _bpe_encode_documents,
         "grouping_sets_revenue": rel.grouping_sets_revenue,
         "rolling_hour_user_value": rel.rolling_hour_user_value,
+        # rows-only by declared design: PQ is lossy at every scale (unlike
+        # ann_lsh/ann_ivf it never degenerates to exact brute force), so
+        # its contract is the measured recall@10 in tests, not a SQL twin
+        "ann_pq_topk": sim.ann_pq_topk,
     }
 
 

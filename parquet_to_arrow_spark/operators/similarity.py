@@ -446,3 +446,166 @@ def label_centroids(spark, sf_dir) -> DataFrame:
     return stats.join(cent, "label").select(
         "label", "n_vecs", "avg_norm_r", "centroid_norm_r"
     )
+
+
+# ------------------------------------------------------------- product PQ
+
+PQ_TRAIN_SAMPLE = 65536
+
+
+def pq_codebooks(
+    emb: DataFrame, m: int, ks: int, iters: int = 8
+) -> np.ndarray:
+    """(m, ks, dim/m) product-quantizer codebooks (Jégou et al., PAMI
+    2011): the vector splits into m subvectors, each quantized against its
+    own ks-centroid codebook — so an 8-byte code stands in for a
+    256-byte float64 vector. Trained driver-side on the hash-ordered
+    sample exactly like ivf_centroids (seedless, reproducible under
+    retries); per-subspace Lloyd with blocked distance matrices keeps the
+    memory at sample x ks per block, never sample x ks x dim."""
+    rows = (
+        emb.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(PQ_TRAIN_SAMPLE)
+        .select("embedding")
+        .collect()
+    )
+    sample = _unit(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    ks = min(ks, n)
+    books = np.empty((m, ks, sub))
+    for j in range(m):
+        x = np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub])
+        c = x[:ks].copy()
+        for _ in range(iters):
+            cn = (c**2).sum(axis=1)
+            assign = np.empty(n, dtype=np.int64)
+            for lo in range(0, n, 8192):
+                blk = x[lo : lo + 8192]
+                assign[lo : lo + 8192] = (cn[None, :] - 2 * (blk @ c.T)).argmin(
+                    axis=1
+                )
+            for ci in range(ks):
+                mem = x[assign == ci]
+                if len(mem):
+                    c[ci] = mem.mean(axis=0)
+        books[j] = c
+    return books
+
+
+def pq_codes(emb: DataFrame, books: np.ndarray) -> DataFrame:
+    """(vec_id, codes array<int>) — every vector quantized to its m
+    nearest-centroid indices, one vectorized pass per Arrow batch (the
+    codebooks ride the closure: m*ks*sub doubles, broadcast-sized)."""
+    m, ks, sub = books.shape
+
+    def enc(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype=object)
+        x = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in s]))
+        out = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            blk = x[:, j * sub : (j + 1) * sub]
+            c = books[j]
+            cn = (c**2).sum(axis=1)
+            out[:, j] = (cn[None, :] - 2 * (blk @ c.T)).argmin(axis=1)
+        return pd.Series(list(out))
+
+    return emb.select(
+        "vec_id", F.pandas_udf(enc, "array<int>")(F.col("embedding")).alias("codes")
+    )
+
+
+def ann_pq_topk(
+    spark,
+    sf_dir,
+    n_queries: int = 5,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 256,
+    rerank: int = 4,
+) -> DataFrame:
+    """PQ asymmetric-distance ANN: score every vector against each query
+    through its 8-byte code (ADC: per query ONE (m x ks) table of
+    query-subvector x centroid inner products, broadcast by closure; a
+    vector's approximate similarity is m table lookups), keep the top
+    rerank*k per query, then exact-cosine re-rank the survivors to the
+    final top-k.
+
+    The scale story is MEMORY TRAFFIC, complementing IVF's work-skipping:
+    the exhaustive ADC pass streams m bytes per vector instead of 4*dim
+    (32x less at dim=64 float32) with zero shuffle — per-batch numpy
+    table lookups inside mapInPandas, per-batch top-rerank*k emitted, one
+    tiny TakeOrdered per query on candidates. Lossy by construction, so
+    unlike ann_lsh/ann_ivf it never degenerates to exact at small N —
+    correctness is pinned by the measured recall@10 against brute force
+    (tests), not a SQL oracle."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    books = pq_codebooks(emb, m=m, ks=ks)
+    codes = pq_codes(emb, books)
+    qrows = (
+        emb.orderBy("vec_id").limit(n_queries).select("vec_id", "embedding").collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qv = _unit(np.stack([np.asarray(r["embedding"], np.float64) for r in qrows]))
+    sub = books.shape[2]
+    # tabs[q, j, c] = q_sub_j . centroid_c  — ADC lookup tables, (Q, m, ks)
+    tabs = np.stack(
+        [qv[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)], axis=1
+    )
+    keep = rerank * k
+
+    def score(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vid = pdf["vec_id"].to_numpy()
+            cm = np.stack(pdf["codes"].to_list()).astype(np.int64)  # (B, m)
+            outs = []
+            for qi in range(len(qids)):
+                s = np.zeros(len(vid))
+                for j in range(m):
+                    s += tabs[qi, j][cm[:, j]]
+                mask = vid != qids[qi]
+                order = np.argsort(-s[mask])[:keep]
+                v, sc = vid[mask][order], s[mask][order]
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qids[qi], "vec_id": v, "adc": sc}
+                    )
+                )
+            yield pd.concat(outs)
+
+    cands = codes.mapInPandas(score, "query_id long, vec_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    short = (
+        cands.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= keep)
+        .drop("r", "adc")
+    )
+    qdf = spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["embedding"])) for r in qrows],
+        "query_id long, q array<float>",
+    )
+    exact = (
+        short.join(emb, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("sim", cosine(F.col("q"), F.col("embedding")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("sim", 6).alias("sim_r"),
+        )
+    )
