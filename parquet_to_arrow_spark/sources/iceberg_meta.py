@@ -1967,6 +1967,123 @@ def added_files(
     return [after[p] for p in sorted(after)]
 
 
+def metadata_table(spark, table_dir: str, kind: str):
+    """The table's OWN metadata as a queryable DataFrame — the engine's
+    analogue of Iceberg's `tbl$files` / `$snapshots` / `$history` /
+    `$partitions` / `$manifests` metadata tables, so table-hygiene
+    questions ("which partition carries the small files?", "how many
+    delete rows are pending?") are plain Spark SQL instead of bespoke
+    scripts. Everything comes from the manifest walk — a driver-side
+    metadata read, bounded by file count, no data file opened; the frames
+    are small and the point is the SQL surface, not parallelism."""
+    from pyspark.sql import functions as F
+
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    if kind == "snapshots":
+        rows = [
+            (
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["sequence-number"],
+                s["timestamp-ms"],
+                s.get("summary", {}).get("operation"),
+                json.dumps(s.get("summary", {})),
+            )
+            for s in meta["snapshots"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, sequence_number long, "
+            "committed_at_ms long, operation string, summary string",
+        )
+    if kind == "history":
+        cur = meta.get("current-snapshot-id")
+        rows = [
+            (e["timestamp-ms"], e["snapshot-id"], e["snapshot-id"] == cur)
+            for e in meta.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(
+            rows, "made_current_at_ms long, snapshot_id long, is_current boolean"
+        )
+    if kind == "refs":
+        rows = [
+            (name, r.get("type", "branch"), r["snapshot-id"])
+            for name, r in sorted(meta.get("refs", {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+    if kind in ("files", "delete_files"):
+        fs = (
+            snapshot_files(table_dir)
+            if kind == "files"
+            else snapshot_delete_files(table_dir)
+        )
+        rows = [
+            (
+                f.path,
+                f.content,
+                f.record_count,
+                f.file_size,
+                json.dumps(f.partition) if f.partition else None,
+                f.sequence,
+            )
+            for f in fs
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_path string, content int, record_count long, "
+            "file_size_bytes long, partition string, sequence_number long",
+        )
+    if kind == "partitions":
+        groups: dict[str, list] = {}
+        for f in snapshot_files(table_dir):
+            key = json.dumps(f.partition or {}, sort_keys=True)
+            groups.setdefault(key, []).append(f)
+        rows = [
+            (
+                key,
+                len(fs),
+                sum(f.record_count for f in fs),
+                sum(f.file_size for f in fs),
+            )
+            for key, fs in sorted(groups.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition string, file_count long, record_count long, "
+            "total_size_bytes long",
+        )
+    if kind == "manifests":
+        cur = meta.get("current-snapshot-id")
+        if cur in (None, -1):
+            return spark.createDataFrame(
+                [], "path string, length long, content int, added_snapshot_id long"
+            )
+        snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
+        _, mlist = avro_io.read_container(
+            open(snap["manifest-list"], "rb").read()
+        )
+        rows = [
+            (
+                m["manifest_path"],
+                m.get("manifest_length", 0),
+                m.get("content", 0),
+                m["added_snapshot_id"],
+            )
+            for m in mlist
+        ]
+        return spark.createDataFrame(
+            rows, "path string, length long, content int, added_snapshot_id long"
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r} (snapshots, history, refs, files, "
+        "delete_files, partitions, manifests)"
+    )
+
+
 def read_changelog(
     spark,
     table_dir: str,

@@ -2089,3 +2089,56 @@ class TestChangelog:
                     state[r["k"]] = r["v"]
         live = {(r["k"], r["v"]) for r in read_table(spark, table).collect()}
         assert set(state.items()) == live and (2, "u2b") in live
+
+
+class TestMetadataTables:
+    def test_metadata_tables_are_queryable(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import (
+            append, delete_keys_mor)
+
+        table = str(tmp_path / "t")
+        s1 = append(
+            spark.createDataFrame(
+                [(i, f"v{i}", ["a", "b"][i % 2]) for i in range(10)],
+                "k long, v string, g string",
+            ).repartition(2), table)
+        s2 = append(
+            spark.createDataFrame([(10, "x", "a")], "k long, v string, g string")
+            .coalesce(1), table)
+        delete_keys_mor(
+            spark, table, spark.createDataFrame([(3,)], "k long"), "k"
+        )
+        ice.set_ref(table, "audit", s1)
+
+        snaps = ice.metadata_table(spark, table, "snapshots")
+        assert snaps.count() == 3
+        assert snaps.filter("operation = 'delete'").count() == 1
+        hist = ice.metadata_table(spark, table, "history").collect()
+        assert sum(r["is_current"] for r in hist) == 1
+        files = ice.metadata_table(spark, table, "files")
+        assert files.count() == 3  # 2 + 1 data files
+        dels = ice.metadata_table(spark, table, "delete_files")
+        assert dels.count() == 1 and dels.first()["content"] == 2
+        refs = {r["name"]: r["snapshot_id"]
+                for r in ice.metadata_table(spark, table, "refs").collect()}
+        assert refs["audit"] == s1 and "main" in refs
+        mans = ice.metadata_table(spark, table, "manifests")
+        assert mans.filter("content = 1").count() == 1  # the delete manifest
+        # plain SQL over the metadata frame
+        files.createOrReplaceTempView("tfiles")
+        assert spark.sql(
+            "SELECT sum(record_count) FROM tfiles WHERE content = 0"
+        ).first()[0] == 11
+
+    def test_partitions_metadata_table_groups_by_partition(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [(i, f"t{i}", ["web", "books"][i % 2]) for i in range(20)],
+            "doc_id long, text string, source string")
+        d = str(tmp_path / "w")
+        docs.coalesce(1).write.partitionBy("source").parquet(d)
+        table = str(tmp_path / "pt")
+        ice.commit_parquet_dir(
+            table, d, spark_schema=docs.schema, ts_ms=1, partition_by=["source"])
+        parts = {r["partition"]: r["record_count"]
+                 for r in ice.metadata_table(spark, table, "partitions").collect()}
+        assert len(parts) == 2 and sum(parts.values()) == 20
