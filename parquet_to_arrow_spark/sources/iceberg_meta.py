@@ -1172,6 +1172,68 @@ def set_ref(
     _publish_metadata(table_dir, new_meta)
 
 
+def stage_snapshot(
+    table_dir: str, branch: str, expect_sid: int | None = None
+) -> int:
+    """Write-audit-publish, step 1: turn the just-committed CURRENT
+    snapshot into a STAGED one — a ``branch`` ref keeps it reachable (and
+    expiry-proof) while main steps back to its parent, so table readers
+    see nothing until the audit passes. ``expect_sid`` guards the
+    non-atomic append+stage pair: if another writer committed in between,
+    staging would hide THEIR snapshot — raise instead. Returns the staged
+    snapshot id."""
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        raise ValueError("no current snapshot to stage")
+    if expect_sid is not None and cur != expect_sid:
+        raise CommitConflict(
+            f"current snapshot {cur} is not the expected {expect_sid}; a "
+            "concurrent commit landed — resolve before staging"
+        )
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
+    parent = snap.get("parent-snapshot-id", -1)
+    new_meta = dict(meta)
+    refs = {
+        k: v for k, v in meta.get("refs", {}).items() if k != "main"
+    }
+    refs[branch] = {"snapshot-id": cur, "type": "branch"}
+    if parent not in (None, -1):
+        refs["main"] = {"snapshot-id": parent, "type": "branch"}
+    new_meta["refs"] = refs
+    new_meta["current-snapshot-id"] = parent if parent not in (None, -1) else -1
+    _publish_metadata(table_dir, new_meta)
+    return cur
+
+
+def publish_branch(table_dir: str, branch: str) -> int:
+    """Write-audit-publish, step 3 (step 2 is the audit itself — read the
+    branch by name and validate): fast-forward main to the branch head and
+    drop the branch ref. The data files were in place since the staged
+    commit; publishing is one metadata version, so the whole WAP cycle
+    adds zero data writes. Returns the published snapshot id."""
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    ref = meta.get("refs", {}).get(branch)
+    if ref is None:
+        raise ValueError(f"no branch named {branch!r}")
+    sid = ref["snapshot-id"]
+    new_meta = dict(meta)
+    new_meta["refs"] = {
+        **{k: v for k, v in meta["refs"].items() if k != branch},
+        "main": {"snapshot-id": sid, "type": "branch"},
+    }
+    new_meta["current-snapshot-id"] = sid
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": int(time.time() * 1000), "snapshot-id": sid}
+    ]
+    _publish_metadata(table_dir, new_meta)
+    return sid
+
+
 def remove_ref(table_dir: str, name: str) -> None:
     """Drop a named ref; its snapshot becomes expirable again."""
     if name == "main":
@@ -1236,6 +1298,10 @@ def snapshot_files(
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_dir}")
     sid = _resolve_sid(meta, snapshot_id)
+    if sid in (None, -1):
+        # pre-first-snapshot state (e.g. the only commit is WAP-staged):
+        # an empty table, not an error
+        return []
     snap = meta["snapshots"][_snapshot_index(meta["snapshots"], sid)]
     schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]

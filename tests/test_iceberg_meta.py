@@ -2142,3 +2142,51 @@ class TestMetadataTables:
         parts = {r["partition"]: r["record_count"]
                  for r in ice.metadata_table(spark, table, "partitions").collect()}
         assert len(parts) == 2 and sum(parts.values()) == 20
+
+
+class TestWriteAuditPublish:
+    def test_wap_cycle_hides_then_publishes(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, read_table
+
+        table = str(tmp_path / "t")
+        append(spark.createDataFrame([(1, "a")], "k long, v string")
+               .coalesce(1), table)
+        sid = append(spark.createDataFrame([(2, "b")], "k long, v string")
+                     .coalesce(1), table)
+        staged = ice.stage_snapshot(table, "audit", expect_sid=sid)
+        assert staged == sid
+        # main readers see the pre-stage state; auditors read the branch
+        assert {r["k"] for r in read_table(spark, table).collect()} == {1}
+        audit = ice.read_snapshot(spark, table, "audit")
+        assert {r["k"] for r in audit.collect()} == {1, 2}
+        # expiry cannot reap the staged snapshot (branch ref pins it)
+        ice.expire_snapshots(table, keep_last=1)
+        assert {r["k"] for r in ice.read_snapshot(spark, table, "audit")
+                .collect()} == {1, 2}
+        pub = ice.publish_branch(table, "audit")
+        assert pub == sid
+        assert {r["k"] for r in read_table(spark, table).collect()} == {1, 2}
+        refs = ice.current_metadata(table)["refs"]
+        assert "audit" not in refs and refs["main"]["snapshot-id"] == sid
+
+    def test_stage_detects_concurrent_commit(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = str(tmp_path / "t")
+        sid = append(spark.createDataFrame([(1, "a")], "k long, v string")
+                     .coalesce(1), table)
+        append(spark.createDataFrame([(2, "b")], "k long, v string")
+               .coalesce(1), table)  # someone else's commit
+        with pytest.raises(ice.CommitConflict):
+            ice.stage_snapshot(table, "audit", expect_sid=sid)
+
+    def test_stage_first_snapshot_empties_main(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, read_table
+
+        table = str(tmp_path / "t")
+        sid = append(spark.createDataFrame([(1, "a")], "k long, v string")
+                     .coalesce(1), table)
+        ice.stage_snapshot(table, "wip", expect_sid=sid)
+        assert read_table(spark, table).count() == 0  # empty table state
+        assert ice.publish_branch(table, "wip") == sid
+        assert read_table(spark, table).count() == 1

@@ -43,12 +43,16 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("snapshots", "files", "history", "expire", "orphans",
                  "incremental", "deletes", "tag", "untag",
-                 "rewrite-manifests", "lookup"):
+                 "rewrite-manifests", "lookup", "stage", "publish"):
         s = sub.add_parser(name)
         s.add_argument("table")
         if name == "lookup":
             s.add_argument("--column", required=True)
             s.add_argument("--value", required=True)
+        if name in ("stage", "publish"):
+            s.add_argument("branch")
+        if name == "stage":
+            s.add_argument("--expect", type=int, default=None)
         if name == "files":
             s.add_argument("--snapshot", type=int, default=None)
             s.add_argument("--partition", action="append", default=[])
@@ -152,6 +156,12 @@ def main(argv: list[str] | None = None) -> int:
             "n_candidates": total if cands is None else len(cands),
             "candidates": cands,
         }
+    elif args.cmd == "stage":
+        sid = ice.stage_snapshot(args.table, args.branch, expect_sid=args.expect)
+        out = {"staged_snapshot_id": sid, "branch": args.branch}
+    elif args.cmd == "publish":
+        sid = ice.publish_branch(args.table, args.branch)
+        out = {"published_snapshot_id": sid}
     elif args.cmd == "rewrite-manifests":
         sid = ice.rewrite_manifests(args.table)
         out = {"snapshot_id": sid, "noop": sid is None}
