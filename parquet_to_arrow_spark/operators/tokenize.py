@@ -140,8 +140,9 @@ def sample_word_freqs(
         # keep ~max_docs docs: md5 bucket over 1e6 cells
         thresh = int(1_000_000 * max_docs / n)
         chosen = docs.filter(
-            F.conv(F.substring(F.md5(F.col("doc_id")), 1, 8), 16, 10)
-            .cast("long")
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
             % 1_000_000
             < thresh
         )

@@ -755,6 +755,11 @@ def _zvalue_expr(cols: list[str], bounds: dict[str, tuple[float, float]], bits: 
     from pyspark.sql import functions as F
 
     k = len(cols)
+    # every interleaved position b*k+i must fit a signed 64-bit long —
+    # JVM shiftleft wraps the shift amount mod 64, which would silently
+    # alias bits and destroy the ordering; more columns => fewer bits
+    # each (5 cols -> 12 bits/col), still a valid Morton key
+    bits = min(bits, 63 // k)
     top = (1 << bits) - 1
     scaled = []
     for c in cols:
@@ -860,6 +865,8 @@ def compact_files(
     import uuid
     from urllib.parse import quote
 
+    if sort_by and zorder:
+        raise ValueError("pass sort_by or zorder, not both")
     meta = iceberg_meta.current_metadata(table_or_path)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_or_path}")
@@ -896,8 +903,6 @@ def compact_files(
         n_out = max(1, math.ceil(total / target_bytes))
         df = spark.read.schema(ddl).parquet(*[f.path for f in fs])
         if zorder:
-            if sort_by:
-                raise ValueError("pass sort_by or zorder, not both")
             bounds = _zorder_bounds(zorder, fs, cur_schema, df)
             df = (
                 df.withColumn("__z", _zvalue_expr(zorder, bounds))

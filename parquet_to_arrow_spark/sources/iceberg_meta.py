@@ -1182,6 +1182,8 @@ def stage_snapshot(
     non-atomic append+stage pair: if another writer committed in between,
     staging would hide THEIR snapshot — raise instead. Returns the staged
     snapshot id."""
+    if branch == "main":
+        raise ValueError("'main' is the publish target, not a staging branch")
     meta = current_metadata(table_dir)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_dir}")
@@ -1221,6 +1223,18 @@ def publish_branch(table_dir: str, branch: str) -> int:
     if ref is None:
         raise ValueError(f"no branch named {branch!r}")
     sid = ref["snapshot-id"]
+    # fast-forward only: main must still sit at the staged snapshot's
+    # parent, or a commit that landed between stage and publish would be
+    # silently dropped from the table (the same race class expect_sid
+    # guards on the stage side)
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    parent = snap.get("parent-snapshot-id", -1)
+    cur = meta.get("current-snapshot-id")
+    if (cur if cur is not None else -1) != (parent if parent is not None else -1):
+        raise CommitConflict(
+            f"main moved to {cur} since {branch!r} was staged off "
+            f"{parent}; rebase the staged work before publishing"
+        )
     new_meta = dict(meta)
     new_meta["refs"] = {
         **{k: v for k, v in meta["refs"].items() if k != branch},
@@ -1540,16 +1554,21 @@ _ICEBERG_TO_SPARK_DDL = {
 }
 
 
+def _spark_type(t) -> str:
+    """One iceberg field type -> Spark DDL type (array-recursive); the
+    single renderer behind _spark_ddl and read_changelog's typed-null
+    casts."""
+    if isinstance(t, dict):
+        return f"array<{_spark_type(t['element'])}>"
+    return _ICEBERG_TO_SPARK_DDL[t]
+
+
 def _spark_ddl(schema: dict) -> str:
     """Spark read schema from the CURRENT iceberg schema — files written
     before an additive evolution simply project the new columns as null."""
-
-    def t(x):
-        if isinstance(x, dict):
-            return f"array<{t(x['element'])}>"
-        return _ICEBERG_TO_SPARK_DDL[x]
-
-    return ", ".join(f"`{f['name']}` {t(f['type'])}" for f in schema["fields"])
+    return ", ".join(
+        f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
+    )
 
 
 def _delete_target_ranges(dels: list[DataFile]) -> list[tuple[str, str]] | None:
@@ -2207,14 +2226,8 @@ def read_changelog(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
     )
     ddl = _spark_ddl(cur_schema)
-
-    def _sty(t):
-        if isinstance(t, dict):
-            return f"array<{_sty(t['element'])}>"
-        return _ICEBERG_TO_SPARK_DDL[t]
-
     names = [f["name"] for f in cur_schema["fields"]]
-    types = {f["name"]: _sty(f["type"]) for f in cur_schema["fields"]}
+    types = {f["name"]: _spark_type(f["type"]) for f in cur_schema["fields"]}
     names_by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
 
     frames = []

@@ -2190,3 +2190,77 @@ class TestWriteAuditPublish:
         assert read_table(spark, table).count() == 0  # empty table state
         assert ice.publish_branch(table, "wip") == sid
         assert read_table(spark, table).count() == 1
+
+
+class TestReviewRound4:
+    """Regressions from the round-4 session review."""
+
+    def test_publish_rejects_moved_main(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = str(tmp_path / "t")
+        append(spark.createDataFrame([(1, "a")], "k long, v string")
+               .coalesce(1), table)
+        sid = append(spark.createDataFrame([(2, "b")], "k long, v string")
+                     .coalesce(1), table)
+        ice.stage_snapshot(table, "audit", expect_sid=sid)
+        # a commit lands while the audit runs
+        append(spark.createDataFrame([(3, "c")], "k long, v string")
+               .coalesce(1), table)
+        with pytest.raises(ice.CommitConflict, match="rebase"):
+            ice.publish_branch(table, "audit")
+
+    def test_stage_rejects_main_branch(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = str(tmp_path / "t")
+        sid = append(spark.createDataFrame([(1, "a")], "k long, v string")
+                     .coalesce(1), table)
+        with pytest.raises(ValueError, match="main"):
+            ice.stage_snapshot(table, "main", expect_sid=sid)
+
+    def test_compact_rejects_both_policies_up_front(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, compact_files
+
+        table = str(tmp_path / "t")
+        append(spark.createDataFrame([(1, 2)], "x long, y long").coalesce(1),
+               table)  # single file: no eligible group, but still rejected
+        with pytest.raises(ValueError, match="not both"):
+            compact_files(spark, table, target_bytes=1, sort_by="x",
+                          zorder=["x", "y"])
+
+    def test_zvalue_bits_capped_for_many_columns(self, spark):
+        from parquet_to_arrow_spark.sources.iceberg import _zvalue_expr
+
+        cols = ["a", "b", "c", "d", "e"]
+        bounds = {c: (0.0, 1000.0) for c in cols}
+        df = spark.createDataFrame(
+            [tuple(float(i * j) for j in range(1, 6)) for i in range(100)],
+            "a double, b double, c double, d double, e double",
+        ).withColumn("z", _zvalue_expr(cols, bounds))
+        rows = df.collect()
+        # 5 cols x 12 bits = 60 positions: every z fits a positive long
+        # and the ordering is non-degenerate
+        assert all(0 <= r["z"] < (1 << 63) for r in rows)
+        assert len({r["z"] for r in rows}) > 50
+
+    def test_cli_lookup_string_column_keeps_leading_zeros(
+        self, spark, tmp_path, capsys
+    ):
+        import sys
+
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        sys.path.insert(0, "tools")
+        import iceberg_cli
+
+        table = str(tmp_path / "t")
+        append(spark.createDataFrame([("0042", 1)], "doc_id string, n long")
+               .coalesce(1), table)
+        bi.build_bloom_index(spark, table, "doc_id")
+        assert iceberg_cli.main(
+            ["lookup", table, "--column", "doc_id", "--value", "0042"]
+        ) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["n_candidates"] == 1  # '0042' must not hash as 42

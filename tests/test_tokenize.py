@@ -81,3 +81,13 @@ class TestDistributedApply:
         assert len(rows) == 500
         assert all(r["n_tok"] > 0 and r["n_unk"] == 0 for r in rows)
         assert all(r["pieces_head"] for r in rows)
+
+
+def test_sample_word_freqs_samples_large_int_keyed_corpus(spark):
+    """The md5-bucket sampling branch (corpus > max_docs) must work on the
+    int64-doc_id documents table — regression for a missing string cast
+    that only fired past 4096 docs."""
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    assert docs.count() > 300
+    freqs = tk.sample_word_freqs(spark, docs, max_docs=300)
+    assert freqs and sum(freqs.values()) > 0

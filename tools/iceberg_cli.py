@@ -143,11 +143,18 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "lookup":
         from parquet_to_arrow_spark.sources import bloom_index as bi
 
-        v = (
-            int(args.value)
-            if args.value.lstrip("-").isdigit()
-            else args.value
+        # coerce by the COLUMN's declared type, never by what the value
+        # looks like: '0042' against a string column must stay '0042'
+        meta = ice.current_metadata(args.table)
+        schema = next(
+            s for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
         )
+        ctype = next(
+            (f["type"] for f in schema["fields"] if f["name"] == args.column),
+            "string",
+        )
+        v = int(args.value) if ctype in ("int", "long") else args.value
         cands = bi.bloom_candidate_files(args.table, args.column, v)
         total = len(ice.snapshot_files(args.table))
         out = {
