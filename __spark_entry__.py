@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE tokenizer has no SQL twin (like the codec metrics views);
         # trainer semantics are pinned by tests/test_tokenize.py goldens
         "bpe_encode_documents": _bpe_encode_documents,
+        "bpe_roundtrip_documents": _bpe_roundtrip_documents,
         "grouping_sets_revenue": rel.grouping_sets_revenue,
         "rolling_hour_user_value": rel.rolling_hour_user_value,
         # rows-only by declared design: PQ is lossy at every scale (unlike
@@ -234,6 +235,12 @@ def _bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_to_arrow_spark.operators.tokenize import bpe_encode_documents
 
     return bpe_encode_documents(spark, sf_dir, n_merges=120)
+
+
+def _bpe_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_to_arrow_spark.operators.tokenize import bpe_roundtrip_documents
+
+    return bpe_roundtrip_documents(spark, sf_dir, n_merges=120)
 
 
 def _occ(needle: str) -> str:
@@ -1207,6 +1214,12 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= p.ts - INTERVAL 1 HOUR
              AND c.ts <= p.ts
             WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+        "bpe_roundtrip_documents": """
+            -- the tokenizer's lossless contract: detokenize(tokenize(x))
+            -- equals the whitespace-normalized input
+            SELECT doc_id,
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+            FROM documents""",
         "grouping_sets_revenue": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    CAST(sum(CAST(l_extendedprice * (1 - l_discount)

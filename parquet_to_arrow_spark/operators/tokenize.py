@@ -199,6 +199,49 @@ def bpe_encode(
     )
 
 
+def bpe_detokenize(enc: DataFrame, vocab: dict[str, int]) -> DataFrame:
+    """(doc_id, text) back from token ids — pure JVM projection: an
+    id-indexed literal piece array, element_at per token, concat, and the
+    end-of-word markers become spaces. The inverse proves the tokenizer
+    lossless (modulo whitespace normalization, which the split in
+    bpe_encode already collapsed)."""
+    id2piece = {i: p for p, i in vocab.items()}
+    piece_arr = F.array(*[F.lit(id2piece[i]) for i in sorted(id2piece)])
+    return enc.select(
+        "doc_id",
+        F.trim(
+            F.replace(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.col("tokens"),
+                        lambda t: F.element_at(piece_arr, t + F.lit(1)),
+                    ),
+                ),
+                F.lit(END),
+                F.lit(" "),
+            )
+        ).alias("text"),
+    )
+
+
+def bpe_roundtrip_documents(
+    spark: SparkSession, sf_dir: str, n_merges: int = 120
+) -> DataFrame:
+    """Driver query with an EXACT oracle: tokenize every document and
+    detokenize it back. Losslessness makes the result equal to the
+    whitespace-normalized input, which plain SQL can compute — so the
+    whole train→encode→decode loop is value-hash-checked against DuckDB,
+    the same 'decoded values bit-identical' contract the codec pipeline
+    lives under (reference README.md:93-95)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    freqs = sample_word_freqs(spark, docs)
+    merges = bpe_train(freqs, n_merges)
+    vocab = bpe_vocab(freqs, merges)
+    out = bpe_detokenize(bpe_encode(spark, docs, merges, vocab), vocab)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
 def bpe_encode_documents(
     spark: SparkSession,
     sf_dir: str,

@@ -91,3 +91,17 @@ def test_sample_word_freqs_samples_large_int_keyed_corpus(spark):
     assert docs.count() > 300
     freqs = tk.sample_word_freqs(spark, docs, max_docs=300)
     assert freqs and sum(freqs.values()) > 0
+
+
+def test_bpe_roundtrip_equals_normalized_text(spark):
+    """detokenize(tokenize(x)) == whitespace-normalized x for every doc —
+    the tokenizer's lossless contract, the same decoded-values-identical
+    rule the codec pipeline lives under."""
+    from pyspark.sql import functions as F
+
+    got = tk.bpe_roundtrip_documents(spark, "/root/testdata/sf0.001", n_merges=60)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("text"),
+    )
+    assert got.exceptAll(docs).count() == 0 and docs.exceptAll(got).count() == 0
