@@ -13,7 +13,7 @@ Design (modeled on Iceberg's Puffin statistics sidecars — advisory blobs
 keyed by snapshot + data file, never load-bearing for correctness):
 
 - The index is a PARQUET file under ``metadata/`` (columnar:
-  ``path, n, m_bits, k, bits``), published atomically via tmp+hard-link
+  ``path, m_bits, k, bits``), published atomically via tmp+hard-link
   like every other metadata artifact. One row per data file; blobs are
   ~10 bits/row at the default 1% fpp (125 KB for a 100k-row file).
 - Build is one Spark task per data file (the engine's file-split scan
@@ -122,8 +122,6 @@ def build_bloom_index(
     per partition directory). Blobs do NOT belong in the manifests — they
     would bloat every snapshot walk; Iceberg's Puffin made the same call.
     """
-    import pandas as pd
-
     meta = iceberg_meta.current_metadata(table_or_path)
     if meta is None:
         raise FileNotFoundError(f"no iceberg table at {table_or_path}")
@@ -135,6 +133,49 @@ def build_bloom_index(
         # ~1 stray file at any table size, ~2 bits/row per file-count
         # doubling (16.6 bits/row at 10^2 files, 33 at 10^7)
         fpp = min(0.01, 1.0 / max(1, len(files)))
+    blooms = _build_blooms(spark, sorted(f.path for f in files), column, fpp)
+    return _write_index(table_or_path, column, blooms, sid)
+
+
+_INDEX_CACHE: dict[tuple, tuple[float, dict]] = {}
+
+
+def update_bloom_index(
+    spark, table_or_path: str, column: str, fpp: float | None = None
+) -> tuple[str, int]:
+    """Incremental maintenance: build filters ONLY for live data files the
+    index does not cover yet and drop rows for files no longer live —
+    cost is O(new files), not O(table), so the index keeps up with a
+    steady append stream the way manifest maintenance does. Falls back to
+    a full build when no index exists. Returns (index_path,
+    n_files_built)."""
+    idx = _load_index(table_or_path, column)
+    if idx is None:
+        return build_bloom_index(spark, table_or_path, column, fpp), len(
+            iceberg_meta.snapshot_files(table_or_path)
+        )
+    live = {f.path for f in iceberg_meta.snapshot_files(table_or_path)}
+    missing = sorted(live - set(idx))
+    if not missing and set(idx) <= live:
+        return _index_path(table_or_path, column), 0
+    if missing:
+        if fpp is None:
+            fpp = min(0.01, 1.0 / max(1, len(live)))
+        sub = _build_blooms(spark, missing, column, fpp)
+    else:
+        sub = {}
+    meta = iceberg_meta.current_metadata(table_or_path)
+    sid = meta.get("current-snapshot-id")
+    keep = {p: b for p, b in idx.items() if p in live}
+    keep.update(sub)
+    out = _write_index(table_or_path, column, keep, sid)
+    return out, len(missing)
+
+
+def _build_blooms(spark, paths: list[str], column: str, fpp: float) -> dict:
+    """One Spark task per file -> {path: Bloom} (the build kernel shared
+    by full and incremental builds)."""
+    import pandas as pd
 
     def gen(pdfs):
         import pyarrow.parquet as pq
@@ -153,24 +194,32 @@ def build_bloom_index(
                     }
                 )
 
-    paths = sorted(f.path for f in files)
     rows = (
         spark.createDataFrame([(p,) for p in paths], "path string")
         .repartition(max(1, len(paths)))
         .mapInPandas(gen, "path string, n long, m_bits long, k int, bits string")
         .collect()
     )
+    return {
+        r["path"]: Bloom.from_bytes(r["m_bits"], r["k"], base64.b64decode(r["bits"]))
+        for r in rows
+    }
+
+
+def _write_index(
+    table_or_path: str, column: str, blooms: dict, snapshot_id
+) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    paths = sorted(blooms)
     table = pa.table(
         {
-            "path": [r["path"] for r in rows],
-            "n": [r["n"] for r in rows],
-            "m_bits": [r["m_bits"] for r in rows],
-            "k": [r["k"] for r in rows],
-            "bits": [base64.b64decode(r["bits"]) for r in rows],
-            "snapshot_id": [sid] * len(rows),
+            "path": paths,
+            "m_bits": [blooms[p].m_bits for p in paths],
+            "k": [blooms[p].k for p in paths],
+            "bits": [blooms[p].to_bytes() for p in paths],
+            "snapshot_id": [snapshot_id] * len(paths),
         }
     )
     out = _index_path(table_or_path, column)
@@ -179,9 +228,6 @@ def build_bloom_index(
     pq.write_table(table, tmp)
     os.replace(tmp, out)
     return out
-
-
-_INDEX_CACHE: dict[tuple, tuple[float, dict]] = {}
 
 
 def _load_index(table_or_path: str, column: str) -> dict[str, Bloom] | None:

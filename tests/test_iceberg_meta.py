@@ -2264,3 +2264,30 @@ class TestReviewRound4:
         ) == 0
         out = json.loads(capsys.readouterr().out)
         assert out["n_candidates"] == 1  # '0042' must not hash as 42
+
+
+class TestBloomIncremental:
+    def test_update_builds_only_missing_files(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = str(tmp_path / "t")
+        for k in range(3):
+            append(
+                spark.createDataFrame([(f"doc-{k}-{i}", i) for i in range(50)],
+                                      "doc_id string, n long").coalesce(1),
+                table)
+        _, built = bi.update_bloom_index(spark, table, "doc_id")
+        assert built == 3  # no index yet: full build
+        _, built = bi.update_bloom_index(spark, table, "doc_id")
+        assert built == 0  # nothing new: no tasks
+        append(spark.createDataFrame([("late-1", 1)], "doc_id string, n long")
+               .coalesce(1), table)
+        _, built = bi.update_bloom_index(spark, table, "doc_id")
+        assert built == 1  # only the new file
+        # pruning now covers the late file too
+        cands = bi.bloom_candidate_files(table, "doc_id", "late-1")
+        assert len(cands) == 1
+        assert bi.point_lookup(spark, table, "doc_id", "late-1").count() == 1
+        # old keys still found
+        assert bi.point_lookup(spark, table, "doc_id", "doc-2-7").count() == 1
