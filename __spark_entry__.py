@@ -4,8 +4,11 @@ entry(spark)   -> flagship encode/decode/verify pipeline on sf0.001.
 queries()      -> one (spark, sf_dir) -> DataFrame per implemented operator
                   (SURVEY.md §2 inventory + training-data pipeline ops).
 oracle_sql()   -> the DuckDB-runnable ANSI SQL twin of each query. Omitted
-                  keys (engine-internal codec metrics only) get the
-                  driver's weaker rows-only check.
+                  keys get the driver's weaker rows-only check; the only
+                  such keys are engine-internal codec metrics views, the
+                  BPE tokenizer encode (its ROUNDTRIP twin
+                  bpe_roundtrip_documents is hash-exact), and PQ ANN
+                  (lossy by construction; contract = measured recall).
 
 Column names are aliased identically on both sides — the driver sorts
 columns by name before value-hashing.
