@@ -36,6 +36,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # int64 micros, not the deprecated INT96: INT96 chunks carry no
+        # min/max statistics (killing manifest bounds / file skipping for
+        # timestamp columns) and Iceberg's spec requires micros anyway
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_rows))
         .config("spark.ui.enabled", "false")

@@ -744,7 +744,12 @@ def merge_keys(
     )
 
 
-def _zvalue_expr(cols: list[str], bounds: dict[str, tuple[float, float]], bits: int = 16):
+def _zvalue_expr(
+    cols: list[str],
+    bounds: dict[str, tuple[float, float]],
+    bits: int = 16,
+    srcs: dict | None = None,
+):
     """Morton (Z-order) interleave of ``cols`` as ONE JVM column expression:
     each column is min-max normalized to ``bits`` bits, then bit b of
     column i lands at position b*k+i — so a range predicate on ANY single
@@ -764,11 +769,12 @@ def _zvalue_expr(cols: list[str], bounds: dict[str, tuple[float, float]], bits: 
     scaled = []
     for c in cols:
         lo, hi = bounds[c]
+        src = (srcs or {}).get(c, F.col(c).cast("double"))
         if hi > lo:
             s = F.least(
                 F.lit(top).cast("long"),
                 F.floor(
-                    (F.coalesce(F.col(c).cast("double"), F.lit(float(lo))) - F.lit(float(lo)))
+                    (F.coalesce(src, F.lit(float(lo))) - F.lit(float(lo)))
                     / F.lit(float(hi) - float(lo))
                     * F.lit(float(top))
                 ).cast("long"),
@@ -785,38 +791,64 @@ def _zvalue_expr(cols: list[str], bounds: dict[str, tuple[float, float]], bits: 
 
 
 _Z_NUMERIC = {"int", "long", "float", "double"}
+# temporal columns z-order through their epoch ordinals (the classic
+# time-series clustering key); bounds always come from one aggregation —
+# manifest bound values for temporal types are serialization-specific
+_Z_TEMPORAL = {"date", "timestamp", "timestamptz"}
+
+
+def _z_src_exprs(cols: list[str], cur_schema: dict) -> dict:
+    """Per-column numeric source expression for the Morton normalize:
+    plain cast for numeric types, epoch ordinal (days / microseconds) for
+    temporal ones. Strings stay rejected — z-kissing them needs an
+    order-preserving prefix code, out of scope."""
+    from pyspark.sql import functions as F
+
+    by_name = {f["name"]: f for f in cur_schema["fields"]}
+    out = {}
+    for c in cols:
+        f = by_name.get(c)
+        t = str(f["type"]) if f else None
+        if t in _Z_NUMERIC:
+            out[c] = F.col(c).cast("double")
+        elif t == "date":
+            out[c] = F.unix_date(F.col(c)).cast("double")
+        elif t in _Z_TEMPORAL:
+            out[c] = F.unix_micros(F.col(c)).cast("double")
+        else:
+            raise ValueError(
+                f"zorder supports numeric/date/timestamp columns only, got {c!r}"
+            )
+    return out
 
 
 def _zorder_bounds(
-    cols: list[str], fs: list, cur_schema: dict, df: DataFrame
+    cols: list[str], fs: list, cur_schema: dict, df: DataFrame, srcs: dict
 ) -> dict[str, tuple[float, float]]:
     """Global [min, max] per z-order column for normalization — taken from
     the MANIFEST bounds of the files being rewritten when every file
     recorded them (zero extra data pass; the shape that exists at 100 TB),
-    falling back to one aggregation over the group otherwise. Numeric
-    columns only: z-kissing strings needs an order-preserving prefix code,
-    out of scope."""
+    falling back to one aggregation over the group otherwise (always, for
+    temporal columns — their manifest bounds are serialization values)."""
     from pyspark.sql import functions as F
 
     by_name = {f["name"]: f for f in cur_schema["fields"]}
-    for c in cols:
-        f = by_name.get(c)
-        if f is None or str(f["type"]) not in _Z_NUMERIC:
-            raise ValueError(f"zorder supports numeric columns only, got {c!r}")
     out: dict[str, tuple[float, float]] = {}
     need_agg: list[str] = []
     for c in cols:
         fid = by_name[c]["id"]
         los = [(f.lower_bounds or {}).get(fid) for f in fs]
         his = [(f.upper_bounds or {}).get(fid) for f in fs]
-        if all(v is not None for v in los + his):
+        if str(by_name[c]["type"]) in _Z_NUMERIC and all(
+            v is not None for v in los + his
+        ):
             out[c] = (float(min(los)), float(max(his)))
         else:
             need_agg.append(c)
     if need_agg:
         row = df.select(
-            *[F.min(c).alias(f"lo_{c}") for c in need_agg],
-            *[F.max(c).alias(f"hi_{c}") for c in need_agg],
+            *[F.min(srcs[c]).alias(f"lo_{c}") for c in need_agg],
+            *[F.max(srcs[c]).alias(f"hi_{c}") for c in need_agg],
         ).first()
         for c in need_agg:
             lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
@@ -903,9 +935,10 @@ def compact_files(
         n_out = max(1, math.ceil(total / target_bytes))
         df = spark.read.schema(ddl).parquet(*[f.path for f in fs])
         if zorder:
-            bounds = _zorder_bounds(zorder, fs, cur_schema, df)
+            srcs = _z_src_exprs(zorder, cur_schema)
+            bounds = _zorder_bounds(zorder, fs, cur_schema, df, srcs)
             df = (
-                df.withColumn("__z", _zvalue_expr(zorder, bounds))
+                df.withColumn("__z", _zvalue_expr(zorder, bounds, srcs=srcs))
                 .repartitionByRange(n_out, "__z")
                 .sortWithinPartitions("__z")
                 .drop("__z")

@@ -102,7 +102,7 @@ MANIFEST_FILE_SCHEMA = json.dumps(
 # iceberg type -> avro type for identity-partition value fields
 _ICEBERG_TO_AVRO = {"string": "string", "long": "long", "int": "int",
                     "boolean": "boolean", "double": "double", "float": "float",
-                    "date": "int"}
+                    "date": "int", "timestamp": "long", "timestamptz": "long"}
 
 
 def _bounds_field(name: str, fid: int, rec: str, kid: int, vid: int) -> dict:
@@ -347,6 +347,17 @@ def encode_bound(v, itype: str) -> bytes:
         return b"\x01" if v else b"\x00"
     if itype == "string":
         return str(v).encode("utf-8")
+    if itype in ("timestamp", "timestamptz"):
+        # spec: microseconds from epoch as int64; naive datetimes are UTC
+        # (the engine's session timezone everywhere)
+        if not isinstance(v, int):
+            import datetime
+
+            if isinstance(v, str):
+                v = datetime.datetime.fromisoformat(v)
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            v = (v - epoch) // datetime.timedelta(microseconds=1)
+        return _struct.pack("<q", int(v))
     raise ValueError(f"no bound serialization for {itype}")
 
 
@@ -363,6 +374,15 @@ def decode_bound(b: bytes, itype: str):
         return b == b"\x01"
     if itype == "string":
         return b.decode("utf-8")
+    if itype in ("timestamp", "timestamptz"):
+        import datetime
+
+        # naive UTC datetime: comparable to pyarrow footer stats and to
+        # the naive datetimes range_filter callers pass under the UTC
+        # session convention
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=_struct.unpack("<q", b)[0]
+        )
     raise ValueError(f"no bound serialization for {itype}")
 
 

@@ -2291,3 +2291,37 @@ class TestBloomIncremental:
         assert bi.point_lookup(spark, table, "doc_id", "late-1").count() == 1
         # old keys still found
         assert bi.point_lookup(spark, table, "doc_id", "doc-2-7").count() == 1
+
+
+class TestZorderTemporal:
+    def test_zorder_on_timestamp_and_value(self, spark, tmp_path):
+        """Z-order over (timestamp, long) — the time-series clustering
+        key: temporal columns normalize through their epoch ordinals, and
+        range filters prune files on EITHER dimension."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from parquet_to_arrow_spark.sources.iceberg import append, compact_files, read_table
+
+        table = str(tmp_path / "t")
+        base = datetime.datetime(2024, 1, 1)
+        df = spark.range(4096).select(
+            F.col("id"),
+            (F.lit(base) + F.make_interval(mins=(F.col("id") % 64) * 60)
+             ).alias("ts"),
+            ((F.col("id") * 2654435761) % 4096).alias("v"),
+        )
+        for k in range(8):
+            append(df.filter(F.col("id") % 8 == k).coalesce(1), table)
+        sizes = [f.file_size for f in ice.snapshot_files(table)]
+        sid = compact_files(spark, table, target_bytes=max(sizes) + 1,
+                            zorder=["ts", "v"])
+        assert sid is not None
+        n = len(ice.snapshot_files(table))
+        assert n >= 4
+        hit_ts = len(ice.snapshot_files(table, range_filter={
+            "ts": (base, base + datetime.timedelta(hours=7))}))
+        hit_v = len(ice.snapshot_files(table, range_filter={"v": (0, 511)}))
+        assert hit_ts < n and hit_v < n
+        assert read_table(spark, table).count() == 4096
