@@ -29,17 +29,34 @@ codec hot path, and the word memo keeps the loop on TYPES, not tokens.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-END = "</w>"
+# End-of-word marker: the UNIT SEPARATOR control character, not a literal
+# like "</w>" — text that CONTAINS the marker substring would detokenize
+# to the wrong string ("</w>" is entirely plausible in web/markup corpora;
+# \x1f essentially never appears, and it is not regex whitespace, so the
+# normalization contract below is untouched).
+END = "\x1f"
 UNK = "<unk>"
+
+# Pre-tokenization splits on EXACTLY the regex-\s class ([ \t\n\r\f\v]) of
+# RE2/Java — NOT python str.split(), whose str.isspace() set also swallows
+# \x1c-\x1e, \x85 and \xa0 and would silently diverge from the SQL oracle's
+# regexp_replace(text, '\s+', ' ') on such corpora.
+_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def _words_of(text: str | None) -> list[str]:
+    return [w for w in _WS.split(text or "") if w]
 
 
 def _word_freqs_from_texts(texts) -> dict[str, int]:
     freqs: dict[str, int] = {}
     for t in texts:
-        for w in (t or "").split():
+        for w in _words_of(t):
             freqs[w] = freqs.get(w, 0) + 1
     return freqs
 
@@ -114,16 +131,43 @@ def _apply_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def bpe_vocab(
-    word_freqs: dict[str, int], merges: list[tuple[str, str]]
+    word_freqs: dict[str, int],
+    merges: list[tuple[str, str]],
+    extra_chars=(),
 ) -> dict[str, int]:
     """Piece→id table: every symbol reachable from the training sample
     (base characters, END, every merge product) in sorted order, with UNK
-    at id 0 for apply-time characters the sample never saw."""
+    at id 0 for apply-time characters the sample never saw.
+    ``extra_chars`` (e.g. corpus_chars) extends the base-character tier so
+    a sampled trainer still covers the full corpus alphabet — zero OOV."""
     pieces = {UNK, END}
     for w in word_freqs:
         pieces.update(w)
+    pieces.update(extra_chars)
     pieces.update(a + b for a, b in merges)
     return {p: i for i, p in enumerate([UNK] + sorted(pieces - {UNK}))}
+
+
+def corpus_chars(docs: DataFrame) -> set[str]:
+    """The corpus' distinct characters — one partial-aggregated pass whose
+    result is alphabet-sized, so collecting it is cheap at any corpus
+    size. Feeding it to bpe_vocab makes a SAMPLED trainer OOV-free: rare
+    characters outside the sample still tokenize (as single-char pieces)
+    instead of collapsing to UNK."""
+    rows = (
+        docs.select(F.explode(F.split(F.col("text"), "")).alias("c"))
+        .where(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    return {r["c"] for r in rows}
+
+
+def _piece_array(vocab: dict[str, int]):
+    """Literal id-indexed piece lookup array (vocab ids are dense 0..N-1) —
+    the single place the dense-id invariant is relied on."""
+    id2piece = {i: p for p, i in vocab.items()}
+    return F.array(*[F.lit(id2piece[i]) for i in sorted(id2piece)])
 
 
 def sample_word_freqs(
@@ -173,7 +217,7 @@ def bpe_encode(
             out_ids, out_n, out_unk = [], [], []
             for text in pdf["text"]:
                 ids: list[int] = []
-                for w in (text or "").split():
+                for w in _words_of(text):
                     got = memo.get(w)
                     if got is None:
                         got = [
@@ -204,9 +248,11 @@ def bpe_detokenize(enc: DataFrame, vocab: dict[str, int]) -> DataFrame:
     id-indexed literal piece array, element_at per token, concat, and the
     end-of-word markers become spaces. The inverse proves the tokenizer
     lossless (modulo whitespace normalization, which the split in
-    bpe_encode already collapsed)."""
-    id2piece = {i: p for p, i in vocab.items()}
-    piece_arr = F.array(*[F.lit(id2piece[i]) for i in sorted(id2piece)])
+    bpe_encode already collapsed; a document CONTAINING the \\x1f marker
+    character itself would detokenize it as a space — the one accepted
+    encoding-domain collision, chosen precisely because \\x1f never
+    occurs in text)."""
+    piece_arr = _piece_array(vocab)
     return enc.select(
         "doc_id",
         F.trim(
@@ -233,11 +279,15 @@ def bpe_roundtrip_documents(
     whitespace-normalized input, which plain SQL can compute — so the
     whole train→encode→decode loop is value-hash-checked against DuckDB,
     the same 'decoded values bit-identical' contract the codec pipeline
-    lives under (reference README.md:93-95)."""
+    lives under (reference README.md:93-95). The vocab unions the CORPUS
+    character inventory (corpus_chars — alphabet-sized), so a sampled
+    trainer still tokenizes every document with zero OOV; losslessness
+    therefore holds at any corpus size, not just when the sample covers
+    the alphabet by luck."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     freqs = sample_word_freqs(spark, docs)
     merges = bpe_train(freqs, n_merges)
-    vocab = bpe_vocab(freqs, merges)
+    vocab = bpe_vocab(freqs, merges, extra_chars=corpus_chars(docs))
     out = bpe_detokenize(bpe_encode(spark, docs, merges, vocab), vocab)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
 
@@ -261,10 +311,7 @@ def bpe_encode_documents(
     merges = bpe_train(freqs, n_merges)
     vocab = bpe_vocab(freqs, merges)
     enc = bpe_encode(spark, docs, merges, vocab)
-    id2piece = {i: p for p, i in vocab.items()}
-    piece_expr = F.array(
-        *[F.lit(id2piece[i]) for i in sorted(id2piece)]
-    )  # id-indexed lookup array (vocab is dense 0..N-1)
+    piece_expr = _piece_array(vocab)
     return enc.select(
         "doc_id",
         "n_tok",

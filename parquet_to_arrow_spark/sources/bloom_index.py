@@ -73,6 +73,7 @@ class Bloom:
         self.m_bits = int(m_bits)
         self.k = int(k)
         self.bits = bits  # uint8 packed, little bit-order
+        self.fpp: float | None = None  # build-time target (index drift check)
 
     @classmethod
     def build(cls, values, fpp: float = 0.01) -> "Bloom":
@@ -122,19 +123,8 @@ def build_bloom_index(
     per partition directory). Blobs do NOT belong in the manifests — they
     would bloat every snapshot walk; Iceberg's Puffin made the same call.
     """
-    meta = iceberg_meta.current_metadata(table_or_path)
-    if meta is None:
-        raise FileNotFoundError(f"no iceberg table at {table_or_path}")
-    sid = meta.get("current-snapshot-id")
-    files = iceberg_meta.snapshot_files(table_or_path)
-    if fpp is None:
-        # the quantity that matters is EXPECTED FALSE-POSITIVE FILES per
-        # lookup (n_files * fpp), so the default tightens with file count:
-        # ~1 stray file at any table size, ~2 bits/row per file-count
-        # doubling (16.6 bits/row at 10^2 files, 33 at 10^7)
-        fpp = min(0.01, 1.0 / max(1, len(files)))
-    blooms = _build_blooms(spark, sorted(f.path for f in files), column, fpp)
-    return _write_index(table_or_path, column, blooms, sid)
+    out, _ = _refresh_index(spark, table_or_path, column, fpp, full=True)
+    return out
 
 
 _INDEX_CACHE: dict[tuple, tuple[float, dict]] = {}
@@ -143,39 +133,53 @@ _INDEX_CACHE: dict[tuple, tuple[float, dict]] = {}
 def update_bloom_index(
     spark, table_or_path: str, column: str, fpp: float | None = None
 ) -> tuple[str, int]:
-    """Incremental maintenance: build filters ONLY for live data files the
-    index does not cover yet and drop rows for files no longer live —
-    cost is O(new files), not O(table), so the index keeps up with a
-    steady append stream the way manifest maintenance does. Falls back to
-    a full build when no index exists. Returns (index_path,
-    n_files_built)."""
-    idx = _load_index(table_or_path, column)
-    if idx is None:
-        return build_bloom_index(spark, table_or_path, column, fpp), len(
-            iceberg_meta.snapshot_files(table_or_path)
-        )
-    live = {f.path for f in iceberg_meta.snapshot_files(table_or_path)}
-    missing = sorted(live - set(idx))
-    if not missing and set(idx) <= live:
-        return _index_path(table_or_path, column), 0
-    if missing:
-        if fpp is None:
-            fpp = min(0.01, 1.0 / max(1, len(live)))
-        sub = _build_blooms(spark, missing, column, fpp)
-    else:
-        sub = {}
+    """Incremental maintenance: build filters ONLY for live data files
+    whose recorded filter is missing (new appends) or DRIFTED — built
+    under a false-positive target more than 4x looser than what today's
+    file count calls for (without the drift rebuild, early small-table
+    filters would keep their loose fpp forever and the expected stray
+    files per lookup would grow with the table instead of staying ~1).
+    Dead files' rows are dropped. Cost is O(new + drifted files), not
+    O(table). Returns (index_path, n_files_built)."""
+    return _refresh_index(spark, table_or_path, column, fpp, full=False)
+
+
+def _refresh_index(
+    spark, table_or_path: str, column: str, fpp: float | None, full: bool
+) -> tuple[str, int]:
     meta = iceberg_meta.current_metadata(table_or_path)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_or_path}")
     sid = meta.get("current-snapshot-id")
-    keep = {p: b for p, b in idx.items() if p in live}
-    keep.update(sub)
-    out = _write_index(table_or_path, column, keep, sid)
-    return out, len(missing)
+    live = sorted(f.path for f in iceberg_meta.snapshot_files(table_or_path))
+    if fpp is None:
+        # the quantity that matters is EXPECTED FALSE-POSITIVE FILES per
+        # lookup (n_files * fpp), so the default tightens with file count:
+        # ~1 stray file at any table size, ~2 bits/row per file-count
+        # doubling (16.6 bits/row at 10^2 files, 33 at 10^7)
+        fpp = min(0.01, 1.0 / max(1, len(live)))
+    idx = {} if full else (_load_index(table_or_path, column) or {})
+    live_set = set(live)
+    rebuild = [
+        p
+        for p in live
+        if p not in idx or (idx[p].fpp is not None and idx[p].fpp > 4 * fpp)
+    ]
+    if not rebuild and set(idx) <= live_set:
+        return _index_path(table_or_path, column), 0
+    built = _build_blooms(spark, rebuild, column, fpp)
+    keep = {p: b for p, b in idx.items() if p in live_set}
+    keep.update(built)
+    return _write_index(table_or_path, column, keep, sid), len(rebuild)
 
 
 def _build_blooms(spark, paths: list[str], column: str, fpp: float) -> dict:
     """One Spark task per file -> {path: Bloom} (the build kernel shared
     by full and incremental builds)."""
     import pandas as pd
+
+    if not paths:
+        return {}
 
     def gen(pdfs):
         import pyarrow.parquet as pq
@@ -187,7 +191,6 @@ def _build_blooms(spark, paths: list[str], column: str, fpp: float) -> dict:
                 yield pd.DataFrame(
                     {
                         "path": [p],
-                        "n": [len(col)],
                         "m_bits": [b.m_bits],
                         "k": [b.k],
                         "bits": [base64.b64encode(b.to_bytes()).decode()],
@@ -197,13 +200,15 @@ def _build_blooms(spark, paths: list[str], column: str, fpp: float) -> dict:
     rows = (
         spark.createDataFrame([(p,) for p in paths], "path string")
         .repartition(max(1, len(paths)))
-        .mapInPandas(gen, "path string, n long, m_bits long, k int, bits string")
+        .mapInPandas(gen, "path string, m_bits long, k int, bits string")
         .collect()
     )
-    return {
-        r["path"]: Bloom.from_bytes(r["m_bits"], r["k"], base64.b64decode(r["bits"]))
-        for r in rows
-    }
+    out = {}
+    for r in rows:
+        b = Bloom.from_bytes(r["m_bits"], r["k"], base64.b64decode(r["bits"]))
+        b.fpp = fpp
+        out[r["path"]] = b
+    return out
 
 
 def _write_index(
@@ -219,6 +224,7 @@ def _write_index(
             "m_bits": [blooms[p].m_bits for p in paths],
             "k": [blooms[p].k for p in paths],
             "bits": [blooms[p].to_bytes() for p in paths],
+            "fpp": [blooms[p].fpp for p in paths],
             "snapshot_id": [snapshot_id] * len(paths),
         }
     )
@@ -244,15 +250,22 @@ def _load_index(table_or_path: str, column: str) -> dict[str, Bloom] | None:
     if hit is not None and hit[0] == mtime:
         return hit[1]
     t = pq.read_table(p)
-    idx = {
-        path: Bloom.from_bytes(m, k, raw)
-        for path, m, k, raw in zip(
-            t["path"].to_pylist(),
-            t["m_bits"].to_pylist(),
-            t["k"].to_pylist(),
-            t["bits"].to_pylist(),
-        )
-    }
+    fpps = (
+        t["fpp"].to_pylist()
+        if "fpp" in t.column_names
+        else [None] * len(t)
+    )
+    idx = {}
+    for path, m, k, raw, pf in zip(
+        t["path"].to_pylist(),
+        t["m_bits"].to_pylist(),
+        t["k"].to_pylist(),
+        t["bits"].to_pylist(),
+        fpps,
+    ):
+        b = Bloom.from_bytes(m, k, raw)
+        b.fpp = pf
+        idx[path] = b
     _INDEX_CACHE.clear()  # one-slot: lookups cluster on one table
     _INDEX_CACHE[p] = (mtime, idx)
     return idx

@@ -822,14 +822,29 @@ def _z_src_exprs(cols: list[str], cur_schema: dict) -> dict:
     return out
 
 
+def _bound_as_float(v) -> float:
+    """Decoded manifest bound -> the same numeric scale the z srcs use:
+    naive-UTC datetimes (timestamp bounds) become epoch microseconds
+    (matching unix_micros), epoch-day ints (date bounds) and plain
+    numerics pass through."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return (v - datetime.datetime(1970, 1, 1)) / datetime.timedelta(
+            microseconds=1
+        )
+    return float(v)
+
+
 def _zorder_bounds(
     cols: list[str], fs: list, cur_schema: dict, df: DataFrame, srcs: dict
 ) -> dict[str, tuple[float, float]]:
     """Global [min, max] per z-order column for normalization — taken from
     the MANIFEST bounds of the files being rewritten when every file
-    recorded them (zero extra data pass; the shape that exists at 100 TB),
-    falling back to one aggregation over the group otherwise (always, for
-    temporal columns — their manifest bounds are serialization values)."""
+    recorded them (zero extra data pass; the shape that exists at 100 TB —
+    timestamp bounds decode to naive-UTC datetimes and date bounds to
+    epoch days, both convertible driver-side), falling back to one
+    aggregation over the group otherwise."""
     from pyspark.sql import functions as F
 
     by_name = {f["name"]: f for f in cur_schema["fields"]}
@@ -839,10 +854,11 @@ def _zorder_bounds(
         fid = by_name[c]["id"]
         los = [(f.lower_bounds or {}).get(fid) for f in fs]
         his = [(f.upper_bounds or {}).get(fid) for f in fs]
-        if str(by_name[c]["type"]) in _Z_NUMERIC and all(
-            v is not None for v in los + his
-        ):
-            out[c] = (float(min(los)), float(max(his)))
+        if all(v is not None for v in los + his):
+            out[c] = (
+                min(_bound_as_float(v) for v in los),
+                max(_bound_as_float(v) for v in his),
+            )
         else:
             need_agg.append(c)
     if need_agg:

@@ -355,7 +355,15 @@ def encode_bound(v, itype: str) -> bytes:
 
             if isinstance(v, str):
                 v = datetime.datetime.fromisoformat(v)
-            epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            # the epoch must be pinned to UTC for aware values — anchoring
+            # it in v's own zone would shift the stored micros by the UTC
+            # offset, and a shifted LOWER bound over-prunes (missing rows)
+            epoch = datetime.datetime(
+                1970,
+                1,
+                1,
+                tzinfo=None if v.tzinfo is None else datetime.timezone.utc,
+            )
             v = (v - epoch) // datetime.timedelta(microseconds=1)
         return _struct.pack("<q", int(v))
     raise ValueError(f"no bound serialization for {itype}")
@@ -770,6 +778,16 @@ def commit_append(
                     }
                 )
             else:
+                if str(by_name[c]["type"]) in ("timestamp", "timestamptz"):
+                    # per-microsecond partitions are never what anyone
+                    # means, and the hive-path value round-trip is not
+                    # implemented for timestamps — fail loudly with the
+                    # transform the caller actually wants
+                    raise ValueError(
+                        f"identity partitioning on timestamp column {c!r} "
+                        "is not supported; use a temporal transform "
+                        f"('{c}:day', '{c}:month' or '{c}:year')"
+                    )
                 spec_fields.append(
                     {
                         "name": c,

@@ -2325,3 +2325,61 @@ class TestZorderTemporal:
         hit_v = len(ice.snapshot_files(table, range_filter={"v": (0, 511)}))
         assert hit_ts < n and hit_v < n
         assert read_table(spark, table).count() == 4096
+
+
+class TestBloomDrift:
+    def test_update_rebuilds_drifted_loose_filters(self, spark, tmp_path):
+        """Filters sized for a much smaller table (loose fpp) are rebuilt
+        when the current file count demands a tighter target — otherwise
+        expected false-positive FILES per lookup would grow with the
+        table instead of staying ~1."""
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = str(tmp_path / "t")
+        for k in range(2):
+            append(spark.createDataFrame([(f"a-{k}-{i}",) for i in range(30)],
+                                         "doc_id string").coalesce(1), table)
+        bi.build_bloom_index(spark, table, "doc_id", fpp=0.1)  # loose
+        df = spark.createDataFrame(
+            [(f"b-{i}",) for i in range(30)], "doc_id string")
+        for k in range(6):
+            append(df.filter(f"pmod(xxhash64(doc_id), 6) = {k}").coalesce(1),
+                   table)
+        # loose originals (0.1) exceed 4x today's auto target (0.01):
+        # the update rebuilds them alongside the 6 new files
+        _, built = bi.update_bloom_index(spark, table, "doc_id")
+        assert built == 8
+        _, built = bi.update_bloom_index(spark, table, "doc_id")
+        assert built == 0  # converged
+        # a mildly loose explicit target does NOT force a rebuild
+        _, built = bi.update_bloom_index(spark, table, "doc_id", fpp=0.02)
+        assert built == 0
+
+
+class TestTimestampGuards:
+    def test_identity_partition_on_timestamp_rejected_loudly(
+        self, spark, tmp_path
+    ):
+        import datetime
+
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 1))], "k long, ts timestamp"
+        )
+        d = str(tmp_path / "w")
+        df.coalesce(1).write.parquet(d)
+        with pytest.raises(ValueError, match="temporal transform"):
+            ice.commit_parquet_dir(
+                str(tmp_path / "t"), d, spark_schema=df.schema, ts_ms=1,
+                partition_by=["ts"])
+
+    def test_aware_timestamp_bound_pins_epoch_to_utc(self):
+        import datetime
+
+        tz5 = datetime.timezone(datetime.timedelta(hours=5))
+        aware = datetime.datetime(2024, 1, 1, 5, 0, tzinfo=tz5)
+        naive_utc = datetime.datetime(2024, 1, 1, 0, 0)
+        a = ice.encode_bound(aware, "timestamptz")
+        b = ice.encode_bound(naive_utc, "timestamptz")
+        assert a == b  # same instant, same stored micros
+        assert ice.decode_bound(a, "timestamptz") == naive_utc
