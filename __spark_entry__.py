@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_lsh/ann_ivf it never degenerates to exact brute force), so
         # its contract is the measured recall@10 in tests, not a SQL twin
         "ann_pq_topk": sim.ann_pq_topk,
+        "customer_balance_deciles": rel.customer_balance_deciles,
     }
 
 
@@ -1223,6 +1224,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
             FROM documents""",
+        "customer_balance_deciles": """
+            SELECT c_mktsegment, decile,
+                   count(*) AS n_customers,
+                   CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS top_balance,
+                   CAST(min(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS bottom_balance
+            FROM (
+                SELECT c_mktsegment, c_acctbal,
+                       ntile(10) OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal DESC, c_custkey)
+                           AS decile
+                FROM customer)
+            GROUP BY c_mktsegment, decile""",
         "grouping_sets_revenue": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    CAST(sum(CAST(l_extendedprice * (1 - l_discount)

@@ -1260,3 +1260,31 @@ def rolling_hour_user_value(spark, sf_dir) -> DataFrame:
         .cast("double")
         .alias("sum_value_hour"),
     )
+
+
+def customer_balance_deciles(spark, sf_dir) -> DataFrame:
+    """NTILE decile assignment + per-decile rollup: customers ranked into
+    10 equal-frequency balance bands, then each band's population and
+    balance span in one pass. Two window classes the inventory lacked
+    (ntile, plus the agg-over-window-output shape); the window partitions
+    by market segment so no global single-task sort exists — each
+    segment's ranking is an independent shuffle partition."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.max(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("top_balance"),
+            F.min(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bottom_balance"),
+        )
+    )
