@@ -1286,6 +1286,31 @@ def publish_branch(table_dir: str, branch: str) -> int:
     return sid
 
 
+def rollback(table_dir: str, snapshot_id) -> int:
+    """Roll the table back to an earlier snapshot (Iceberg's
+    rollback_to_snapshot): main and the current pointer move to the
+    target, and the abandoned snapshots stay in metadata — still
+    time-travelable, reclaimed later by expire_snapshots like any other
+    unreferenced history. One metadata version; no data file is touched.
+    Accepts a snapshot id or a ref name."""
+    meta = current_metadata(table_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_dir}")
+    sid = _resolve_sid(meta, snapshot_id)
+    _snapshot_index(meta["snapshots"], sid)  # must exist (not expired)
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = sid
+    new_meta["refs"] = {
+        **meta.get("refs", {}),
+        "main": {"snapshot-id": sid, "type": "branch"},
+    }
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": int(time.time() * 1000), "snapshot-id": sid}
+    ]
+    _publish_metadata(table_dir, new_meta)
+    return sid
+
+
 def remove_ref(table_dir: str, name: str) -> None:
     """Drop a named ref; its snapshot becomes expirable again."""
     if name == "main":

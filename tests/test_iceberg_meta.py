@@ -2383,3 +2383,34 @@ class TestTimestampGuards:
         b = ice.encode_bound(naive_utc, "timestamptz")
         assert a == b  # same instant, same stored micros
         assert ice.decode_bound(a, "timestamptz") == naive_utc
+
+
+class TestRollback:
+    def test_rollback_moves_main_and_keeps_history(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, read_table
+
+        table = str(tmp_path / "t")
+        s1 = append(spark.createDataFrame([(1, "a")], "k long, v string")
+                    .coalesce(1), table)
+        s2 = append(spark.createDataFrame([(2, "b")], "k long, v string")
+                    .coalesce(1), table)
+        assert ice.rollback(table, s1) == s1
+        assert {r["k"] for r in read_table(spark, table).collect()} == {1}
+        # the abandoned snapshot is still time-travelable
+        assert ice.read_snapshot(spark, table, s2).count() == 2
+        # a new append builds on the rolled-back state
+        append(spark.createDataFrame([(3, "c")], "k long, v string")
+               .coalesce(1), table)
+        assert {r["k"] for r in read_table(spark, table).collect()} == {1, 3}
+
+    def test_rollback_by_ref_name(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import append, read_table
+
+        table = str(tmp_path / "t")
+        s1 = append(spark.createDataFrame([(1, "a")], "k long, v string")
+                    .coalesce(1), table)
+        ice.set_ref(table, "good", s1)
+        append(spark.createDataFrame([(2, "bad")], "k long, v string")
+               .coalesce(1), table)
+        assert ice.rollback(table, "good") == s1
+        assert read_table(spark, table).count() == 1

@@ -43,7 +43,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("snapshots", "files", "history", "expire", "orphans",
                  "incremental", "deletes", "tag", "untag",
-                 "rewrite-manifests", "lookup", "stage", "publish"):
+                 "rewrite-manifests", "lookup", "stage", "publish",
+                 "rollback"):
         s = sub.add_parser(name)
         s.add_argument("table")
         if name == "lookup":
@@ -53,6 +54,8 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("branch")
         if name == "stage":
             s.add_argument("--expect", type=int, default=None)
+        if name == "rollback":
+            s.add_argument("--snapshot", required=True)
         if name == "files":
             s.add_argument("--snapshot", type=int, default=None)
             s.add_argument("--partition", action="append", default=[])
@@ -163,6 +166,13 @@ def main(argv: list[str] | None = None) -> int:
             "n_candidates": total if cands is None else len(cands),
             "candidates": cands,
         }
+    elif args.cmd == "rollback":
+        target = (
+            int(args.snapshot)
+            if args.snapshot.lstrip("-").isdigit()
+            else args.snapshot  # a ref name
+        )
+        out = {"current_snapshot_id": ice.rollback(args.table, target)}
     elif args.cmd == "stage":
         sid = ice.stage_snapshot(args.table, args.branch, expect_sid=args.expect)
         out = {"staged_snapshot_id": sid, "branch": args.branch}
