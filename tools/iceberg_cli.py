@@ -11,6 +11,9 @@ Usage:
     python tools/iceberg_cli.py untag <table_dir> <name>
     python tools/iceberg_cli.py rewrite-manifests <table_dir>
     python tools/iceberg_cli.py lookup <table_dir> --column c --value v
+    python tools/iceberg_cli.py stage <table_dir> <branch> [--expect SID]
+    python tools/iceberg_cli.py publish <table_dir> <branch>
+    python tools/iceberg_cli.py rollback <table_dir> --snapshot SID|ref
 
 Every command prints one JSON document to stdout — pipe into jq or a
 monitoring job. Pure metadata: no Spark session is started (lookup reads
