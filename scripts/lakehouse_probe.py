@@ -174,12 +174,175 @@ def changelog_leg(spark):
     }
 
 
+def pq_leg(spark):
+    """PQ ANN at 1M synthetic 64-dim vectors (deterministic hash-derived
+    components, 16 loose clusters so neighbors exist): codebook train on
+    the 65k hash-ordered sample, full-corpus encode to 8-byte codes, ADC
+    top-k for 5 queries with exact re-rank, and recall@10 against the
+    distributed brute-force truth."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from parquet_to_arrow_spark.operators import similarity as sim
+
+    n, dim = 1_000_000, 64
+    path = f"{WORK}/pq_emb"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        def gen(pdfs):
+            import numpy as np
+
+            # every vector is hash-noise around a BASE id; the last 50 ids
+            # are planted: 10 tight satellites around each of the 5 query
+            # ids (0..4), so the true top-10 of each query is known and
+            # recall measures whether the pipeline finds real structure —
+            # uniform noise or giant near-tie clusters both make "top-10"
+            # statistically undecidable for any quantizer
+            def h(x, salt):
+                x = (x + np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15)
+                x ^= x >> np.uint64(31)
+                return (x % np.uint64(1000)).astype(np.float64) / 500 - 1
+
+            for pdf in pdfs:
+                ids = pdf["id"].to_numpy().astype(np.uint64)
+                planted = ids >= np.uint64(n - 50)
+                base = np.where(
+                    planted, (ids - np.uint64(n - 50)) // np.uint64(10), ids
+                ).astype(np.uint64)
+                jscale = np.where(planted, 0.02, 0.0)[:, None]
+                m = np.stack([h(base, 7919 + d) for d in range(dim)], axis=1)
+                jit = np.stack([h(ids, 104729 + d) for d in range(dim)], axis=1)
+                m = m + jscale * jit
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids.astype(np.int64),
+                        "embedding": list(m.astype(np.float32)),
+                    }
+                )
+
+        (
+            spark.range(n)
+            .repartition(64)
+            .mapInPandas(gen, "vec_id long, embedding array<float>")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    emb = spark.read.parquet(path)
+    t0 = time.time()
+    books = sim.pq_codebooks(emb, m=8, ks=256)
+    t_train = time.time() - t0
+    t0 = time.time()
+    codes = sim.pq_codes(emb, books)
+    codes.write.mode("overwrite").parquet(f"{WORK}/pq_codes")
+    t_enc = time.time() - t0
+    # ADC + rerank via the same machinery ann_pq_topk uses, inline over
+    # the synthetic corpus (ann_pq_topk's signature reads a sf_dir)
+    import numpy as np
+
+    qrows = emb.orderBy("vec_id").limit(5).collect()
+    qv = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+    def topk(scored_col):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(scored_col).desc(), F.col("vec_id"))
+        return F.row_number().over(w)
+
+    qdf = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in np.asarray(r["embedding"], np.float64)]) for r in qrows],
+        "query_id long, q array<double>")
+    dot = F.aggregate(
+        F.zip_with("q", "embedding", lambda a, b: a * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    t0 = time.time()
+    bf = (
+        emb.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", dot / norm)
+        .withColumn("rank", topk("sim"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+    t_bf = time.time() - t0
+    truth = {(r["query_id"], r["vec_id"]) for r in bf}
+    t0 = time.time()
+    got = _pq_search(spark, spark.read.parquet(f"{WORK}/pq_codes"), emb, books, qrows, k=10)
+    t_pq = time.time() - t0
+    recall = len(got & truth) / len(truth)
+    return {
+        "leg": "pq_ann",
+        "rows": n,
+        "train_s": round(t_train, 1),
+        "encode_s": round(t_enc, 1),
+        "bruteforce_s": round(t_bf, 1),
+        "pq_search_s": round(t_pq, 1),
+        "recall_at_10": recall,
+    }
+
+
+def _pq_search(spark, codes, emb, books, qrows, k=10):
+    """ADC + exact re-rank over a codes frame (the ann_pq_topk core against
+    explicit frames)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window, functions as F
+
+    m, ks, sub = books.shape
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qv = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+    tabs = np.stack([qv[:, j * sub:(j + 1) * sub] @ books[j].T for j in range(m)], axis=1)
+    keep = 4 * k
+
+    def score(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vid = pdf["vec_id"].to_numpy()
+            cm = np.stack(pdf["codes"].to_list()).astype(np.int64)
+            outs = []
+            for qi in range(len(qids)):
+                s = np.zeros(len(vid))
+                for j in range(m):
+                    s += tabs[qi, j][cm[:, j]]
+                mask = vid != qids[qi]
+                order = np.argsort(-s[mask])[:keep]
+                outs.append(pd.DataFrame(
+                    {"query_id": qids[qi], "vec_id": vid[mask][order],
+                     "adc": s[mask][order]}))
+            yield pd.concat(outs)
+
+    cands = codes.mapInPandas(score, "query_id long, vec_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    short = cands.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= keep).drop("r", "adc")
+    qdf = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id long, q array<float>")
+    dot = F.aggregate(F.zip_with("q", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    exact = (short.join(emb, "vec_id").join(F.broadcast(qdf), "query_id")
+             .withColumn("sim", dot / norm))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    rows = (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k).select("query_id", "vec_id").collect())
+    return {(r["query_id"], r["vec_id"]) for r in rows}
+
+
 if __name__ == "__main__":
-    legs = sys.argv[1:] or ["bloom", "zorder", "changelog"]
+    legs = sys.argv[1:] or ["bloom", "zorder", "changelog", "pq"]
     spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     os.makedirs(WORK, exist_ok=True)
     for leg in legs:
-        fn = {"bloom": bloom_leg, "zorder": zorder_leg, "changelog": changelog_leg}[leg]
+        fn = {"bloom": bloom_leg, "zorder": zorder_leg,
+              "changelog": changelog_leg, "pq": pq_leg}[leg]
         t0 = time.time()
         res = fn(spark)
         res["wall_s"] = round(time.time() - t0, 1)
