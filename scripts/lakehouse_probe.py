@@ -59,7 +59,7 @@ def bloom_leg(spark):
     idx_bytes = os.path.getsize(idx_path)
     present = [
         r["doc_id"]
-        for r in spark.read.parquet(f"{tab}/data/*")
+        for r in ice.read_snapshot(spark, tab)
         .select("doc_id")
         .limit(50)
         .collect()
