@@ -833,6 +833,8 @@ def _bound_as_float(v) -> float:
         return (v - datetime.datetime(1970, 1, 1)) / datetime.timedelta(
             microseconds=1
         )
+    if isinstance(v, datetime.date):
+        return float((v - datetime.date(1970, 1, 1)).days)
     return float(v)
 
 

@@ -372,7 +372,16 @@ def encode_bound(v, itype: str) -> bytes:
 def decode_bound(b: bytes, itype: str):
     if itype == "long":
         return _struct.unpack("<q", b)[0]
-    if itype in ("int", "date"):
+    if itype == "date":
+        import datetime
+
+        # a date OBJECT, not the raw epoch-day int: comparable to the
+        # datetime.date values range_filter callers and parquet readers
+        # traffic in (mirroring timestamps decoding to datetimes)
+        return datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=_struct.unpack("<i", b)[0]
+        )
+    if itype == "int":
         return _struct.unpack("<i", b)[0]
     if itype == "double":
         return _struct.unpack("<d", b)[0]

@@ -623,8 +623,8 @@ class TestReviewRegressions:
         import datetime
 
         d = datetime.date(1970, 1, 11)
-        assert ice.decode_bound(ice.encode_bound(d, "date"), "date") == 10
-        assert ice.decode_bound(ice.encode_bound("1970-01-11", "date"), "date") == 10
+        assert ice.decode_bound(ice.encode_bound(d, "date"), "date") == d
+        assert ice.decode_bound(ice.encode_bound("1970-01-11", "date"), "date") == d
 
     def test_schema_subset_commit_is_rejected(self, spark, tmp_path):
         """A commit whose schema silently DROPS a column must fail loudly
@@ -2414,3 +2414,33 @@ class TestRollback:
                .coalesce(1), table)
         assert ice.rollback(table, "good") == s1
         assert read_table(spark, table).count() == 1
+
+
+class TestZorderDate:
+    def test_zorder_on_date_and_value(self, spark, tmp_path):
+        """Date columns z-order through epoch days, with normalization
+        bounds coming straight from the manifests' date bounds."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from parquet_to_arrow_spark.sources.iceberg import append, compact_files, read_table
+
+        table = str(tmp_path / "t")
+        df = spark.range(4096).select(
+            F.col("id"),
+            F.date_add(F.lit(datetime.date(2024, 1, 1)),
+                       (F.col("id") % 64).cast("int")).alias("d"),
+            ((F.col("id") * 2654435761) % 4096).alias("v"),
+        )
+        for k in range(8):
+            append(df.filter(F.col("id") % 8 == k).coalesce(1), table)
+        sizes = [f.file_size for f in ice.snapshot_files(table)]
+        assert compact_files(spark, table, target_bytes=max(sizes) + 1,
+                             zorder=["d", "v"]) is not None
+        n = len(ice.snapshot_files(table))
+        hit_d = len(ice.snapshot_files(table, range_filter={
+            "d": (datetime.date(2024, 1, 1), datetime.date(2024, 1, 8))}))
+        hit_v = len(ice.snapshot_files(table, range_filter={"v": (0, 511)}))
+        assert n >= 4 and hit_d < n and hit_v < n
+        assert read_table(spark, table).count() == 4096
