@@ -830,6 +830,30 @@ def commit_append(
     else:
         base = dict(prev)
         version = current_version(table_dir)
+        if partition_by is not None:
+            # partition_by only defines the FIRST commit's spec; on an
+            # existing table a silently-ignored (or conflicting) value
+            # would commit hive-layout values under the wrong spec — be
+            # loud. A verbatim restatement of the current spec is the one
+            # harmless case (callers with a fixed job config).
+            cur_spec = prev["partition-specs"][prev["default-spec-id"]]
+            name_by_id = {
+                f["id"]: f["name"]
+                for s in prev["schemas"]
+                for f in s["fields"]
+            }
+            want = []
+            for f in cur_spec["fields"]:
+                src = name_by_id.get(f["source-id"], "?")
+                tr = f["transform"]
+                want.append(src if tr == "identity" else f"{src}:{tr}")
+            if list(partition_by) != want:
+                raise ValueError(
+                    f"table already has partition spec {want}; partition "
+                    f"spec evolution (-> {list(partition_by)}) is not "
+                    "supported — create a new table or restate the "
+                    "existing spec verbatim"
+                )
         if spark_schema is not None:
             base = _maybe_evolve_schema(base, spark_schema)
 

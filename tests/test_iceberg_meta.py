@@ -2444,3 +2444,32 @@ class TestZorderDate:
         hit_v = len(ice.snapshot_files(table, range_filter={"v": (0, 511)}))
         assert n >= 4 and hit_d < n and hit_v < n
         assert read_table(spark, table).count() == 4096
+
+
+class TestSpecChangeGuard:
+    def test_conflicting_partition_by_on_existing_table_rejected(
+        self, spark, tmp_path
+    ):
+        docs_df = spark.createDataFrame(
+            [(i, f"t{i}", ["en", "de"][i % 2]) for i in range(8)],
+            "doc_id long, text string, lang string",
+        )
+        d1 = str(tmp_path / "w1")
+        docs_df.coalesce(1).write.partitionBy("lang").parquet(d1)
+        table = str(tmp_path / "t")
+        ice.commit_parquet_dir(
+            table, d1, spark_schema=docs_df.schema, ts_ms=1,
+            partition_by=["lang"])
+        d2 = str(tmp_path / "w2")
+        docs_df.coalesce(1).write.partitionBy("lang").parquet(d2)
+        # restating the same spec is harmless...
+        ice.commit_parquet_dir(
+            table, d2, spark_schema=docs_df.schema, ts_ms=2,
+            partition_by=["lang"])
+        # ...a DIFFERENT spec is spec evolution — loud rejection
+        d3 = str(tmp_path / "w3")
+        docs_df.coalesce(1).write.parquet(d3)
+        with pytest.raises(ValueError, match="spec evolution"):
+            ice.commit_parquet_dir(
+                table, d3, spark_schema=docs_df.schema, ts_ms=3,
+                partition_by=["doc_id:bucket[4]"])
