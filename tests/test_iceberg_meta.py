@@ -2092,7 +2092,7 @@ class TestChangelog:
 
 
 class TestMetadataTables:
-    def test_metadata_tables_are_queryable(self, spark, tmp_path):
+    def test_metadata_tables_are_queryable(self, spark, tmp_path, capsys):
         from parquet_to_arrow_spark.sources.iceberg import (
             append, delete_keys_mor)
 
@@ -2124,6 +2124,23 @@ class TestMetadataTables:
         assert refs["audit"] == s1 and "main" in refs
         mans = ice.metadata_table(spark, table, "manifests")
         assert mans.filter("content = 1").count() == 1  # the delete manifest
+        # the CLI mirrors of the same walks
+        import sys
+
+        sys.path.insert(0, "tools")
+        import iceberg_cli
+
+        for cmd, check in (
+            ("refs", lambda o: o["audit"]["snapshot_id"] == s1),
+            ("partitions", lambda o: sum(
+                g["record_count"] for g in o.values()) == 11),
+            ("manifests", lambda o: sum(
+                m["content"] == 1 for m in o) == 1),
+        ):
+            assert iceberg_cli.main([cmd, table]) == 0
+            import json as _json
+
+            assert check(_json.loads(capsys.readouterr().out)), cmd
         # plain SQL over the metadata frame
         files.createOrReplaceTempView("tfiles")
         assert spark.sql(

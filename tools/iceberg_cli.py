@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("snapshots", "files", "history", "expire", "orphans",
                  "incremental", "deletes", "tag", "untag",
                  "rewrite-manifests", "lookup", "stage", "publish",
-                 "rollback"):
+                 "rollback", "refs", "partitions", "manifests"):
         s = sub.add_parser(name)
         s.add_argument("table")
         if name == "lookup":
@@ -169,6 +169,41 @@ def main(argv: list[str] | None = None) -> int:
             "n_candidates": total if cands is None else len(cands),
             "candidates": cands,
         }
+    elif args.cmd == "refs":
+        out = {
+            name: {"type": r.get("type", "branch"),
+                   "snapshot_id": r["snapshot-id"]}
+            for name, r in sorted(
+                ice.current_metadata(args.table).get("refs", {}).items())
+        }
+    elif args.cmd == "partitions":
+        groups: dict = {}
+        for f in ice.snapshot_files(args.table):
+            key = json.dumps(f.partition or {}, sort_keys=True)
+            g = groups.setdefault(
+                key, {"file_count": 0, "record_count": 0, "total_bytes": 0})
+            g["file_count"] += 1
+            g["record_count"] += f.record_count
+            g["total_bytes"] += f.file_size
+        out = groups
+    elif args.cmd == "manifests":
+        meta = ice.current_metadata(args.table)
+        cur = meta.get("current-snapshot-id")
+        if cur in (None, -1):
+            out = []
+        else:
+            from parquet_to_arrow_spark.sources import avro_io
+
+            snap = next(
+                s for s in meta["snapshots"] if s["snapshot-id"] == cur)
+            _, mlist = avro_io.read_container(
+                open(snap["manifest-list"], "rb").read())
+            out = [
+                {"path": m["manifest_path"],
+                 "content": m.get("content", 0),
+                 "added_snapshot_id": m["added_snapshot_id"]}
+                for m in mlist
+            ]
     elif args.cmd == "rollback":
         target = (
             int(args.snapshot)
