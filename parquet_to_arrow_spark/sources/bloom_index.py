@@ -57,10 +57,12 @@ def _hash_pair(value) -> tuple[int, int]:
 
 
 def _params(n: int, fpp: float) -> tuple[int, int]:
-    """Optimal (m_bits, k) for n keys at the target false-positive rate."""
+    """Optimal (m_bits, k) for n keys at the target false-positive rate.
+    k caps at 64 (reached only below fpp ~1e-19) so the distributed
+    membership expression can unroll a FIXED number of probe terms."""
     n = max(1, n)
     m = max(8, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
-    k = max(1, int(round(m / n * math.log(2))))
+    k = min(64, max(1, int(round(m / n * math.log(2)))))
     return m, k
 
 
@@ -287,6 +289,57 @@ def bloom_candidate_files(
         if b is None or b.might_contain(value):
             out.append(f.path)
     return out
+
+
+_MAX_K = 64  # _params cap; the unrolled membership expression relies on it
+
+
+def bloom_candidate_files_distributed(spark, table_or_path: str, column: str, value):
+    """Distributed membership test — the >10^5-files path the driver-side
+    bloom_candidate_files loop does not scale to: the index parquet reads
+    as a DataFrame and the Kirsch–Mitzenmacher double-hash bit test
+    evaluates as a pure COLUMN EXPRESSION per index row (the two md5
+    halves of the key are deterministic scalars, computed once
+    driver-side), so no filter blob is ever parsed on the driver.
+
+    Exactness: h1 + i*h2 overflows int64 (both halves are uint64), so
+    each probe's numerator is pre-computed as an exact Python bigint and
+    reduced per row with DECIMAL(38,0) pmod — bit-identical to
+    Bloom.might_contain (pinned by test). Probes beyond a row's k are
+    short-circuited with ``i >= k``.
+
+    Returns a DataFrame ``path string`` of candidate files: indexed files
+    whose filter might contain the key, PLUS live files with no recorded
+    filter (post-index appends — conservative by construction, same rule
+    as the driver-side path). None when no index exists for the column."""
+    from pyspark.sql import functions as F
+
+    p = _index_path(table_or_path, column)
+    if not os.path.exists(p):
+        return None
+    h1, h2 = _hash_pair(value)
+    idx = spark.read.parquet(p).select("path", "m_bits", "k", "bits")
+    probes = []
+    for i in range(_MAX_K):
+        num = h1 + i * h2  # exact bigint, never truncated through int64
+        pos = (
+            f"CAST(pmod(CAST('{num}' AS DECIMAL(38,0)), m_bits) AS BIGINT)"
+        )
+        probes.append(
+            f"({i} >= k OR ("
+            f"CAST(conv(hex(substring(bits, CAST(({pos}) DIV 8 AS INT) + 1, 1)),"
+            f" 16, 10) AS INT)"
+            f" >> CAST(pmod({pos}, 8) AS INT)) & 1 = 1)"
+        )
+    might = F.expr(" AND ".join(probes))
+    live = spark.createDataFrame(
+        [(f.path,) for f in iceberg_meta.snapshot_files(table_or_path)],
+        "path string",
+    )
+    # unindexed live files (bits null after the left join) stay candidates;
+    # the index side is file-count-sized — broadcast it
+    joined = live.join(F.broadcast(idx), "path", "left")
+    return joined.filter(F.col("bits").isNull() | might).select("path")
 
 
 def point_lookup(spark, table_or_path: str, column: str, value):

@@ -30,7 +30,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import iceberg_meta
 
@@ -129,6 +129,119 @@ def iceberg_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_table(sf_dir: str, tag: str) -> str:
+    """Deterministic per-corpus scratch-table path: keyed by the source
+    parquet's identity AND content stamp (size + mtime) so a regenerated
+    corpus re-commits instead of serving stale metadata, and by uid so
+    users on a shared box cannot collide (same scheme as
+    iceberg_roundtrip_documents)."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    stamp = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:{tag}"
+    return f"/tmp/iceberg_{tag}_{hashlib.md5(stamp.encode()).hexdigest()[:12]}"
+
+
+def _files_meta_table(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch table for the metadata-table driver queries: ONE append per
+    source (sorted — appends map to sequence numbers deterministically),
+    each coalesced to one data file, so the files/snapshots metadata rows
+    are a pure function of the corpus."""
+    from pyspark.sql import functions as F
+
+    table = _scratch_table(sf_dir, "filesmeta")
+    if not is_metadata_table(table):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "source", "n_chars"
+        )
+        for src in sorted(
+            r["source"] for r in docs.select("source").distinct().collect()
+        ):
+            append(docs.filter(F.col("source") == src).coalesce(1), table)
+    return table
+
+
+def lakehouse_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query over metadata_table("files"): per-file manifest row
+    counts of a per-source scratch table — the manifest's record_count
+    column must reproduce the data's per-source counts exactly (the
+    lakehouse read surface the round-4 verdict asked to driver-gate).
+    Oracle: count(*) per source from the documents table."""
+    table = _files_meta_table(spark, sf_dir)
+    return iceberg_meta.metadata_table(spark, table, "files").select(
+        F.col("record_count").alias("n_rows")
+    )
+
+
+def lakehouse_snapshots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query over metadata_table("snapshots"): sequence numbers,
+    operations and added-record counts of the per-source append history —
+    appends run in sorted-source order, so sequence i maps to the i-th
+    source's row count. Oracle: ROW_NUMBER over sorted sources."""
+    table = _files_meta_table(spark, sf_dir)
+    return iceberg_meta.metadata_table(spark, table, "snapshots").select(
+        "sequence_number",
+        "operation",
+        F.get_json_object("summary", "$.added-records")
+        .cast("long")
+        .alias("added"),
+    )
+
+
+def changelog_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for the CDC read surface: plant two deterministic
+    MoR upsert waves over a documents scratch table (wave 1 bumps
+    n_chars by 1_000_000 for md5-bucket 0 keys; wave 2 bumps by
+    2_000_000 for buckets 0 and 1 — overwriting wave 1's bucket-0 rows),
+    then REPLAY read_changelog: last insert per key across change
+    ordinals == the final state. The md5 bucket is dedup._md5_signed64's
+    hi half mod 10, so the expected state has an exact DuckDB twin.
+
+    Scale shape: the replay is one window over (doc_id), a corpus-
+    cardinality key — no small-key partition, no driver loop; this is the
+    probe-scale changelog check (scripts/lakehouse_probe.py changelog_leg,
+    2M rows x 16 waves) at driver scale."""
+    from pyspark.sql import Window
+
+    table = _scratch_table(sf_dir, "cdc")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "n_chars"
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(10),
+    )
+    if not is_metadata_table(table):
+        append(docs, table)
+        upsert_keys_mor(
+            spark,
+            table,
+            docs.filter(bucket == 0).withColumn(
+                "n_chars", F.col("n_chars") + F.lit(1_000_000)
+            ),
+            "doc_id",
+        )
+        upsert_keys_mor(
+            spark,
+            table,
+            docs.filter(bucket <= 1).withColumn(
+                "n_chars", F.col("n_chars") + F.lit(2_000_000)
+            ),
+            "doc_id",
+        )
+    ch = iceberg_meta.read_changelog(spark, table)
+    w = Window.partitionBy("doc_id").orderBy(F.col("_change_ordinal").desc())
+    return (
+        ch.filter(F.col("_change_op") == "insert")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "n_chars")
+    )
+
+
 def with_bucket_column(
     df: DataFrame, col: str, n: int, out_col: str | None = None
 ) -> DataFrame:
@@ -138,7 +251,10 @@ def with_bucket_column(
     iceberg_meta.bucket_of (Iceberg Table Spec, Appendix B). Long/int keys
     take a fully numpy-vectorized Arrow batch path (two 32-bit mixing
     rounds — no per-row Python); string keys hash per value inside the
-    batch (variable-length input)."""
+    batch (variable-length input). NULL inputs yield NULL buckets (the
+    spec's null -> null transform rule, matching bucket_of's explicit
+    guard) — pandas delivers nullable ints as float+NaN, which the
+    unmasked numpy cast would turn into an opaque crash."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -150,7 +266,8 @@ def with_bucket_column(
         def b(s: pd.Series) -> pd.Series:
             import numpy as np
 
-            v = s.to_numpy(dtype="int64").astype(np.uint64)
+            na = s.isna().to_numpy()
+            v = s.fillna(0).to_numpy(dtype="int64").astype(np.uint64)
             k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             k2 = (v >> np.uint64(32)).astype(np.uint32)
             h = np.zeros(len(v), dtype=np.uint32)
@@ -168,7 +285,9 @@ def with_bucket_column(
                 h = h ^ (h >> np.uint32(13))
                 h = h * np.uint32(0xC2B2AE35)
                 h = h ^ (h >> np.uint32(16))
-            return pd.Series((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype("int32")
+            out = pd.Series((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype("Int32")
+            out[na] = pd.NA
+            return out
 
     elif dtype == "string":
 
@@ -177,8 +296,11 @@ def with_bucket_column(
             from parquet_to_arrow_spark.sources.iceberg_meta import murmur3_32
 
             return s.map(
-                lambda x: (murmur3_32(str(x).encode("utf-8")) & 0x7FFFFFFF) % n
-            ).astype("int32")
+                lambda x: None
+                if x is None
+                else (murmur3_32(str(x).encode("utf-8")) & 0x7FFFFFFF) % n,
+                na_action="ignore",
+            ).astype("Int32")
 
     else:
         raise NotImplementedError(f"bucket transform over spark type {dtype}")
@@ -357,6 +479,114 @@ def delete_where_mor(
         table_or_path,
         [],
         summary={"operation-detail": "delete-where-mor"},
+        delete_files=dfs,
+    )
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    table_or_path: str,
+    predicate: str,
+    partition_filter: dict | None = None,
+) -> int | None:
+    """Merge-on-read DELETE as Iceberg v3 DELETION VECTORS: the matching
+    rows' positions are folded into ONE Roaring bitmap per data file,
+    stored as ``deletion-vector-v1`` blobs in a single Puffin file
+    (sources/puffin.py — spec framing: BE length + D1D339 64 magic +
+    64-bit portable roaring + BE CRC-32), and committed as content=1
+    delete entries carrying ``referenced_data_file`` + the blob's byte
+    span (spec field ids 143/144/145). Readers consume DVs and v2
+    position-delete parquet through the SAME plan
+    (iceberg_meta._pos_delete_frame decodes blobs in workers), and
+    materialize_deletes folds both.
+
+    Why this representation at 10^12 rows: a v2 delete parquet row costs
+    ~10-20 bytes and repeats the file path per deleted row; a DV costs
+    ≤2 bytes/row (array container) or a flat 8 KiB per 65536-row block,
+    one blob per file. Positions come from the scanner's native
+    _metadata.row_index; per-file bitmaps build IN WORKERS (applyInPandas
+    keyed by file — the shuffle is the deleted rows, nothing else); the
+    driver assembles only the per-file blob bytes (bounded by file count,
+    not rows — the same driver-side footprint an Iceberg committer has).
+    Repeated DV deletes ACCUMULATE like v2 delete files do here (readers
+    union them; the v3 single-DV-per-file compaction happens at
+    materialize_deletes), and the scan that computes positions already
+    applies prior deletes, so re-deletes never double-record a row.
+    Returns the snapshot id, or None when nothing matched."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from . import puffin as pf
+
+    if iceberg_available(spark):
+        raise NotImplementedError("use the catalog's DELETE FROM on the jar path")
+    meta = iceberg_meta.current_metadata(table_or_path)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg table at {table_or_path}")
+    scan = iceberg_meta.read_snapshot(
+        spark, table_or_path, partition_filter=partition_filter, with_positions=True
+    )
+    doomed = scan.filter(predicate).select(
+        F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+    )
+
+    def mk(pdf):
+        import pandas as pd
+
+        from parquet_to_arrow_spark.sources import puffin as pfw
+
+        poss = sorted(set(int(x) for x in pdf["pos"]))
+        return pd.DataFrame(
+            {
+                "file_path": [pdf["file_path"].iloc[0]],
+                "blob": [pfw.dv_blob_bytes(poss)],
+                "cardinality": [len(poss)],
+            }
+        )
+
+    rows = sorted(
+        doomed.groupBy("file_path")
+        .applyInPandas(mk, "file_path string, blob binary, cardinality long")
+        .collect(),
+        key=lambda r: r["file_path"],
+    )
+    if not rows:
+        return None
+    puffin_path = os.path.join(
+        table_or_path, "data", f"dv-{uuid.uuid4().hex[:8]}.puffin"
+    )
+    metas = pf.write_puffin(
+        puffin_path,
+        [
+            {
+                "type": pf.DV_BLOB_TYPE,
+                "data": bytes(r["blob"]),
+                "properties": {
+                    "referenced-data-file": r["file_path"],
+                    "cardinality": str(r["cardinality"]),
+                },
+            }
+            for r in rows
+        ],
+        sequence_number=meta["last-sequence-number"] + 1,
+    )
+    dfs = [
+        iceberg_meta.DataFile(
+            puffin_path,
+            int(r["cardinality"]),
+            m["length"],
+            content=1,
+            referenced_data_file=r["file_path"],
+            content_offset=m["offset"],
+            content_size=m["length"],
+        )
+        for r, m in zip(rows, metas)
+    ]
+    return iceberg_meta.commit_append(
+        table_or_path,
+        [],
+        summary={"operation-detail": "delete-where-dv"},
         delete_files=dfs,
     )
 
@@ -581,9 +811,9 @@ def materialize_deletes(spark: SparkSession, table_or_path: str) -> int | None:
     live = {f.path for f in live_files}
     affected_paths: set[str] = set()
     if pos_dels:
-        ddf = spark.read.schema(iceberg_meta.POS_DELETE_DDL).parquet(
-            *[f.path for f in pos_dels]
-        )
+        # both representations: v2 delete parquet AND v3 deletion vectors
+        # (iceberg_meta._pos_delete_frame decodes DV blobs in workers)
+        ddf = iceberg_meta._pos_delete_frame(spark, pos_dels)
         target_uris = [
             r["file_path"] for r in ddf.select("file_path").distinct().collect()
         ]
@@ -915,6 +1145,8 @@ def compact_files(
     import uuid
     from urllib.parse import quote
 
+    from pyspark.sql import functions as F
+
     if sort_by and zorder:
         raise ValueError("pass sort_by or zorder, not both")
     meta = iceberg_meta.current_metadata(table_or_path)
@@ -928,14 +1160,29 @@ def compact_files(
             "before compact_files"
         )
     pfields = iceberg_meta._partition_fields(meta)
+    default_sid = meta.get("default-spec-id", 0)
 
     small = [f for f in iceberg_meta.snapshot_files(table_or_path) if f.file_size < target_bytes]
-    # group by partition tuple (one group, key (), for unpartitioned)
+    # group by (spec id, that spec's partition tuple) — one group, key
+    # (sid,), for unpartitioned. Files written under an OLDER spec
+    # (partition spec evolution) compact as migration groups: their own
+    # spec's identity literals are re-attached before the rewrite and the
+    # output lands under the CURRENT spec's layout — compaction IS the
+    # spec-migration pass, exactly Iceberg's rewrite_data_files story.
     groups: dict[tuple, list] = {}
     for f in small:
-        key = tuple((f.partition or {}).get(name) for name, _ in pfields)
+        own = iceberg_meta._partition_fields(meta, f.spec_id)
+        key = (f.spec_id,) + tuple((f.partition or {}).get(name) for name, _ in own)
         groups.setdefault(key, []).append(f)
-    groups = {k: fs for k, fs in groups.items() if len(fs) >= min_group}
+    # min_group guards against pointless single-file copies — but a
+    # single OLD-SPEC file is a layout migration, not a copy: always
+    # eligible, so one compaction pass leaves the whole table on the
+    # current spec
+    groups = {
+        k: fs
+        for k, fs in groups.items()
+        if len(fs) >= (min_group if k[0] == default_sid else 1)
+    }
     if not groups:
         return None
     # read with the CURRENT table schema (as read_snapshot does): files
@@ -948,10 +1195,34 @@ def compact_files(
     ddl = iceberg_meta._spark_ddl(cur_schema)
     rw_dir = os.path.join(table_or_path, "data", f"compact-{uuid.uuid4().hex[:8]}")
     n_small = n_out_total = 0
-    for key, fs in sorted(groups.items()):
+    for gi, (key, fs) in enumerate(sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0])))):
+        sid, key = key[0], key[1:]
         total = sum(f.file_size for f in fs)
         n_out = max(1, math.ceil(total / target_bytes))
         df = spark.read.schema(ddl).parquet(*[f.path for f in fs])
+        if sid != default_sid:
+            # migration group: re-attach ITS spec's identity literals (the
+            # hive layout stripped them from these data files), then write
+            # through the CURRENT layout
+            own_names = [name for name, _ in iceberg_meta._partition_fields(meta, sid)]
+            val_by_name = dict(zip(own_names, key))
+            for sp in iceberg_meta._partition_specs(meta, sid):
+                if sp["transform"] != "identity":
+                    continue
+                df = df.withColumn(
+                    sp["name"],
+                    F.lit(val_by_name[sp["name"]]).cast(
+                        iceberg_meta._ICEBERG_TO_SPARK[sp["value_type"]]
+                    ),
+                )
+            if sort_by and sort_by in df.columns:
+                df = df.repartitionByRange(n_out, sort_by).sortWithinPartitions(sort_by)
+            else:
+                df = df.coalesce(n_out)
+            _write_rewrite(df, os.path.join(rw_dir, f"mig-{gi}"), meta)
+            n_small += len(fs)
+            n_out_total += n_out
+            continue
         if zorder:
             srcs = _z_src_exprs(zorder, cur_schema)
             bounds = _zorder_bounds(zorder, fs, cur_schema, df, srcs)

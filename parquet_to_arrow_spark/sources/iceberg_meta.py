@@ -24,20 +24,20 @@ snapshot expiry + orphan detection, incremental added-files reads, CoW
 DML + compaction on unpartitioned and any-partitioned tables
 (sources/iceberg.py).
 
-Row-level deletes, both spec flavors: copy-on-write (sources/iceberg.py
-delete_where/delete_keys/merge_keys rewrite affected files) and
-merge-on-read POSITION DELETE files (spec "Position Delete Files":
-parquet files of (file_path 2147483546, pos 2147483545) committed under a
-content=1 delete manifest; readers apply them as an anti-join, writers
-never rewrite data — delete_where_mor / materialize_deletes in
-sources/iceberg.py).
+Row-level deletes, all spec flavors: copy-on-write (sources/iceberg.py
+delete_where/delete_keys/merge_keys rewrite affected files), merge-on-read
+POSITION DELETE files (spec "Position Delete Files": parquet files of
+(file_path 2147483546, pos 2147483545) committed under a content=1 delete
+manifest; readers apply them as an anti-join, writers never rewrite
+data — delete_where_mor / materialize_deletes in sources/iceberg.py), and
+merge-on-read EQUALITY DELETE files (content=2 manifests carrying
+equality_ids; readers apply them as a null-safe anti-join on the key
+columns gated by sequence number — delete_keys_mor / upsert_keys_mor in
+sources/iceberg.py, changelog delete_key rows in the CDC reader).
 
-Deliberate scope cuts (documented, not hidden): no equality-delete files
-(position deletes only —
-an engine keyed by (file, pos) covers every DML shape this engine emits),
-JSON/Avro layout validated by this module's own reader + byte-level Avro
-spec goldens in tests (no independent Iceberg reader exists in this
-image).
+Deliberate scope cuts (documented, not hidden): JSON/Avro layout validated
+by this module's own reader + byte-level Avro spec goldens in tests (no
+independent Iceberg reader exists in this image).
 """
 
 from __future__ import annotations
@@ -159,6 +159,12 @@ def manifest_entry_schema(partition_fields: list[tuple[str, str]] | None = None)
             _f("split_offsets", 132, ["null", {"type": "array", "items": "long"}]),
             _f("equality_ids", 135, ["null", {"type": "array", "items": "int"}]),
             _f("sort_order_id", 140, ["null", "int"]),
+            # Iceberg v3 deletion-vector references (spec field ids
+            # 143/144/145): a content=1 entry whose file is a Puffin DV
+            # blob names its target data file and the blob's byte span
+            _f("referenced_data_file", 143, ["null", "string"]),
+            _f("content_offset", 144, ["null", "long"]),
+            _f("content_size_in_bytes", 145, ["null", "long"]),
         ],
     }
     return json.dumps(
@@ -264,6 +270,12 @@ class DataFile:
     content: int = 0  # 0 = data, 1 = position deletes, 2 = equality deletes
     equality_ids: list | None = None  # content=2: field ids of the key columns
     sequence: int | None = None  # manifest entry sequence number (read side)
+    spec_id: int = 0  # partition spec the file's manifest was written under
+    # Iceberg v3 deletion vector (content=1 + referenced_data_file set):
+    # ``path`` is then the Puffin file; offset/size locate the DV blob
+    referenced_data_file: str | None = None
+    content_offset: int | None = None
+    content_size: int | None = None
 
 
 # Position-delete file columns carry RESERVED field ids (spec "Reserved
@@ -468,17 +480,18 @@ def bucket_of(v, itype: str, n: int) -> int:
     return (murmur3_32(data) & 0x7FFFFFFF) % n
 
 
-def _partition_specs(meta: dict) -> list[dict]:
-    """Rich view of the default partition spec: one dict per field with
-    ``name`` (spec field name — the hive directory key and manifest struct
-    field), ``source`` (source column), ``transform`` ('identity' or
-    'bucket'), ``n`` (bucket count, identity: None), ``source_type``
-    (iceberg type of the source column) and ``value_type`` (iceberg type
-    of the PARTITION VALUE: the source type for identity, 'int' for
-    bucket)."""
-    spec = next(
-        s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
-    )
+def _partition_specs(meta: dict, spec_id: int | None = None) -> list[dict]:
+    """Rich view of one partition spec (default: the table's default
+    spec; pass ``spec_id`` to resolve an OLDER spec after partition spec
+    evolution — manifests resolve partition tuples against THEIR spec):
+    one dict per field with ``name`` (spec field name — the hive directory
+    key and manifest struct field), ``source`` (source column),
+    ``transform`` ('identity' or 'bucket'), ``n`` (bucket count, identity:
+    None), ``source_type`` (iceberg type of the source column) and
+    ``value_type`` (iceberg type of the PARTITION VALUE: the source type
+    for identity, 'int' for bucket)."""
+    sid = meta["default-spec-id"] if spec_id is None else spec_id
+    spec = next(s for s in meta["partition-specs"] if s["spec-id"] == sid)
     schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
     )
@@ -550,12 +563,14 @@ def temporal_of(v, unit: str):
     raise NotImplementedError(f"temporal transform {unit}")
 
 
-def _partition_fields(meta: dict) -> list[tuple[str, str]]:
-    """[(spec field name, iceberg type OF THE PARTITION VALUE)] of the
-    default partition spec — 'int' for bucket fields, the source column
-    type for identity fields. This is the shape manifest structs, value
-    coercion, and hive-path grouping consume."""
-    return [(f["name"], f["value_type"]) for f in _partition_specs(meta)]
+def _partition_fields(
+    meta: dict, spec_id: int | None = None
+) -> list[tuple[str, str]]:
+    """[(spec field name, iceberg type OF THE PARTITION VALUE)] of one
+    partition spec (default: the table's default spec) — 'int' for bucket
+    fields, the source column type for identity fields. This is the shape
+    manifest structs, value coercion, and hive-path grouping consume."""
+    return [(f["name"], f["value_type"]) for f in _partition_specs(meta, spec_id)]
 
 
 def _table_uuid(table_dir: str) -> str:
@@ -646,13 +661,16 @@ def _reconcile_existing_commit(meta_path: str, tmp_meta: str, snap_id: int) -> N
       are content-derived); the commit already stands, return success.
     - different snapshot id: a genuinely concurrent commit won; raise
       CommitConflict so the caller re-reads table state and retries.
-    - unparsable: can only be PRE-PROTOCOL garbage (e.g. an older engine's
-      torn write) — never a live writer. Unlink it and re-race the link;
-      the loser of that race then reads the winner's complete file. This
-      never discards a committed snapshot: only files that no reader can
-      parse (and which _resolve_state already skips) are removed.
+    - unparsable JSON: can only be PRE-PROTOCOL garbage (e.g. an older
+      engine's torn write) — never a live writer. Unlink it and re-race the
+      link; the loser of that race then reads the winner's complete file.
+      This never discards a committed snapshot: only files that no reader
+      can parse (and which _resolve_state already skips) are removed.
+    - transient OSError (EMFILE/EIO) while READING: the file may well be a
+      peer's valid committed snapshot — never unlink on a read error.
+      Retry the read once, then raise CommitConflict leaving it in place.
     """
-    for attempt in range(2):
+    for attempt in range(3):
         try:
             with open(meta_path) as f:
                 existing_id = json.load(f).get("current-snapshot-id")
@@ -664,7 +682,18 @@ def _reconcile_existing_commit(meta_path: str, tmp_meta: str, snap_id: int) -> N
                 return
             except FileExistsError:
                 continue  # a peer won between our unlink and link; re-read
-        except (json.JSONDecodeError, OSError):
+        except OSError:
+            # could be a VALID concurrent commit behind a transient fd/io
+            # failure — retrying is safe, unlinking is not
+            if attempt < 2:
+                time.sleep(0.05)
+                continue
+            raise CommitConflict(
+                f"{meta_path} exists but could not be read (transient "
+                f"OSError); refusing to unlink a possibly-committed "
+                f"snapshot (ours {snap_id}); re-read and retry"
+            )
+        except json.JSONDecodeError:
             if attempt == 0:
                 try:
                     os.unlink(meta_path)  # pre-protocol garbage; free the slot
@@ -688,6 +717,67 @@ def _reconcile_existing_commit(meta_path: str, tmp_meta: str, snap_id: int) -> N
     )
 
 
+def _build_spec_fields(
+    schema: dict,
+    partition_by,
+    existing_specs: list[dict] | None = None,
+    last_partition_id: int = 999,
+) -> tuple[list[dict], int]:
+    """Partition-spec fields for ``partition_by`` over ``schema``, plus the
+    updated last-partition-id. Grammar: "col" = identity; "col:bucket[N]"
+    = murmur3 mod N (bucket_of); "col:truncate[W]" = prefix/multiple-of-W
+    (truncate_of); "col:day|month|year" = temporal ordinal (temporal_of).
+    Spec field names follow Iceberg's convention: <col>_<transform>.
+
+    Field-ids: a (source-id, transform) pair already present in
+    ``existing_specs`` REUSES its field-id (Iceberg Table Spec v2
+    "Partition Evolution": partition field ids must never be reused for a
+    different transform); genuinely new fields allocate sequentially above
+    ``last_partition_id`` (first commit: 1000, 1001, ...)."""
+    by_name = {f["name"]: f for f in schema["fields"]}
+    reuse: dict[tuple, int] = {}
+    for s in existing_specs or []:
+        for f in s["fields"]:
+            reuse[(f["source-id"], f["transform"])] = f["field-id"]
+    fields: list[dict] = []
+    next_id = last_partition_id
+    for c in partition_by or []:
+        if ":bucket[" in c:
+            col, rest = c.split(":bucket[", 1)
+            name = f"{col}_bucket"
+            transform = f"bucket[{int(rest.rstrip(']'))}]"
+        elif ":truncate[" in c:
+            col, rest = c.split(":truncate[", 1)
+            name = f"{col}_trunc"
+            transform = f"truncate[{int(rest.rstrip(']'))}]"
+        elif c.endswith((":day", ":month", ":year")):
+            col, unit = c.rsplit(":", 1)
+            name = f"{col}_{unit}"
+            transform = unit
+        else:
+            if str(by_name[c]["type"]) in ("timestamp", "timestamptz"):
+                # per-microsecond partitions are never what anyone means,
+                # and the hive-path value round-trip is not implemented
+                # for timestamps — fail loudly with the transform the
+                # caller actually wants
+                raise ValueError(
+                    f"identity partitioning on timestamp column {c!r} "
+                    "is not supported; use a temporal transform "
+                    f"('{c}:day', '{c}:month' or '{c}:year')"
+                )
+            col, name, transform = c, c, "identity"
+        src_id = by_name[col]["id"]
+        fid = reuse.get((src_id, transform))
+        if fid is None:
+            next_id += 1
+            fid = next_id
+        fields.append(
+            {"name": name, "transform": transform, "source-id": src_id,
+             "field-id": fid}
+        )
+    return fields, next_id
+
+
 def commit_append(
     table_dir: str,
     files: list[DataFile],
@@ -699,6 +789,7 @@ def commit_append(
     partition_by: list[str] | None = None,
     remove_paths: set | None = None,
     delete_files: list[DataFile] | None = None,
+    allow_spec_evolution: bool = False,
 ) -> int:
     """Append ``files`` as one new snapshot; returns the snapshot id.
 
@@ -749,62 +840,7 @@ def commit_append(
         if spark_schema is None:
             raise ValueError("first commit needs the table schema")
         schema, last_col = iceberg_schema(spark_schema)
-        by_name = {f["name"]: f for f in schema["fields"]}
-        spec_fields = []
-        for i, c in enumerate(partition_by or []):
-            # "col" = identity; "col:bucket[N]" = murmur3 mod N (bucket_of);
-            # "col:truncate[W]" = prefix/multiple-of-W (truncate_of);
-            # "col:day|month|year" = temporal ordinal (temporal_of). Spec
-            # field names follow Iceberg's convention: <col>_<transform>
-            if ":bucket[" in c:
-                col, rest = c.split(":bucket[", 1)
-                spec_fields.append(
-                    {
-                        "name": f"{col}_bucket",
-                        "transform": f"bucket[{int(rest.rstrip(']'))}]",
-                        "source-id": by_name[col]["id"],
-                        "field-id": 1000 + i,
-                    }
-                )
-            elif ":truncate[" in c:
-                col, rest = c.split(":truncate[", 1)
-                spec_fields.append(
-                    {
-                        "name": f"{col}_trunc",
-                        "transform": f"truncate[{int(rest.rstrip(']'))}]",
-                        "source-id": by_name[col]["id"],
-                        "field-id": 1000 + i,
-                    }
-                )
-            elif c.endswith((":day", ":month", ":year")):
-                col, unit = c.rsplit(":", 1)
-                spec_fields.append(
-                    {
-                        "name": f"{col}_{unit}",
-                        "transform": unit,
-                        "source-id": by_name[col]["id"],
-                        "field-id": 1000 + i,
-                    }
-                )
-            else:
-                if str(by_name[c]["type"]) in ("timestamp", "timestamptz"):
-                    # per-microsecond partitions are never what anyone
-                    # means, and the hive-path value round-trip is not
-                    # implemented for timestamps — fail loudly with the
-                    # transform the caller actually wants
-                    raise ValueError(
-                        f"identity partitioning on timestamp column {c!r} "
-                        "is not supported; use a temporal transform "
-                        f"('{c}:day', '{c}:month' or '{c}:year')"
-                    )
-                spec_fields.append(
-                    {
-                        "name": c,
-                        "transform": "identity",
-                        "source-id": by_name[c]["id"],
-                        "field-id": 1000 + i,
-                    }
-                )
+        spec_fields, last_part_id = _build_spec_fields(schema, partition_by)
         base = {
             "format-version": FORMAT_VERSION,
             "table-uuid": _table_uuid(table_dir),
@@ -816,7 +852,7 @@ def commit_append(
             "schemas": [schema],
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-            "last-partition-id": 999 + len(spec_fields),
+            "last-partition-id": last_part_id,
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": properties or {},
@@ -830,16 +866,26 @@ def commit_append(
     else:
         base = dict(prev)
         version = current_version(table_dir)
+        if spark_schema is not None:
+            base = _maybe_evolve_schema(base, spark_schema)
         if partition_by is not None:
-            # partition_by only defines the FIRST commit's spec; on an
-            # existing table a silently-ignored (or conflicting) value
-            # would commit hive-layout values under the wrong spec — be
-            # loud. A verbatim restatement of the current spec is the one
-            # harmless case (callers with a fixed job config).
-            cur_spec = prev["partition-specs"][prev["default-spec-id"]]
+            # On an existing table a silently-ignored (or conflicting)
+            # partition_by would commit hive-layout values under the wrong
+            # spec — be loud. A verbatim restatement of the current spec
+            # is the one harmless case (callers with a fixed job config).
+            # With allow_spec_evolution=True a DIFFERENT value is Iceberg
+            # partition spec evolution (Table Spec v2): the new spec is
+            # appended under a bumped spec-id and becomes the default;
+            # EXISTING manifests keep their old spec-id and old layout —
+            # only metadata changes, no data file is rewritten.
+            cur_spec = next(
+                s
+                for s in base["partition-specs"]
+                if s["spec-id"] == base["default-spec-id"]
+            )
             name_by_id = {
                 f["id"]: f["name"]
-                for s in prev["schemas"]
+                for s in base["schemas"]
                 for f in s["fields"]
             }
             want = []
@@ -848,14 +894,32 @@ def commit_append(
                 tr = f["transform"]
                 want.append(src if tr == "identity" else f"{src}:{tr}")
             if list(partition_by) != want:
-                raise ValueError(
-                    f"table already has partition spec {want}; partition "
-                    f"spec evolution (-> {list(partition_by)}) is not "
-                    "supported — create a new table or restate the "
-                    "existing spec verbatim"
+                if not allow_spec_evolution:
+                    raise ValueError(
+                        f"table already has partition spec {want}; partition "
+                        f"spec evolution (-> {list(partition_by)}) needs "
+                        "allow_spec_evolution=True — or create a new table "
+                        "or restate the existing spec verbatim"
+                    )
+                cur_schema_ev = next(
+                    s
+                    for s in base["schemas"]
+                    if s["schema-id"] == base["current-schema-id"]
                 )
-        if spark_schema is not None:
-            base = _maybe_evolve_schema(base, spark_schema)
+                new_fields, last_pid = _build_spec_fields(
+                    cur_schema_ev,
+                    partition_by,
+                    existing_specs=base["partition-specs"],
+                    last_partition_id=base.get("last-partition-id", 999),
+                )
+                new_sid = max(s["spec-id"] for s in base["partition-specs"]) + 1
+                base["partition-specs"] = base["partition-specs"] + [
+                    {"spec-id": new_sid, "fields": new_fields}
+                ]
+                base["default-spec-id"] = new_sid
+                base["last-partition-id"] = max(
+                    base.get("last-partition-id", 999), last_pid
+                )
 
     seq = base["last-sequence-number"] + 1
     ts = int(ts_ms if ts_ms is not None else time.time() * 1000)
@@ -924,18 +988,22 @@ def commit_append(
                     "split_offsets": None,
                     "equality_ids": f.equality_ids,
                     "sort_order_id": None,
+                    "referenced_data_file": f.referenced_data_file,
+                    "content_offset": f.content_offset,
+                    "content_size_in_bytes": f.content_size,
                 },
             }
             for f in fs
         ]
 
+    default_sid = base.get("default-spec-id", 0)
     manifest_bytes = avro_io.write_container(
         manifest_entry_schema(pfields),
         _mk_entries(files, 0),
         meta={
             "schema": json.dumps(base["schemas"][base["current-schema-id"] if base["schemas"] else 0]),
             "partition-spec": "[]",
-            "partition-spec-id": "0",
+            "partition-spec-id": str(default_sid),
             "format-version": str(FORMAT_VERSION),
             "content": "data",
         },
@@ -954,7 +1022,7 @@ def commit_append(
             meta={
                 "schema": json.dumps(base["schemas"][base["current-schema-id"] if base["schemas"] else 0]),
                 "partition-spec": "[]",
-                "partition-spec-id": "0",
+                "partition-spec-id": str(default_sid),
                 "format-version": str(FORMAT_VERSION),
                 "content": "deletes",
             },
@@ -966,7 +1034,7 @@ def commit_append(
     new_mf = {
         "manifest_path": os.path.abspath(manifest_path),
         "manifest_length": len(manifest_bytes),
-        "partition_spec_id": 0,
+        "partition_spec_id": default_sid,
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -983,7 +1051,7 @@ def commit_append(
         {
             "manifest_path": os.path.abspath(del_manifest_path),
             "manifest_length": len(del_manifest_bytes),
-            "partition_spec_id": 0,
+            "partition_spec_id": default_sid,
             "content": 1,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -1056,11 +1124,22 @@ def commit_append(
                 continue  # every entry removed: drop the manifest
             for e in keep:
                 e["status"] = 0  # EXISTING: original snapshot/sequence kept
+                for fld in ("equality_ids", "referenced_data_file",
+                            "content_offset", "content_size_in_bytes"):
+                    e["data_file"].setdefault(fld, None)
             rw_digest = hashlib.md5(
                 "\n".join(e["data_file"]["file_path"] for e in keep).encode()
             ).hexdigest()[:12]
             rw_path = os.path.join(meta_dir, f"{uid}-seq{seq}-rw{rw_digest}-m.avro")
-            rw_bytes = avro_io.write_container(manifest_entry_schema(pfields), keep)
+            # rewrite under the manifest's OWN spec (post-evolution, old
+            # manifests keep their old partition struct), dict(mf, ...)
+            # below carries its partition_spec_id forward
+            rw_bytes = avro_io.write_container(
+                manifest_entry_schema(
+                    _partition_fields(base, mf.get("partition_spec_id", 0))
+                ),
+                keep,
+            )
             with open(rw_path, "wb") as f:
                 f.write(rw_bytes)
             rewritten.append(
@@ -1427,17 +1506,34 @@ def snapshot_files(
     }
     _, manifests = avro_io.read_container(open(snap["manifest-list"], "rb").read())
     pf = partition_filter or {}
+    known_specs = {sp["spec-id"] for sp in meta.get("partition-specs", [])}
+    spec_names: dict[int, set] = {}
     out: list[DataFile] = []
     for mf in manifests:
         if mf.get("content", 0) != 0:  # delete manifest: not data files
             continue
+        mf_sid = mf.get("partition_spec_id", 0)
+        if pf and mf_sid not in spec_names:
+            spec_names[mf_sid] = (
+                {f["name"] for f in _partition_specs(meta, mf_sid)}
+                if mf_sid in known_specs
+                else set()
+            )
+        # after partition spec evolution a filter key may not exist in an
+        # OLDER manifest's spec: those files are conservatively KEPT
+        # (metadata skipping is an optimization — read_snapshot applies
+        # the exact residual filter for identity columns), never pruned
+        # by a spec-absent key comparing against None
+        mpf = (
+            {k: v for k, v in pf.items() if k in spec_names[mf_sid]} if pf else {}
+        )
         _, entries = avro_io.read_container(open(mf["manifest_path"], "rb").read())
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
             d = e["data_file"]
             part = d.get("partition") or {}
-            if any(part.get(k) != v for k, v in pf.items()):
+            if any(part.get(k) != v for k, v in mpf.items()):
                 continue
             lo_b = {b["key"]: b["value"] for b in d.get("lower_bounds") or []}
             hi_b = {b["key"]: b["value"] for b in d.get("upper_bounds") or []}
@@ -1468,6 +1564,7 @@ def snapshot_files(
                         if _fid_type(schema, k)
                     } or None,
                     sequence=e.get("sequence_number"),
+                    spec_id=mf_sid,
                 )
             )
     return out
@@ -1508,6 +1605,10 @@ def snapshot_delete_files(
                     content=d.get("content", 1),
                     equality_ids=d.get("equality_ids"),
                     sequence=e.get("sequence_number"),
+                    spec_id=mf.get("partition_spec_id", 0),
+                    referenced_data_file=d.get("referenced_data_file"),
+                    content_offset=d.get("content_offset"),
+                    content_size=d.get("content_size_in_bytes"),
                 )
             )
     return out
@@ -1530,6 +1631,7 @@ def commit_parquet_dir(
     partition_by: list[str] | None = None,
     remove_paths: set | None = None,
     delete_files: list[DataFile] | None = None,
+    allow_spec_evolution: bool = False,
 ) -> int:
     """Commit every parquet file of a directory Spark just wrote as one
     appended snapshot. ``delete_files`` ride along into the same snapshot
@@ -1636,6 +1738,7 @@ def commit_parquet_dir(
         partition_by=partition_by,
         remove_paths=remove_paths,
         delete_files=delete_files,
+        allow_spec_evolution=allow_spec_evolution,
     )
     return sid
 
@@ -1681,6 +1784,15 @@ def _delete_target_ranges(dels: list[DataFile]) -> list[tuple[str, str]] | None:
 
     ranges: list[tuple[str, str]] = []
     for f in dels:
+        if f.referenced_data_file:
+            # a deletion vector names its one target EXACTLY — no footer
+            # read, a degenerate [target, target] interval
+            t = f.referenced_data_file
+            if "%" in t:
+                return None
+            t = os.path.abspath(unquote(urlparse(t).path))
+            ranges.append((t, t))
+            continue
         md = pq.ParquetFile(f.path).metadata
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
@@ -1704,6 +1816,54 @@ def _delete_target_ranges(dels: list[DataFile]) -> list[tuple[str, str]] | None:
                 )
             )
     return ranges
+
+
+def _pos_delete_frame(spark, pos_dels: list[DataFile]):
+    """One (file_path, pos) DataFrame across BOTH position-delete
+    representations: v2 position-delete parquet files, and v3 Puffin
+    deletion vectors (content=1 + referenced_data_file) — each DV blob is
+    decoded IN A WORKER via mapInPandas (driver touches only the
+    file-count-sized descriptor list), so the two representations feed the
+    identical downstream anti-join."""
+    import pandas as _pd  # noqa: F401  (worker-side import sanity)
+
+    pq_files = [f for f in pos_dels if not f.referenced_data_file]
+    dvs = [f for f in pos_dels if f.referenced_data_file]
+    parts = []
+    if pq_files:
+        parts.append(
+            spark.read.schema(POS_DELETE_DDL).parquet(*[f.path for f in pq_files])
+        )
+    if dvs:
+        desc = spark.createDataFrame(
+            [
+                (f.path, f.referenced_data_file, f.content_offset, f.content_size)
+                for f in dvs
+            ],
+            "puffin string, file_path string, off long, size long",
+        )
+
+        def gen(pdfs):
+            import pandas as pd
+
+            from parquet_to_arrow_spark.sources import puffin as pf
+
+            for pdf in pdfs:
+                for pu, fp, off, size in zip(
+                    pdf["puffin"], pdf["file_path"], pdf["off"], pdf["size"]
+                ):
+                    poss = pf.read_dv_blob(pf.read_blob(pu, int(off), int(size)))
+                    yield pd.DataFrame(
+                        {"file_path": fp, "pos": pd.Series(poss, dtype="int64")}
+                    )
+
+        parts.append(
+            desc.repartition(max(1, len(dvs))).mapInPandas(gen, POS_DELETE_DDL)
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def read_snapshot(
@@ -1769,7 +1929,7 @@ def read_snapshot(
 
     ddf = None
     if pos_dels:
-        ddf = spark.read.schema(POS_DELETE_DDL).parquet(*[f.path for f in pos_dels])
+        ddf = _pos_delete_frame(spark, pos_dels)
         if sum(f.file_size for f in pos_dels) < (64 << 20):
             ddf = F.broadcast(ddf)
 
@@ -1797,12 +1957,20 @@ def read_snapshot(
                 fr = F.broadcast(fr)
             eqfs.append((names, fr))
 
-    def _scan(dfiles: list[DataFile]):
+    def _scan(dfiles: list[DataFile], part_lits=()):
         """One scan node per (pos-targeted?, sequence) file group:
         pos-targeted files carry positions and subtract the delete pairs;
         sequence grouping exists only when equality deletes need their
         dseq > seq gate; untargeted files carry positions only when the
-        caller asked for them."""
+        caller asked for them.
+
+        ``part_lits``: (spec, value) pairs for identity-partition columns.
+        Hive layout strips these from the data files, so they MUST be
+        re-attached as typed literals BEFORE the equality-delete anti-join
+        runs — an equality delete keyed on a partition column would
+        otherwise compare against NULL and silently no-op (and a later
+        materialize_deletes would then drop the delete file, permanently
+        losing the delete)."""
         hit = [f for f in dfiles if _targeted(f.path)]
         miss = [f for f in dfiles if not _targeted(f.path)]
         parts = []
@@ -1816,6 +1984,11 @@ def read_snapshot(
                 seq_groups.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)
             ):
                 df = spark.read.schema(ddl).parquet(*paths)
+                for s, v in part_lits:
+                    # withColumn on an existing name keeps schema position
+                    df = df.withColumn(
+                        s["name"], F.lit(v).cast(_ICEBERG_TO_SPARK[s["value_type"]])
+                    )
                 if apply_pos or with_positions:
                     df = df.select(
                         "*",
@@ -1847,25 +2020,50 @@ def read_snapshot(
     # only IDENTITY fields re-attach as literal columns: a bucket field's
     # value is a derived hash, not a table column — its source column is
     # physically present in the data files (bucket-partitioned writes keep
-    # it; only the derived <col>_bucket directory column is stripped)
-    specs = [s for s in _partition_specs(meta) if s["transform"] == "identity"]
-    if not specs:
+    # it; only the derived <col>_bucket directory column is stripped).
+    # After partition spec evolution each file resolves its layout against
+    # the spec ITS manifest was written under (files group by spec id
+    # first), so mixed-layout snapshots read correctly with zero rewrites.
+    multi_spec = len(meta.get("partition-specs", [])) > 1
+    id_specs_by_sid: dict[int, list[dict]] = {}
+
+    def _id_specs(sid: int) -> list[dict]:
+        if sid not in id_specs_by_sid:
+            id_specs_by_sid[sid] = [
+                s
+                for s in _partition_specs(meta, sid)
+                if s["transform"] == "identity"
+            ]
+        return id_specs_by_sid[sid]
+
+    if not multi_spec and not _id_specs(meta["default-spec-id"]):
         return _scan(files)
     groups: dict[tuple, list[DataFile]] = {}
     for f in files:
-        key = tuple((f.partition or {}).get(s["name"]) for s in specs)
+        key = (f.spec_id,) + tuple(
+            (f.partition or {}).get(s["name"]) for s in _id_specs(f.spec_id)
+        )
         groups.setdefault(key, []).append(f)
     parts = []
     for key, gfiles in sorted(groups.items()):
-        df = _scan(gfiles)
-        for s, v in zip(specs, key):
-            df = df.withColumn(
-                s["name"], F.lit(v).cast(_ICEBERG_TO_SPARK[s["value_type"]])
-            )
-        parts.append(df)
+        parts.append(
+            _scan(gfiles, part_lits=list(zip(_id_specs(key[0]), key[1:])))
+        )
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
+    if partition_filter and multi_spec:
+        # residual EXACT filter: metadata pruning could not apply a filter
+        # key to manifests whose spec lacks it (kept conservatively), so
+        # re-apply identity-column filters on the data — Catalyst pushes
+        # them to the scans / constant-folds them on literal-attached
+        # groups, and derived transform keys (no table column) stay
+        # metadata-only as in Iceberg
+        for k, v in partition_filter.items():
+            if k in out.columns:
+                out = out.filter(
+                    F.col(k).isNull() if v is None else F.col(k) == F.lit(v)
+                )
     return out
 
 
@@ -1981,37 +2179,42 @@ def rewrite_manifests(table_dir: str, ts_ms: int | None = None) -> int | None:
         return None
     snap = meta["snapshots"][_snapshot_index(meta["snapshots"], cur_id)]
     _, manifests = avro_io.read_container(open(snap["manifest-list"], "rb").read())
-    by_content: dict[int, list[dict]] = {}
+    # fold within (content, spec-id) groups: after partition spec
+    # evolution, manifests of different specs carry different partition
+    # structs and cannot share one file
+    by_key: dict[tuple, list[dict]] = {}
     for mf in manifests:
-        by_content.setdefault(mf.get("content", 0), []).append(mf)
-    if all(len(v) <= 1 for v in by_content.values()):
+        key = (mf.get("content", 0), mf.get("partition_spec_id", 0))
+        by_key.setdefault(key, []).append(mf)
+    if all(len(v) <= 1 for v in by_key.values()):
         return None
     meta_dir = _meta_dir(table_dir)
     uid = meta["table-uuid"]
     seq = meta["last-sequence-number"] + 1
-    pfields = _partition_fields(meta)
     ts = int(ts_ms if ts_ms is not None else time.time() * 1000)
 
     new_manifests: list[dict] = []
     manifest_names: list[str] = []
-    for content in sorted(by_content):
+    for content, spec_id in sorted(by_key):
         entries: list[dict] = []
-        for mf in by_content[content]:
+        for mf in by_key[(content, spec_id)]:
             _, es = avro_io.read_container(open(mf["manifest_path"], "rb").read())
             for e in es:
                 if e["status"] == 2:
                     continue
                 e = dict(e)
                 e["status"] = 0  # EXISTING: original snapshot/sequence kept
-                e["data_file"].setdefault("equality_ids", None)
+                for fld in ("equality_ids", "referenced_data_file",
+                            "content_offset", "content_size_in_bytes"):
+                    e["data_file"].setdefault(fld, None)
                 entries.append(e)
         digest = hashlib.md5(
             "\n".join(e["data_file"]["file_path"] for e in entries).encode()
         ).hexdigest()[:12]
-        name = f"{uid}-seq{seq}-rwm{digest}-c{content}.avro"
+        name = f"{uid}-seq{seq}-rwm{digest}-c{content}s{spec_id}.avro"
         path = os.path.join(meta_dir, name)
         payload = avro_io.write_container(
-            manifest_entry_schema(pfields),
+            manifest_entry_schema(_partition_fields(meta, spec_id)),
             entries,
             meta={"content": "data" if content == 0 else "deletes"},
         )
@@ -2022,7 +2225,7 @@ def rewrite_manifests(table_dir: str, ts_ms: int | None = None) -> int | None:
             {
                 "manifest_path": os.path.abspath(path),
                 "manifest_length": len(payload),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": content,
                 "sequence_number": seq,
                 "min_sequence_number": min(
@@ -2210,13 +2413,15 @@ def metadata_table(spark, table_dir: str, kind: str):
                 f.file_size,
                 json.dumps(f.partition) if f.partition else None,
                 f.sequence,
+                f.spec_id,
             )
             for f in fs
         ]
         return spark.createDataFrame(
             rows,
             "file_path string, content int, record_count long, "
-            "file_size_bytes long, partition string, sequence_number long",
+            "file_size_bytes long, partition string, sequence_number long, "
+            "spec_id int",
         )
     if kind == "partitions":
         groups: dict[str, list] = {}
@@ -2259,9 +2464,27 @@ def metadata_table(spark, table_dir: str, kind: str):
         return spark.createDataFrame(
             rows, "path string, length long, content int, added_snapshot_id long"
         )
+    if kind == "partition_specs":
+        rows = [
+            (
+                sp["spec-id"],
+                sp["spec-id"] == meta.get("default-spec-id", 0),
+                f["field-id"],
+                f["name"],
+                f["transform"],
+                f["source-id"],
+            )
+            for sp in meta.get("partition-specs", [])
+            for f in sp["fields"]
+        ] or [(0, True, None, None, None, None)]
+        return spark.createDataFrame(
+            rows,
+            "spec_id int, is_default boolean, field_id int, field_name string, "
+            "transform string, source_id int",
+        )
     raise ValueError(
         f"unknown metadata table {kind!r} (snapshots, history, refs, files, "
-        "delete_files, partitions, manifests)"
+        "delete_files, partitions, manifests, partition_specs)"
     )
 
 
@@ -2375,9 +2598,8 @@ def read_changelog(
         pos = [f for f in added_dels if f.content == 1]
         eqs = [f for f in added_dels if f.content == 2]
         if pos:
-            ddf = spark.read.schema(POS_DELETE_DDL).parquet(
-                *[f.path for f in pos]
-            )
+            # both representations: v2 delete parquet AND v3 DVs
+            ddf = _pos_delete_frame(spark, pos)
             # targeted-file count is bounded by the delete set, and the
             # URIs are the scanner's own rendering (write-side invariant)
             from urllib.parse import unquote, urlparse

@@ -212,11 +212,16 @@ def encode_iceberg_snapshot(
 
     meta = iceberg_meta.current_metadata(table_dir)
     if meta is not None and any(
-        s["transform"] == "identity" for s in iceberg_meta._partition_specs(meta)
+        s["transform"] == "identity"
+        for spec in meta.get("partition-specs", [{"spec-id": 0, "fields": []}])
+        for s in iceberg_meta._partition_specs(meta, spec["spec-id"])
     ):
         # only IDENTITY partitioning moves table columns out of the data
         # files; derived transforms (bucket/truncate/day...) keep their
-        # source columns physically present, so those tables stream fine
+        # source columns physically present, so those tables stream fine.
+        # Checked across EVERY spec (not just the default): after partition
+        # spec evolution, files written under an old identity spec still
+        # lack their columns until compaction migrates them
         raise NotImplementedError(
             "fast-path encode of identity-partitioned tables (partition "
             "columns are not in the data files; use read_snapshot + the "

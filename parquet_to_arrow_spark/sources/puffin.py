@@ -1,0 +1,281 @@
+"""Puffin sidecar files + Iceberg v3 deletion-vector blobs, pure Python.
+
+Implemented from the PUBLIC specs only:
+
+- Puffin file format (Iceberg spec "Puffin spec"): ``PFA1`` magic at file
+  start, concatenated blob payloads, then a footer = Magic, FooterPayload
+  (JSON), FooterPayloadSize (4-byte little-endian), Flags (4 bytes),
+  Magic. FooterPayload carries ``{"blobs": [BlobMetadata...],
+  "properties": {...}}``; each BlobMetadata records type, offset, length,
+  snapshot-id, sequence-number and free-form properties. This engine
+  writes uncompressed footers (flags = 0) and uncompressed blobs.
+- Deletion vectors (Iceberg v3 spec "Deletion vectors"): blob type
+  ``deletion-vector-v1``; the blob payload is
+
+      [4-byte BIG-endian length of (magic + vector)]
+      [magic bytes D1 D3 39 64]
+      [the vector: 64-bit "portable" Roaring bitmap]
+      [4-byte BIG-endian CRC-32 of (magic + vector)]
+
+  and the blob's properties carry ``referenced-data-file`` (the data file
+  the vector applies to) and ``cardinality``.
+- 64-bit portable Roaring (RoaringBitmap "portable" interoperable format):
+  8-byte little-endian map count, then per entry a 4-byte little-endian
+  high-32 key followed by a standard 32-bit Roaring serialization.
+- 32-bit Roaring (RoaringFormatSpec): this writer never emits run
+  containers, so the cookie is SERIAL_COOKIE_NO_RUNCONTAINER (12346,
+  4-byte LE), then container count (4-byte LE), the descriptive header
+  (per container: uint16 key, uint16 cardinality-1), the offset header
+  (4-byte LE byte offsets from stream start), then container payloads —
+  sorted uint16 arrays below 4096 values, 8 KiB bitmaps at or above. The
+  READER additionally understands the run-container cookie (12347) so
+  vectors written by other engines still decode.
+
+Why bitmaps instead of (file_path, pos) parquet: a position-delete parquet
+row costs ~10-20 bytes per deleted row and repeats the file path; a DV
+costs at most 2 bytes per deleted row (array container) or a flat 8 KiB
+per 65536-row block (bitmap container), and one blob per data file replaces
+the per-row file_path join key — the representation Iceberg v3 standardized
+for exactly the 10^12-row scale this engine targets. Reference precedent
+for sidecar metadata consulted before data: parquet-to-arrow's
+dictionary-decision probe (src/parquet-to-arrow.cc:25-33).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+import zlib
+
+MAGIC = b"PFA1"
+DV_MAGIC = bytes([0xD1, 0xD3, 0x39, 0x64])
+DV_BLOB_TYPE = "deletion-vector-v1"
+
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE_RUN = 12347
+_ARRAY_MAX = 4096  # containers at/above this cardinality serialize as bitmaps
+
+
+# ------------------------------------------------------------ roaring 32/64
+
+
+def _roaring32_bytes(values) -> bytes:
+    """Serialize a sorted iterable of uint16-range ints (0..2^32-1 within
+    one high-32 key, already masked to their low 32 bits) as a 32-bit
+    portable Roaring bitmap with no run containers."""
+    import numpy as np
+
+    v = np.asarray(sorted(set(values)), dtype=np.uint32)
+    hi16 = (v >> np.uint32(16)).astype(np.uint16)
+    lo16 = (v & np.uint32(0xFFFF)).astype(np.uint16)
+    keys = sorted(set(int(k) for k in hi16))
+    out = bytearray()
+    out += struct.pack("<I", _SERIAL_COOKIE_NO_RUN)
+    out += struct.pack("<I", len(keys))
+    payloads = []
+    for k in keys:
+        lows = lo16[hi16 == k]
+        out += struct.pack("<HH", k, len(lows) - 1)
+        if len(lows) < _ARRAY_MAX:
+            payloads.append(lows.tobytes())  # sorted uint16 LE array
+        else:
+            bm = np.zeros(1024, dtype=np.uint64)
+            idx = lows.astype(np.uint32)
+            bm_idx = idx >> np.uint32(6)
+            np.bitwise_or.at(
+                bm, bm_idx, np.uint64(1) << (idx & np.uint32(63)).astype(np.uint64)
+            )
+            payloads.append(bm.tobytes())
+    # offset header: byte offsets of each container from stream start
+    off = len(out) + 4 * len(keys)
+    for pl in payloads:
+        out += struct.pack("<I", off)
+        off += len(pl)
+    for pl in payloads:
+        out += pl
+    return bytes(out)
+
+
+def _read_roaring32(buf: bytes, pos: int):
+    """Parse one 32-bit portable Roaring bitmap at ``pos``; returns
+    (sorted list of uint32 values, next position)."""
+    import numpy as np
+
+    (cookie16,) = struct.unpack_from("<H", buf, pos)
+    run_bitset = None
+    if cookie16 == _SERIAL_COOKIE_RUN:
+        (n_containers,) = struct.unpack_from("<H", buf, pos + 2)
+        n_containers += 1
+        pos += 4
+        n_run_bytes = (n_containers + 7) // 8
+        run_bitset = buf[pos : pos + n_run_bytes]
+        pos += n_run_bytes
+    else:
+        (cookie,) = struct.unpack_from("<I", buf, pos)
+        if cookie != _SERIAL_COOKIE_NO_RUN:
+            raise ValueError(f"unsupported roaring cookie {cookie}")
+        (n_containers,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+    keys_cards = []
+    for _ in range(n_containers):
+        k, cm1 = struct.unpack_from("<HH", buf, pos)
+        keys_cards.append((k, cm1 + 1))
+        pos += 4
+    # offset header present for the no-run cookie, or (with runs) when
+    # there are >= 4 containers (NO_OFFSET_THRESHOLD)
+    if run_bitset is None or n_containers >= 4:
+        pos += 4 * n_containers
+    values: list[int] = []
+    for i, (k, card) in enumerate(keys_cards):
+        is_run = bool(run_bitset[i // 8] & (1 << (i % 8))) if run_bitset else False
+        base = k << 16
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(base + start + j for j in range(length + 1))
+        elif card >= _ARRAY_MAX:
+            bm = np.frombuffer(buf, dtype=np.uint64, count=1024, offset=pos)
+            pos += 8192
+            idx = np.flatnonzero(
+                np.unpackbits(
+                    bm.view(np.uint8), bitorder="little"
+                )
+            )
+            values.extend(int(base + j) for j in idx)
+        else:
+            arr = np.frombuffer(buf, dtype=np.uint16, count=card, offset=pos)
+            pos += 2 * card
+            values.extend(int(base + j) for j in arr)
+    return values, pos
+
+
+def roaring64_bytes(positions) -> bytes:
+    """Serialize 64-bit positions as the portable 64-bit Roaring format:
+    8-byte LE map count, then (4-byte LE high key, 32-bit roaring) pairs."""
+    groups: dict[int, list[int]] = {}
+    for p in positions:
+        p = int(p)
+        if p < 0:
+            raise ValueError("deletion vector positions must be non-negative")
+        groups.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = bytearray()
+    out += struct.pack("<Q", len(groups))
+    for hi in sorted(groups):
+        out += struct.pack("<I", hi)
+        out += _roaring32_bytes(groups[hi])
+    return bytes(out)
+
+
+def read_roaring64(buf: bytes) -> list[int]:
+    """Parse a portable 64-bit Roaring bitmap into sorted positions."""
+    (n_maps,) = struct.unpack_from("<Q", buf, 0)
+    pos = 8
+    values: list[int] = []
+    for _ in range(n_maps):
+        (hi,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        lows, pos = _read_roaring32(buf, pos)
+        values.extend((hi << 32) | v for v in lows)
+    return sorted(values)
+
+
+# ------------------------------------------------------------ DV blobs
+
+
+def dv_blob_bytes(positions) -> bytes:
+    """One deletion-vector-v1 blob payload: BE length prefix of
+    (magic + vector), the magic, the 64-bit portable roaring vector, and a
+    BE CRC-32 of (magic + vector)."""
+    vec = roaring64_bytes(positions)
+    body = DV_MAGIC + vec
+    return struct.pack(">I", len(body)) + body + struct.pack(">I", zlib.crc32(body))
+
+
+def read_dv_blob(blob: bytes) -> list[int]:
+    """Decode one deletion-vector-v1 blob payload back to sorted positions,
+    verifying the magic and the CRC."""
+    (body_len,) = struct.unpack_from(">I", blob, 0)
+    body = blob[4 : 4 + body_len]
+    if body[:4] != DV_MAGIC:
+        raise ValueError("bad deletion-vector magic")
+    (crc,) = struct.unpack_from(">I", blob, 4 + body_len)
+    if zlib.crc32(body) != crc:
+        raise ValueError("deletion-vector CRC mismatch")
+    return read_roaring64(body[4:])
+
+
+# ------------------------------------------------------------ puffin files
+
+
+def write_puffin(
+    path: str,
+    blobs: list[dict],
+    snapshot_id: int | None = None,
+    sequence_number: int | None = None,
+    properties: dict | None = None,
+) -> list[dict]:
+    """Write a Puffin file. ``blobs``: [{"type": ..., "data": bytes,
+    "properties": {...}, "fields": [...]}]. Returns the footer's blob
+    metadata list (with resolved offset/length) — the writer's view, which
+    the caller records in manifests (content_offset / content_size).
+    Published atomically (tmp + replace) like every metadata artifact."""
+    metas: list[dict] = []
+    payload = bytearray()
+    payload += MAGIC
+    for b in blobs:
+        meta = {
+            "type": b["type"],
+            "fields": b.get("fields", []),
+            "snapshot-id": snapshot_id if snapshot_id is not None else -1,
+            "sequence-number": sequence_number if sequence_number is not None else -1,
+            "offset": len(payload),
+            "length": len(b["data"]),
+            "properties": b.get("properties", {}),
+        }
+        payload += b["data"]
+        metas.append(meta)
+    footer = json.dumps(
+        {"blobs": metas, "properties": properties or {}}
+    ).encode("utf-8")
+    payload += MAGIC
+    payload += footer
+    payload += struct.pack("<I", len(footer))
+    payload += struct.pack("<I", 0)  # flags: footer uncompressed
+    payload += MAGIC
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return metas
+
+
+def read_puffin_footer(path: str) -> dict:
+    """Read a Puffin file's footer payload ({"blobs": [...], "properties":
+    {...}}), verifying all three magics."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != MAGIC or data[-4:] != MAGIC:
+        raise ValueError(f"{path}: not a Puffin file (bad magic)")
+    (flags,) = struct.unpack_from("<I", data, len(data) - 8)
+    if flags & 1:
+        raise NotImplementedError("compressed Puffin footers not supported")
+    (footer_len,) = struct.unpack_from("<I", data, len(data) - 12)
+    footer_start = len(data) - 12 - footer_len
+    if data[footer_start - 4 : footer_start] != MAGIC:
+        raise ValueError(f"{path}: bad footer magic")
+    return json.loads(data[footer_start : footer_start + footer_len])
+
+
+def read_blob(path: str, offset: int, length: int) -> bytes:
+    """Read one blob's payload bytes by footer-recorded offset/length."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        return f.read(length)

@@ -85,6 +85,68 @@ def bloom_leg(spark):
     }
 
 
+def bloom_dist_leg(spark):
+    """Distributed membership at >=10^4 files: the driver-side candidate
+    loop and the column-expression path must agree key-for-key, and the
+    distributed path's cost must stay file-count-shaped (one broadcast
+    join over the index frame, no blob parse on the driver)."""
+    from parquet_to_arrow_spark.sources import bloom_index as bi
+    from parquet_to_arrow_spark.sources import iceberg_meta as ice
+    from parquet_to_arrow_spark.sources.iceberg import append
+
+    tab = f"{WORK}/bloom_dist_tab"
+    shutil.rmtree(tab, ignore_errors=True)
+    n, files = 5_120_000, 10_240
+    df = (
+        spark.range(n)
+        .select(
+            F.format_string(
+                "doc-%013d", F.abs(F.xxhash64(F.col("id"))) % F.lit(10**13)
+            ).alias("doc_id"),
+            F.col("id").alias("n"),
+        )
+        .repartition(files)
+    )
+    append(df, tab)
+    t0 = time.time()
+    idx_path = bi.build_bloom_index(spark, tab, "doc_id")
+    t_build = time.time() - t0
+    present = [
+        r["doc_id"]
+        for r in ice.read_snapshot(spark, tab).select("doc_id").limit(8).collect()
+    ]
+    keys = present + [f"doc-x{i}" for i in range(8)]
+    t0 = time.time()
+    drv = [sorted(bi.bloom_candidate_files(tab, "doc_id", k)) for k in keys]
+    t_drv = (time.time() - t0) / len(keys)
+    t0 = time.time()
+    dist = [
+        sorted(
+            r["path"]
+            for r in bi.bloom_candidate_files_distributed(
+                spark, tab, "doc_id", k
+            ).collect()
+        )
+        for k in keys
+    ]
+    t_dist = (time.time() - t0) / len(keys)
+    assert dist == drv, "distributed membership diverged from driver-side"
+    n_cand_present = [len(c) for c in dist[: len(present)]]
+    n_cand_absent = [len(c) for c in dist[len(present):]]
+    return {
+        "leg": "bloom_distributed",
+        "rows": n,
+        "files": files,
+        "build_s": round(t_build, 1),
+        "index_mib": round(os.path.getsize(idx_path) / 2**20, 2),
+        "mean_candidates_present": sum(n_cand_present) / len(n_cand_present),
+        "mean_candidates_absent": sum(n_cand_absent) / len(n_cand_absent),
+        "driver_lookup_s": round(t_drv, 2),
+        "distributed_lookup_s": round(t_dist, 2),
+        "paths_agree": True,
+    }
+
+
 def zorder_leg(spark):
     from parquet_to_arrow_spark.sources import iceberg_meta as ice
     from parquet_to_arrow_spark.sources.iceberg import append, compact_files
@@ -337,12 +399,13 @@ def _pq_search(spark, codes, emb, books, qrows, k=10):
 
 
 if __name__ == "__main__":
-    legs = sys.argv[1:] or ["bloom", "zorder", "changelog", "pq"]
+    legs = sys.argv[1:] or ["bloom", "bloom_dist", "zorder", "changelog", "pq"]
     spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     os.makedirs(WORK, exist_ok=True)
     for leg in legs:
-        fn = {"bloom": bloom_leg, "zorder": zorder_leg,
-              "changelog": changelog_leg, "pq": pq_leg}[leg]
+        fn = {"bloom": bloom_leg, "bloom_dist": bloom_dist_leg,
+              "zorder": zorder_leg, "changelog": changelog_leg,
+              "pq": pq_leg}[leg]
         t0 = time.time()
         res = fn(spark)
         res["wall_s"] = round(time.time() - t0, 1)

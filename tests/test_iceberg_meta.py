@@ -123,6 +123,10 @@ class TestAvroBinary:
                 "upper_bounds": None,
                 "split_offsets": None, "equality_ids": None,
                 "sort_order_id": None,
+                # Iceberg v3 deletion-vector reference fields (143/144/145)
+                "referenced_data_file": None,
+                "content_offset": None,
+                "content_size_in_bytes": None,
             },
         }
         _, back = avro_io.read_container(
@@ -2490,3 +2494,640 @@ class TestSpecChangeGuard:
             ice.commit_parquet_dir(
                 table, d3, spark_schema=docs_df.schema, ts_ms=3,
                 partition_by=["doc_id:bucket[4]"])
+
+
+class TestReviewRound5:
+    """Regressions from the round-4 external review (ADVICE.md round 5)."""
+
+    def test_eq_delete_on_identity_partition_key(self, spark, tmp_path):
+        """An equality delete keyed on an identity-PARTITION column must
+        actually delete. Regression: the hive layout strips the column
+        from data files and read_snapshot used to re-attach the literal
+        only AFTER _scan's eq anti-join, so eqNullSafe compared NULL to
+        the key and the delete silently no-opped — and materialize_deletes
+        then dropped the delete file, permanently losing a GDPR purge."""
+        from parquet_to_arrow_spark.sources.iceberg import (
+            delete_keys_mor,
+            materialize_deletes,
+            read_table,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}", ["web", "books", "code"][i % 3]) for i in range(30)],
+            "doc_id long, text string, source string",
+        )
+        d = str(tmp_path / "w")
+        df.coalesce(1).write.partitionBy("source").parquet(d)
+        table = str(tmp_path / "table")
+        ice.commit_parquet_dir(
+            table, d, spark_schema=df.schema, ts_ms=1, partition_by=["source"]
+        )
+        sid = delete_keys_mor(
+            spark,
+            table,
+            spark.createDataFrame([("books",)], "source string"),
+            "source",
+        )
+        assert sid is not None
+        got = read_table(spark, table).collect()
+        assert {r["source"] for r in got} == {"web", "code"}
+        assert len(got) == 20
+        # folding the delete keeps it deleted (the permanent-loss half)
+        assert materialize_deletes(spark, table) is not None
+        assert ice.snapshot_delete_files(table) == []
+        after = read_table(spark, table).collect()
+        assert {r["source"] for r in after} == {"web", "code"}
+        assert len(after) == 20
+
+    def test_eq_delete_mixed_partition_and_data_key(self, spark, tmp_path):
+        """Composite equality key spanning a partition column AND a data
+        column: both halves must participate in the anti-join."""
+        from parquet_to_arrow_spark.sources.iceberg import (
+            delete_keys_mor,
+            read_table,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}", ["web", "books"][i % 2]) for i in range(20)],
+            "doc_id long, text string, source string",
+        )
+        d = str(tmp_path / "w")
+        df.coalesce(1).write.partitionBy("source").parquet(d)
+        table = str(tmp_path / "table")
+        ice.commit_parquet_dir(
+            table, d, spark_schema=df.schema, ts_ms=1, partition_by=["source"]
+        )
+        delete_keys_mor(
+            spark,
+            table,
+            spark.createDataFrame([(3, "books"), (4, "web")],
+                                  "doc_id long, source string"),
+            ["doc_id", "source"],
+        )
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == set(range(20)) - {3, 4}
+
+    def test_reconcile_oserror_never_unlinks(self, tmp_path, monkeypatch):
+        """A transient read error on a peer's valid committed metadata must
+        not unlink it (it may be a live snapshot) — retry, then raise
+        CommitConflict leaving the file in place."""
+        import builtins
+
+        meta_path = tmp_path / "v3.metadata.json"
+        meta_path.write_text(json.dumps({"current-snapshot-id": 42}))
+        tmp_meta = tmp_path / "ours.json"
+        tmp_meta.write_text(json.dumps({"current-snapshot-id": 7}))
+        real_open = builtins.open
+
+        def flaky(path, *a, **k):
+            if str(path) == str(meta_path) and (not a or "r" in str(a[0])):
+                raise OSError(24, "too many open files")
+            return real_open(path, *a, **k)
+
+        monkeypatch.setattr(builtins, "open", flaky)
+        with pytest.raises(ice.CommitConflict, match="refusing to unlink"):
+            ice._reconcile_existing_commit(str(meta_path), str(tmp_meta), 7)
+        monkeypatch.undo()
+        assert meta_path.exists()
+        assert json.loads(meta_path.read_text())["current-snapshot-id"] == 42
+
+    def test_reconcile_oserror_then_success_retries(self, tmp_path, monkeypatch):
+        """One transient failure followed by a clean read resolves normally
+        (same snapshot id == crash replay of our own commit)."""
+        import builtins
+
+        meta_path = tmp_path / "v3.metadata.json"
+        meta_path.write_text(json.dumps({"current-snapshot-id": 7}))
+        tmp_meta = tmp_path / "ours.json"
+        tmp_meta.write_text(json.dumps({"current-snapshot-id": 7}))
+        real_open = builtins.open
+        fails = {"n": 1}
+
+        def flaky(path, *a, **k):
+            if str(path) == str(meta_path) and fails["n"] > 0:
+                fails["n"] -= 1
+                raise OSError(5, "input/output error")
+            return real_open(path, *a, **k)
+
+        monkeypatch.setattr(builtins, "open", flaky)
+        ice._reconcile_existing_commit(str(meta_path), str(tmp_meta), 7)  # no raise
+        monkeypatch.undo()
+        assert meta_path.exists()
+
+    def test_bucket_column_null_to_null(self, spark):
+        """bucket[n] over a column containing NULLs: null -> null (the
+        spec's transform rule, bucket_of's explicit guard). Regression:
+        pandas delivers nullable ints as float+NaN and the unmasked numpy
+        cast crashed with 'cannot convert float NaN to integer'."""
+        from parquet_to_arrow_spark.sources.iceberg import with_bucket_column
+
+        df = spark.createDataFrame(
+            [(1, "a"), (None, None), (7, "b")], "k long, s string"
+        )
+        got = {
+            (r["k"], r["s"]): (r["k_bucket"], r["s_bucket"])
+            for r in with_bucket_column(
+                with_bucket_column(df, "k", 32), "s", 32
+            ).collect()
+        }
+        assert got[(None, None)] == (None, None)
+        assert got[(1, "a")] == (
+            ice.bucket_of(1, "long", 32),
+            ice.bucket_of("a", "string", 32),
+        )
+        assert got[(7, "b")] == (
+            ice.bucket_of(7, "long", 32),
+            ice.bucket_of("b", "string", 32),
+        )
+
+
+class TestPartitionSpecEvolution:
+    """Iceberg Table Spec v2 'Partition Evolution': a new spec commits as a
+    spec-id bump (metadata only — no data file rewritten); manifests
+    resolve partition tuples against THEIR spec; pruning applies
+    per-manifest with conservative keeps across specs; compaction migrates
+    old-layout files into the current spec."""
+
+    def _mk(self, spark, tmp_path, part, rows, ts):
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, source string"
+        )
+        d = str(tmp_path / f"w{ts}")
+        w = df.coalesce(1).write
+        if part:
+            w = w.partitionBy(*part)
+        w.parquet(d)
+        return d, df.schema
+
+    def test_evolve_identity_to_identity_reads_and_prunes_both_ways(
+        self, spark, tmp_path
+    ):
+        table = str(tmp_path / "t")
+        rows0 = [(1, "en", "web"), (2, "de", "web"), (3, "en", "books")]
+        d0, schema = self._mk(spark, tmp_path, ["lang"], rows0, 1)
+        ice.commit_parquet_dir(
+            table, d0, spark_schema=schema, ts_ms=1, partition_by=["lang"]
+        )
+        # loud reject without the flag (true-conflict path retained)
+        rows1 = [(4, "fr", "web"), (5, "en", "code")]
+        d1, _ = self._mk(spark, tmp_path, ["source"], rows1, 2)
+        with pytest.raises(ValueError, match="spec evolution"):
+            ice.commit_parquet_dir(table, d1, ts_ms=2, partition_by=["source"])
+        ice.commit_parquet_dir(
+            table, d1, ts_ms=2, partition_by=["source"],
+            allow_spec_evolution=True,
+        )
+        meta = ice.current_metadata(table)
+        assert [s["spec-id"] for s in meta["partition-specs"]] == [0, 1]
+        assert meta["default-spec-id"] == 1
+        fids = {
+            f["field-id"]
+            for s in meta["partition-specs"]
+            for f in s["fields"]
+        }
+        assert fids == {1000, 1001}  # fresh id, no reuse across transforms
+        assert meta["last-partition-id"] == 1001
+
+        # full read: old files re-attach lang literals, new files source
+        got = {
+            r["doc_id"]: (r["lang"], r["source"])
+            for r in ice.read_snapshot(spark, table).collect()
+        }
+        assert got == {
+            1: ("en", "web"), 2: ("de", "web"), 3: ("en", "books"),
+            4: ("fr", "web"), 5: ("en", "code"),
+        }
+        # prune on the OLD spec's key: old manifests prune, new files pass
+        # the residual filter exactly
+        en = {
+            r["doc_id"]
+            for r in ice.read_snapshot(
+                spark, table, partition_filter={"lang": "en"}
+            ).collect()
+        }
+        assert en == {1, 3, 5}
+        # prune on the NEW spec's key: new manifests prune, old files pass
+        # the residual filter exactly
+        web = {
+            r["doc_id"]
+            for r in ice.read_snapshot(
+                spark, table, partition_filter={"source": "web"}
+            ).collect()
+        }
+        assert web == {1, 2, 4}
+        # file-level pruning actually happened (not just residual filters)
+        files_en = ice.snapshot_files(table, partition_filter={"lang": "en"})
+        assert len(files_en) < len(ice.snapshot_files(table))
+        assert all(
+            f.spec_id == 1 or (f.partition or {}).get("lang") == "en"
+            for f in files_en
+        )
+
+    def test_field_id_reused_when_same_transform_returns(self, spark, tmp_path):
+        table = str(tmp_path / "t")
+        d0, schema = self._mk(
+            spark, tmp_path, ["lang"], [(1, "en", "web")], 1
+        )
+        ice.commit_parquet_dir(
+            table, d0, spark_schema=schema, ts_ms=1, partition_by=["lang"]
+        )
+        d1, _ = self._mk(spark, tmp_path, ["source"], [(2, "de", "books")], 2)
+        ice.commit_parquet_dir(
+            table, d1, ts_ms=2, partition_by=["source"], allow_spec_evolution=True
+        )
+        # back to lang: the (source-id, transform) pair must REUSE 1000
+        d2, _ = self._mk(spark, tmp_path, ["lang"], [(3, "fr", "code")], 3)
+        ice.commit_parquet_dir(
+            table, d2, ts_ms=3, partition_by=["lang"], allow_spec_evolution=True
+        )
+        meta = ice.current_metadata(table)
+        spec2 = next(s for s in meta["partition-specs"] if s["spec-id"] == 2)
+        assert spec2["fields"][0]["field-id"] == 1000
+        assert meta["last-partition-id"] == 1001
+        got = {
+            r["doc_id"]: r["lang"]
+            for r in ice.read_snapshot(spark, table).collect()
+        }
+        assert got == {1: "en", 2: "de", 3: "fr"}
+
+    def test_rewrite_manifests_folds_per_spec(self, spark, tmp_path):
+        table = str(tmp_path / "t")
+        d0, schema = self._mk(spark, tmp_path, ["lang"], [(1, "en", "web")], 1)
+        ice.commit_parquet_dir(
+            table, d0, spark_schema=schema, ts_ms=1, partition_by=["lang"]
+        )
+        d1, _ = self._mk(spark, tmp_path, ["lang"], [(2, "de", "web")], 2)
+        ice.commit_parquet_dir(table, d1, ts_ms=2)
+        d2, _ = self._mk(spark, tmp_path, ["source"], [(3, "fr", "books")], 3)
+        ice.commit_parquet_dir(
+            table, d2, ts_ms=3, partition_by=["source"], allow_spec_evolution=True
+        )
+        d3, _ = self._mk(spark, tmp_path, ["source"], [(4, "en", "code")], 4)
+        ice.commit_parquet_dir(table, d3, ts_ms=4)
+        sid = ice.rewrite_manifests(table, ts_ms=5)
+        assert sid is not None
+        mans = ice.metadata_table(spark, table, "manifests").collect()
+        assert len(mans) == 2  # one folded manifest PER SPEC
+        # all four rows still read with correct layouts
+        got = {
+            r["doc_id"]: (r["lang"], r["source"])
+            for r in ice.read_snapshot(spark, table).collect()
+        }
+        assert got == {
+            1: ("en", "web"), 2: ("de", "web"),
+            3: ("fr", "books"), 4: ("en", "code"),
+        }
+        # spec ids survive the fold
+        specs = {
+            r["spec_id"]
+            for r in ice.metadata_table(spark, table, "files").collect()
+        }
+        assert specs == {0, 1}
+
+    def test_compaction_migrates_old_spec_files(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import compact_files
+
+        table = str(tmp_path / "t")
+        d0, schema = self._mk(
+            spark, tmp_path, ["lang"],
+            [(1, "en", "web"), (2, "en", "books"), (3, "de", "web")], 1,
+        )
+        ice.commit_parquet_dir(
+            table, d0, spark_schema=schema, ts_ms=1, partition_by=["lang"]
+        )
+        d1, _ = self._mk(spark, tmp_path, ["lang"], [(4, "en", "code")], 2)
+        ice.commit_parquet_dir(table, d1, ts_ms=2)
+        d2, _ = self._mk(spark, tmp_path, ["source"], [(5, "fr", "web")], 3)
+        ice.commit_parquet_dir(
+            table, d2, ts_ms=3, partition_by=["source"], allow_spec_evolution=True
+        )
+        before = {
+            r["doc_id"]: (r["lang"], r["source"])
+            for r in ice.read_snapshot(spark, table).collect()
+        }
+        sid = compact_files(spark, table, target_bytes=1 << 30)
+        assert sid is not None
+        after = {
+            r["doc_id"]: (r["lang"], r["source"])
+            for r in ice.read_snapshot(spark, table).collect()
+        }
+        assert after == before  # identity columns survived the migration
+        # every live file now carries the CURRENT spec
+        assert {
+            f.spec_id for f in ice.snapshot_files(table)
+        } == {1}
+        # and the new-spec pruning now covers the migrated rows exactly
+        web = {
+            r["doc_id"]
+            for r in ice.read_snapshot(
+                spark, table, partition_filter={"source": "web"}
+            ).collect()
+        }
+        assert web == {1, 3, 5}
+
+    def test_partition_specs_metadata_table(self, spark, tmp_path):
+        table = str(tmp_path / "t")
+        d0, schema = self._mk(spark, tmp_path, ["lang"], [(1, "en", "web")], 1)
+        ice.commit_parquet_dir(
+            table, d0, spark_schema=schema, ts_ms=1, partition_by=["lang"]
+        )
+        d1, _ = self._mk(spark, tmp_path, ["source"], [(2, "de", "books")], 2)
+        ice.commit_parquet_dir(
+            table, d1, ts_ms=2, partition_by=["source"], allow_spec_evolution=True
+        )
+        rows = {
+            (r["spec_id"], r["field_name"], r["is_default"])
+            for r in ice.metadata_table(spark, table, "partition_specs").collect()
+        }
+        assert rows == {(0, "lang", False), (1, "source", True)}
+
+
+class TestBloomDistributed:
+    """The >10^5-files membership path: index parquet read as a DataFrame,
+    double-hash bit test evaluated as a column expression — must agree
+    with Bloom.might_contain bit-for-bit."""
+
+    def _table(self, spark, tmp_path, n_files=8, rows_per=200):
+        return TestBloomIndex._table(self, spark, tmp_path, n_files, rows_per)
+
+    def test_distributed_matches_driver_side(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+
+        table = self._table(spark, tmp_path)
+        bi.build_bloom_index(spark, table, "doc_id")
+        keys = [
+            f"doc-{(i * 8 + k) * 2654435761 % 10**9:09d}"
+            for i in (0, 5, 17)
+            for k in (0, 3, 7)
+        ] + ["doc-nope", "doc-x1", "doc-x2", "", "late"]
+        for key in keys:
+            drv = sorted(bi.bloom_candidate_files(table, "doc_id", key))
+            dist = sorted(
+                r["path"]
+                for r in bi.bloom_candidate_files_distributed(
+                    spark, table, "doc_id", key
+                ).collect()
+            )
+            assert dist == drv, key
+
+    def test_distributed_keeps_unindexed_files(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = self._table(spark, tmp_path, n_files=3)
+        bi.build_bloom_index(spark, table, "doc_id")
+        append(
+            spark.createDataFrame([("late-doc", 8)], "doc_id string, n long")
+            .coalesce(1),
+            table,
+        )
+        got = {
+            r["path"]
+            for r in bi.bloom_candidate_files_distributed(
+                spark, table, "doc_id", "late-doc"
+            ).collect()
+        }
+        # the post-index file has no filter row -> always a candidate
+        assert any("seq-4" in p for p in got)
+
+    def test_distributed_none_without_index(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+
+        table = self._table(spark, tmp_path, n_files=2)
+        assert (
+            bi.bloom_candidate_files_distributed(spark, table, "doc_id", "x")
+            is None
+        )
+
+    def test_expression_agrees_with_might_contain_on_edge_params(self, spark):
+        """Pin the column expression against the Python reference across
+        filters whose m_bits stress the modulus/byte math (tiny m, odd m,
+        k up to the cap)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+
+        blooms = [
+            bi.Bloom.build([f"v{i}" for i in range(n)], fpp)
+            for n, fpp in [(1, 0.5), (3, 0.01), (100, 1e-6), (7, 1e-18)]
+        ]
+        assert max(b.k for b in blooms) >= 55  # the cap region is exercised
+        for key in ["v0", "v1", "v99", "absent", ""]:
+            h1, h2 = bi._hash_pair(key)
+            probes = []
+            for i in range(bi._MAX_K):
+                num = h1 + i * h2
+                pos = f"CAST(pmod(CAST('{num}' AS DECIMAL(38,0)), m_bits) AS BIGINT)"
+                probes.append(
+                    f"({i} >= k OR ("
+                    f"CAST(conv(hex(substring(bits, CAST(({pos}) DIV 8 AS INT) + 1, 1)),"
+                    f" 16, 10) AS INT)"
+                    f" >> CAST(pmod({pos}, 8) AS INT)) & 1 = 1)"
+                )
+            df = spark.createDataFrame(
+                pa.table(
+                    {
+                        "m_bits": [b.m_bits for b in blooms],
+                        "k": [b.k for b in blooms],
+                        "bits": [b.to_bytes() for b in blooms],
+                    }
+                ).to_pandas()
+            ).withColumn("might", F.expr(" AND ".join(probes)))
+            got = [r["might"] for r in df.collect()]
+            want = [b.might_contain(key) for b in blooms]
+            assert got == want, key
+
+
+class TestDeletionVectors:
+    """Iceberg v3 deletion vectors: Puffin DV blobs (spec framing + 64-bit
+    portable Roaring), committed as content=1 entries with
+    referenced_data_file/content_offset/content_size, consumed through the
+    same anti-join plan as v2 position-delete parquet."""
+
+    def test_roaring_spec_bytes(self):
+        """Pin the 32-bit portable layout against hand-computed spec bytes:
+        values {1, 3} = cookie 12346 LE, 1 container, key 0, card-1 = 1,
+        offset 16, then the sorted uint16 array [1, 3]."""
+        from parquet_to_arrow_spark.sources import puffin as pf
+
+        got = pf._roaring32_bytes([1, 3])
+        want = (
+            b"\x3a\x30\x00\x00"  # SERIAL_COOKIE_NO_RUNCONTAINER = 12346
+            b"\x01\x00\x00\x00"  # 1 container
+            b"\x00\x00\x01\x00"  # key 0, cardinality-1 = 1
+            b"\x10\x00\x00\x00"  # offset 16 from stream start
+            b"\x01\x00\x03\x00"  # values 1, 3 as uint16 LE
+        )
+        assert got == want
+        # 64-bit wrapper: map count 1 (8B LE) + high key 0 (4B LE) + the 32-bit map
+        got64 = pf.roaring64_bytes([1, 3])
+        assert got64 == b"\x01" + b"\x00" * 7 + b"\x00\x00\x00\x00" + want
+        assert pf.read_roaring64(got64) == [1, 3]
+
+    def test_roaring_container_edges(self):
+        from parquet_to_arrow_spark.sources import puffin as pf
+
+        cases = [
+            [0],
+            [65535, 65536],  # straddles two 16-bit containers
+            list(range(4096)),  # exactly at the bitmap-container threshold
+            list(range(0, 140000, 2)),  # bitmap containers across keys
+            [2**32 - 1, 2**32, 2**40 + 7],  # multiple high-32 keys
+        ]
+        for vals in cases:
+            assert pf.read_roaring64(pf.roaring64_bytes(vals)) == sorted(set(vals))
+
+    def test_dv_blob_crc_guard(self):
+        from parquet_to_arrow_spark.sources import puffin as pf
+
+        blob = pf.dv_blob_bytes([5, 7])
+        assert pf.read_dv_blob(blob) == [5, 7]
+        bad = bytearray(blob)
+        bad[9] ^= 0x40
+        with pytest.raises(ValueError, match="CRC|magic"):
+            pf.read_dv_blob(bytes(bad))
+
+    def _table(self, spark, tmp_path, n_files=3, rows=10):
+        from parquet_to_arrow_spark.sources.iceberg import append
+
+        table = str(tmp_path / "table")
+        for i in range(n_files):
+            append(
+                spark.createDataFrame(
+                    [(i * rows + j, f"t{i}-{j}") for j in range(rows)],
+                    "doc_id long, text string",
+                ).coalesce(1),
+                table,
+            )
+        return table
+
+    def test_dv_delete_reads_and_time_travels(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import (
+            delete_where_dv,
+            read_table,
+        )
+
+        table = self._table(spark, tmp_path)
+        before = ice.current_metadata(table)["current-snapshot-id"]
+        files_before = {f.path for f in ice.snapshot_files(table)}
+        sid = delete_where_dv(spark, table, "doc_id % 10 = 3")
+        assert sid is not None
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == {i for i in range(30) if i % 10 != 3}
+        # data files untouched; delete entries are DV blobs in ONE puffin
+        assert {f.path for f in ice.snapshot_files(table)} == files_before
+        dels = ice.snapshot_delete_files(table)
+        assert len(dels) == 3 and all(f.content == 1 for f in dels)
+        assert all(f.referenced_data_file for f in dels)
+        assert len({f.path for f in dels}) == 1  # one shared puffin file
+        assert dels[0].path.endswith(".puffin")
+        assert read_table(spark, table, snapshot_id=before).count() == 30
+        # no match: no commit
+        assert delete_where_dv(spark, table, "doc_id = 999") is None
+
+    def test_dv_accumulates_and_mixes_with_v2(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import (
+            delete_where_dv,
+            delete_where_mor,
+            read_table,
+        )
+
+        table = self._table(spark, tmp_path)
+        delete_where_dv(spark, table, "doc_id = 3")
+        delete_where_mor(spark, table, "doc_id = 17")  # v2 parquet rep
+        delete_where_dv(spark, table, "doc_id = 21")  # second DV commit
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == set(range(30)) - {3, 17, 21}
+
+    def test_materialize_folds_dvs(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import (
+            delete_where_dv,
+            delete_where_mor,
+            materialize_deletes,
+            read_table,
+        )
+
+        table = self._table(spark, tmp_path)
+        delete_where_dv(spark, table, "doc_id IN (3, 14)")
+        delete_where_mor(spark, table, "doc_id = 25")
+        sid = materialize_deletes(spark, table)
+        assert sid is not None
+        assert ice.snapshot_delete_files(table) == []
+        got = {r["doc_id"] for r in read_table(spark, table).collect()}
+        assert got == set(range(30)) - {3, 14, 25}
+        # plain re-read (no pending deletes): same rows
+        assert read_table(spark, table).count() == 27
+
+    def test_dv_changelog_pre_images(self, spark, tmp_path):
+        from parquet_to_arrow_spark.sources.iceberg import delete_where_dv
+
+        table = self._table(spark, tmp_path, n_files=2)
+        sid0 = ice.current_metadata(table)["current-snapshot-id"]
+        delete_where_dv(spark, table, "doc_id IN (1, 12)")
+        ch = ice.read_changelog(spark, table, since_snapshot_id=sid0).collect()
+        dels = [r for r in ch if r["_change_op"] == "delete"]
+        assert {r["doc_id"] for r in dels} == {1, 12}
+        # full pre-image rows, not key-only
+        assert all(r["text"] is not None for r in dels)
+
+    def test_dv_bitmap_container_end_to_end(self, spark, tmp_path):
+        """>4096 deleted positions in one file exercises the 8 KiB bitmap
+        container on the write AND read side."""
+        from parquet_to_arrow_spark.sources.iceberg import (
+            append,
+            delete_where_dv,
+            read_table,
+        )
+
+        table = str(tmp_path / "big")
+        append(
+            spark.range(10_000)
+            .selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+            .coalesce(1),
+            table,
+        )
+        delete_where_dv(spark, table, "doc_id < 5000")
+        dels = ice.snapshot_delete_files(table)
+        assert len(dels) == 1 and dels[0].record_count == 5000
+        # a 5000-bit-per-64k-block bitmap costs ~8 KiB; v2 parquet of the
+        # same rows costs many times that
+        assert dels[0].content_size < 16 << 10
+        got = read_table(spark, table)
+        assert got.count() == 5000
+        assert got.agg({"doc_id": "min"}).collect()[0][0] == 5000
+
+    def test_dv_on_identity_partitioned_table(self, spark, tmp_path):
+        """DVs over a hive-partitioned table: positions come from the
+        literal-attached scan, pruning + materialize keep the deletion."""
+        from parquet_to_arrow_spark.sources.iceberg import (
+            delete_where_dv,
+            materialize_deletes,
+            read_table,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}", ["web", "books"][i % 2]) for i in range(20)],
+            "doc_id long, text string, source string",
+        )
+        d = str(tmp_path / "w")
+        df.coalesce(1).write.partitionBy("source").parquet(d)
+        table = str(tmp_path / "t")
+        ice.commit_parquet_dir(
+            table, d, spark_schema=df.schema, ts_ms=1, partition_by=["source"]
+        )
+        delete_where_dv(spark, table, "source = 'books' AND doc_id < 10")
+        got = sorted(r["doc_id"] for r in read_table(spark, table).collect())
+        assert got == [0, 2, 4, 6, 8] + list(range(10, 20))
+        pf = sorted(
+            r["doc_id"]
+            for r in read_table(
+                spark, table, partition_filter={"source": "books"}
+            ).collect()
+        )
+        assert pf == [11, 13, 15, 17, 19]
+        assert materialize_deletes(spark, table) is not None
+        assert (
+            sorted(r["doc_id"] for r in read_table(spark, table).collect()) == got
+        )

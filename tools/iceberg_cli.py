@@ -14,6 +14,7 @@ Usage:
     python tools/iceberg_cli.py stage <table_dir> <branch> [--expect SID]
     python tools/iceberg_cli.py publish <table_dir> <branch>
     python tools/iceberg_cli.py rollback <table_dir> --snapshot SID|ref
+    python tools/iceberg_cli.py specs <table_dir>
 
 Every command prints one JSON document to stdout — pipe into jq or a
 monitoring job. Pure metadata: no Spark session is started (lookup reads
@@ -47,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("snapshots", "files", "history", "expire", "orphans",
                  "incremental", "deletes", "tag", "untag",
                  "rewrite-manifests", "lookup", "stage", "publish",
-                 "rollback", "refs", "partitions", "manifests"):
+                 "rollback", "refs", "partitions", "manifests", "specs"):
         s = sub.add_parser(name)
         s.add_argument("table")
         if name == "lookup":
@@ -186,6 +187,16 @@ def main(argv: list[str] | None = None) -> int:
             g["record_count"] += f.record_count
             g["total_bytes"] += f.file_size
         out = groups
+    elif args.cmd == "specs":
+        meta = ice.current_metadata(args.table)
+        out = [
+            {
+                "spec_id": sp["spec-id"],
+                "is_default": sp["spec-id"] == meta.get("default-spec-id", 0),
+                "fields": sp["fields"],
+            }
+            for sp in meta.get("partition-specs", [])
+        ]
     elif args.cmd == "manifests":
         meta = ice.current_metadata(args.table)
         cur = meta.get("current-snapshot-id")
