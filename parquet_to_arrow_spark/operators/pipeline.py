@@ -34,7 +34,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
 
 from .dedup import _docs, ngram_jaccard_pairs
 
@@ -286,20 +288,21 @@ def _bpe_ish_token_count(text):
     ).cast("long")
 
 
-# every range-partitioned frame a _packed call has pinned (pid stability
-# requires the cached partitioning to outlive the RETURNED frame, whose
-# consumption time the library cannot know — two composed packing queries
-# may interleave arbitrarily, so cross-call eviction would void the pin
-# mid-flight). The caller owns the lifetime: release_pack_caches() after
-# the results are materialized. Each entry is a narrow
-# (group_cols, doc_id, n_tok) projection, tiny relative to the corpus.
+# COMPAT SHIM: _packed no longer pins caches at all. Earlier rounds pinned
+# the range-partitioned input (spark_partition_id is NOT stable across
+# recomputes — the range sampler reseeds per RDD instantiation) and made
+# the caller release it after materialization. Round 5 removes the pin:
+# slice ids now re-derive deterministically from the COLLECTED boundary
+# keys (a pure function of data content, stable under retries, recomputes
+# and interleaved composition), so there is nothing to leak and nothing
+# for the caller to manage. The API stays for callers that adopted it.
 _pack_caches: list = []
 
 
 def release_pack_caches() -> int:
-    """Unpersist every packing-input cache pinned by prior _packed calls.
-    Call once the packing results have been materialized (written/collected);
-    returns the number of frames released."""
+    """Compat no-op since the deterministic-slice rewrite: _packed pins no
+    caches, so there is nothing to release. Returns the number of frames
+    released (always 0)."""
     n = 0
     while _pack_caches:
         _pack_caches.pop().unpersist()
@@ -321,25 +324,29 @@ def _packed(
     The running offset is a DISTRIBUTED prefix sum, not a global Window
     (which would serialize on one task): range-partition by (group, doc_id)
     — so each group's rows occupy a contiguous partition range — collect
-    the per-(partition, group) token totals (≤ P + n_groups rows, bounded
-    by partition count, never data), compute each slice's exclusive base
-    offset on the driver, broadcast the bases back, and finish with a
-    per-(partition, group) cumulative window. Every stage is parallel at
-    any input size.
+    the per-(partition, group) token totals and min keys (≤ P + n_groups
+    rows, bounded by partition count, never data), compute each slice's
+    exclusive base offset on the driver, broadcast the bases back, and
+    finish with a per-(slice, group) cumulative window. Every stage is
+    parallel at any input size.
+
+    Determinism note: spark_partition_id after repartitionByRange is NOT
+    stable across recomputes (the range sampler reseeds per RDD
+    instantiation), so the pid serves ONLY the one stats collect. The
+    returned frame re-derives each row's slice as searchsorted(doc_id)
+    against the slices' collected MIN KEYS — a pure function of data
+    content (unique doc_ids make the reproduction exact), so recomputes,
+    retries and interleaved composition all see identical slice ids with
+    NO pinned cache. The searchsorted runs as one Arrow-batched pandas
+    UDF over broadcast boundary lists (log P comparisons per row).
     """
     spark = t.sparkSession
     if n_parts is None:
         n_parts = max(spark.sparkContext.defaultParallelism, 1)
     keys = [*group_cols, "doc_id"]
-    parts = (
-        t.repartitionByRange(n_parts, *keys)
-        .withColumn("__pid", F.spark_partition_id())
-        .cache()
+    parts = t.repartitionByRange(n_parts, *keys).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    # the collect below fully materializes this cache, so later recomputes
-    # of the returned frame replay the SAME pids the bases were built from;
-    # lifetime is caller-managed (release_pack_caches), never evicted here
-    _pack_caches.append(parts)
     pstats = parts.groupBy("__pid", *group_cols).agg(
         F.sum("n_tok").alias("tot"), F.min("doc_id").alias("lo")
     ).collect()
@@ -347,21 +354,55 @@ def _packed(
     for r in pstats:
         slices.setdefault(tuple(r[c] for c in group_cols), []).append(r)
     rows = []
+    bnds: dict[tuple, list] = {}
     for g, rs in slices.items():
         acc = 0
-        for r in sorted(rs, key=lambda r: r["lo"]):
-            rows.append((int(r["__pid"]), *g, acc))
+        ordered = sorted(rs, key=lambda r: r["lo"])
+        # slice j = doc_ids in [lo_j, lo_j+1): row d of range-partition p
+        # satisfies lo_p <= d < lo_p+1 (unique keys), so the searchsorted
+        # assignment reproduces the partitioner's slices exactly
+        bnds[g] = [r["lo"] for r in ordered[1:]]
+        for i, r in enumerate(ordered):
+            rows.append((i, *g, acc))
             acc += int(r["tot"])
+    bc = spark.sparkContext.broadcast(bnds)
+
+    @pandas_udf("int")
+    def __slice_of(*cols):
+        import numpy as np
+
+        idv = cols[-1].to_numpy(dtype=object)
+        out = np.zeros(len(idv), dtype="int32")
+        if len(cols) == 1:
+            b = bc.value.get((), [])
+            if b:
+                out = np.searchsorted(
+                    np.array(b, dtype=object), idv, side="right"
+                ).astype("int32")
+        else:
+            gdf = pd.DataFrame({i: c for i, c in enumerate(cols[:-1])})
+            for key, idxs in gdf.groupby(
+                list(gdf.columns), sort=False
+            ).indices.items():
+                k = key if isinstance(key, tuple) else (key,)
+                b = bc.value.get(k, [])
+                if b:
+                    out[idxs] = np.searchsorted(
+                        np.array(b, dtype=object), idv[idxs], side="right"
+                    )
+        return pd.Series(out)
+
     base_schema = T.StructType(
-        [T.StructField("__pid", T.IntegerType())]
+        [T.StructField("__slice", T.IntegerType())]
         + [parts.schema[c] for c in group_cols]
         + [T.StructField("__base", T.LongType())]
     )
     bases = spark.createDataFrame(rows, base_schema)
-    w = Window.partitionBy("__pid", *group_cols).orderBy("doc_id")
+    w = Window.partitionBy("__slice", *group_cols).orderBy("doc_id")
     start = F.sum("n_tok").over(w) + F.col("__base") - F.col("n_tok")
     return (
-        parts.join(F.broadcast(bases), ["__pid", *group_cols])
+        t.withColumn("__slice", __slice_of(*[F.col(c) for c in keys]))
+        .join(F.broadcast(bases), ["__slice", *group_cols])
         .withColumn("__start", start)
         .select(
             *t.columns,  # group cols, doc_id, n_tok + any passthrough cols

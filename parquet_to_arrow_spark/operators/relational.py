@@ -1262,29 +1262,45 @@ def rolling_hour_user_value(spark, sf_dir) -> DataFrame:
     )
 
 
-def customer_balance_deciles(spark, sf_dir) -> DataFrame:
-    """NTILE decile assignment + per-decile rollup: customers ranked into
-    10 equal-frequency balance bands, then each band's population and
-    balance span in one pass. Two window classes the inventory lacked
-    (ntile, plus the agg-over-window-output shape); the window partitions
-    by market segment so no global single-task sort exists — each
-    segment's ranking is an independent shuffle partition."""
-    from pyspark.sql import Window
+def customer_balance_deciles(spark, sf_dir, exact: bool = False) -> DataFrame:
+    """Boundary-based decile assignment + per-decile rollup: per-segment
+    decile boundaries from the percentile machinery, broadcast back, and
+    the band picked by value comparison (decile 1 = highest balances).
+    Deliberately NOT an NTILE window: partitioning a window by the 5-value
+    c_mktsegment puts each segment's full customer population through ONE
+    task's sort at 100 TB. Here the fact side sees only a broadcast join
+    plus a 9-element array fold (whole-stage codegen, no Window at all),
+    and the boundary agg is a partial-aggregated shuffle over 5 groups
+    carrying a fixed-size sketch (approx_percentile) or value map (exact).
 
+    ``exact``: the library default is approx_percentile (bounded memory at
+    corpus scale); the DuckDB oracle needs the interpolating percentile for
+    bit-exact quantile_cont parity — same split as textstats.quality_filter.
+
+    Rows exactly AT a boundary band downward (the strict > comparison),
+    identically in the SQL twin."""
     cust = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+    fn = "percentile" if exact else "approx_percentile"
+    fracs = ", ".join(f"{k / 10}D" for k in range(1, 10))
+    bounds = cust.groupBy("c_mktsegment").agg(
+        F.expr(f"{fn}(c_acctbal, array({fracs}))").alias("__qb")
     )
-    return (
-        cust.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("c_mktsegment", "decile")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.max(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("top_balance"),
-            F.min(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("bottom_balance"),
-        )
+    banded = cust.join(F.broadcast(bounds), "c_mktsegment").withColumn(
+        "decile",
+        F.lit(10)
+        - F.aggregate(
+            "__qb",
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("c_acctbal") > b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+    return banded.groupBy("c_mktsegment", "decile").agg(
+        F.count("*").alias("n_customers"),
+        F.max(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("top_balance"),
+        F.min(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bottom_balance"),
     )

@@ -102,10 +102,10 @@ def test_pack_sequences_prefix_sum_is_distributed(spark):
     assert "lang" not in read_schema and "source" not in read_schema
     # base offsets join broadcast, never shuffled
     assert "BroadcastHashJoin" in plan
-    # the window is partitioned by __pid — a GLOBAL window (empty
-    # partition spec) would serialize the whole stream on one task
+    # the window is partitioned by the deterministic __slice — a GLOBAL
+    # window (empty partition spec) would serialize the stream on one task
     window_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
-    assert window_lines and all("__pid" in ln for ln in window_lines), window_lines
+    assert window_lines and all("__slice" in ln for ln in window_lines), window_lines
 
 
 def test_stratified_sample_is_scan_plus_filter(spark):
@@ -386,3 +386,19 @@ def test_rolling_hour_window_is_partitioned(spark):
     plan = plan_of(rolling_hour_user_value(spark, SF))
     assert "Window" in plan, plan
     assert "partitionBy" not in plan or "user_id" in plan, plan
+
+
+def test_balance_deciles_have_no_window_on_fact_path(spark):
+    """customer_balance_deciles must NOT rank via a Window partitioned by
+    the 5-value c_mktsegment (one task per segment's full population at
+    100 TB). The restructured shape: percentile boundaries broadcast back
+    to the fact scan, band assignment as a codegen'd array fold — so the
+    plan carries no Window node at all and the boundary join broadcasts."""
+    from parquet_to_arrow_spark.operators.relational import customer_balance_deciles
+
+    for exact in (False, True):
+        plan = plan_of(customer_balance_deciles(spark, SF, exact=exact))
+        assert "Window" not in plan, plan
+        # no NTILE ranking function anywhere (percentile boundaries ARE fine)
+        assert "ntile" not in plan.lower().replace("percentile", ""), plan
+        assert "BroadcastHashJoin" in plan, plan
