@@ -143,22 +143,70 @@ def _scratch_table(sf_dir: str, tag: str) -> str:
     return f"/tmp/iceberg_{tag}_{hashlib.md5(stamp.encode()).hexdigest()[:12]}"
 
 
+def _build_scratch_once(table: str, builder) -> None:
+    """Run a MULTI-COMMIT scratch-table build exactly once across
+    concurrent processes (driver + oracle_check can race): an O_EXCL lock
+    file elects one builder; it runs ``builder()`` against the final path
+    (Iceberg metadata records absolute paths — staging dirs cannot be
+    renamed into place) and then drops a ``_complete`` marker; losers wait
+    for the marker. A lock older than 10 minutes is presumed crashed and
+    stolen together with the half-built table."""
+    import shutil
+    import time as _time
+
+    marker = os.path.join(table, "_complete")
+    if os.path.exists(marker):
+        return
+    lock = table + ".lock"
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                stale = _time.time() - os.path.getmtime(lock) > 600
+            except OSError:
+                continue  # lock vanished between exists and stat; retry
+            if stale:
+                shutil.rmtree(table, ignore_errors=True)
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+                continue
+            for _ in range(1200):
+                if os.path.exists(marker):
+                    return
+                _time.sleep(0.5)
+            raise TimeoutError(f"scratch build of {table} never completed")
+    try:
+        if not os.path.exists(marker):
+            shutil.rmtree(table, ignore_errors=True)  # crashed partial build
+            builder()
+            with open(marker, "w") as f:
+                f.write("ok")
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+
+
 def _files_meta_table(spark: SparkSession, sf_dir: str) -> str:
     """Scratch table for the metadata-table driver queries: ONE append per
     source (sorted — appends map to sequence numbers deterministically),
     each coalesced to one data file, so the files/snapshots metadata rows
     are a pure function of the corpus."""
-    from pyspark.sql import functions as F
-
     table = _scratch_table(sf_dir, "filesmeta")
-    if not is_metadata_table(table):
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-            "doc_id", "source", "n_chars"
-        )
+
+    def _build():
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "source", "n_chars")
         for src in sorted(
             r["source"] for r in docs.select("source").distinct().collect()
         ):
             append(docs.filter(F.col("source") == src).coalesce(1), table)
+
+    _build_scratch_once(table, _build)
     return table
 
 
@@ -214,7 +262,7 @@ def changelog_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
         F.lit(10),
     )
-    if not is_metadata_table(table):
+    def _build():
         append(docs, table)
         upsert_keys_mor(
             spark,
@@ -232,6 +280,8 @@ def changelog_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
         )
+
+    _build_scratch_once(table, _build)
     ch = iceberg_meta.read_changelog(spark, table)
     w = Window.partitionBy("doc_id").orderBy(F.col("_change_ordinal").desc())
     return (
@@ -571,12 +621,13 @@ def delete_where_dv(
         ],
         sequence_number=meta["last-sequence-number"] + 1,
     )
+    puffin_size = os.path.getsize(puffin_path)
     dfs = [
         iceberg_meta.DataFile(
             puffin_path,
             int(r["cardinality"]),
-            m["length"],
-            content=1,
+            puffin_size,  # file_size_in_bytes = the actual file (spec);
+            content=1,  # the blob span lives in content_offset/size
             referenced_data_file=r["file_path"],
             content_offset=m["offset"],
             content_size=m["length"],

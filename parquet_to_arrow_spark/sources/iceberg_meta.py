@@ -936,7 +936,15 @@ def commit_append(
         "\n".join(
             [f"{f.path}:{f.file_size}:{f.record_count}" for f in files]
             + sorted(f"-{p}" for p in (remove_paths or ()))
-            + [f"+d{f.path}:{f.file_size}:{f.record_count}" for f in (delete_files or [])]
+            + [
+                # referenced_data_file disambiguates DV entries that share
+                # one Puffin path and happen to match on (size, count) —
+                # without it two DIFFERENT delete commits could collide
+                # into one content-derived snapshot id and the conflict
+                # check would welcome the second as a replay
+                f"+d{f.path}:{f.file_size}:{f.record_count}:{f.referenced_data_file or ''}"
+                for f in (delete_files or [])
+            ]
         ).encode()
     ).hexdigest()[:12]
     manifest_name = f"{uid}-seq{seq}-{digest}-m0.avro"
@@ -1930,7 +1938,9 @@ def read_snapshot(
     ddf = None
     if pos_dels:
         ddf = _pos_delete_frame(spark, pos_dels)
-        if sum(f.file_size for f in pos_dels) < (64 << 20):
+        # a DV entry's weight is its BLOB (content_size), not the shared
+        # Puffin file size — N blobs in one file must not count it N times
+        if sum(f.content_size or f.file_size for f in pos_dels) < (64 << 20):
             ddf = F.broadcast(ddf)
 
     # equality deletes: one frame per distinct key-column set, each delete

@@ -13,7 +13,14 @@
    100k updates: read_changelog build + a DISTRIBUTED replay check (last
    insert per key across ordinals == live table, exceptAll both ways).
 
-Usage: python scripts/lakehouse_probe.py [leg ...]   (default: all three)
+4. DELETION VECTORS: 1M rows deleted from a 4M-row table through BOTH
+   position-delete representations (v2 parquet / v3 Puffin DV) — artifact
+   bytes, write wall, MoR read wall, identical survivors.
+5. DISTRIBUTED BLOOM at 10,240 files: column-expression membership vs the
+   driver-side loop, key-for-key agreement.
+
+Usage: python scripts/lakehouse_probe.py [leg ...]
+       (default: bloom bloom_dist dv zorder changelog pq)
 Prints one JSON line per leg.
 """
 
@@ -145,6 +152,51 @@ def bloom_dist_leg(spark):
         "distributed_lookup_s": round(t_dist, 2),
         "paths_agree": True,
     }
+
+
+def dv_leg(spark):
+    """Deletion vectors vs v2 position-delete parquet at 10^6 deleted rows:
+    same 4M-row table, same predicate deleted through both representations
+    — compare delete-artifact bytes, write wall, and the MoR read wall, and
+    assert both reads return identical survivors."""
+    from parquet_to_arrow_spark.sources import iceberg_meta as ice
+    from parquet_to_arrow_spark.sources.iceberg import (
+        append,
+        delete_where_dv,
+        delete_where_mor,
+        read_table,
+    )
+
+    n, files = 4_000_000, 32
+    out = {"leg": "deletion_vectors", "rows": n, "deleted": n // 4}
+    counts = {}
+    for mode, fn in (("v2_parquet", delete_where_mor), ("v3_dv", delete_where_dv)):
+        tab = f"{WORK}/dv_{mode}"
+        shutil.rmtree(tab, ignore_errors=True)
+        append(
+            spark.range(n).selectExpr(
+                "id AS doc_id", "CAST(id AS STRING) AS text"
+            ).repartition(files),
+            tab,
+        )
+        t0 = time.time()
+        fn(spark, tab, "doc_id % 4 = 1")
+        t_del = time.time() - t0
+        dels = ice.snapshot_delete_files(tab)
+        t0 = time.time()
+        counts[mode] = read_table(spark, tab).count()
+        t_read = time.time() - t0
+        out[mode] = {
+            "delete_bytes": sum(f.content_size or f.file_size for f in dels),
+            "delete_entries": len(dels),
+            "write_s": round(t_del, 1),
+            "mor_read_s": round(t_read, 1),
+        }
+    assert counts["v2_parquet"] == counts["v3_dv"] == n - n // 4, counts
+    out["bytes_ratio_v2_over_dv"] = round(
+        out["v2_parquet"]["delete_bytes"] / max(out["v3_dv"]["delete_bytes"], 1), 1
+    )
+    return out
 
 
 def zorder_leg(spark):
@@ -399,12 +451,12 @@ def _pq_search(spark, codes, emb, books, qrows, k=10):
 
 
 if __name__ == "__main__":
-    legs = sys.argv[1:] or ["bloom", "bloom_dist", "zorder", "changelog", "pq"]
+    legs = sys.argv[1:] or ["bloom", "bloom_dist", "dv", "zorder", "changelog", "pq"]
     spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     os.makedirs(WORK, exist_ok=True)
     for leg in legs:
         fn = {"bloom": bloom_leg, "bloom_dist": bloom_dist_leg,
-              "zorder": zorder_leg, "changelog": changelog_leg,
+              "dv": dv_leg, "zorder": zorder_leg, "changelog": changelog_leg,
               "pq": pq_leg}[leg]
         t0 = time.time()
         res = fn(spark)

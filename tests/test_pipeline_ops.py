@@ -278,12 +278,13 @@ def test_interleaved_packing_queries_stay_correct(spark):
         assert r.seq_id == acc // 512 and r.seq_offset == acc % 512, r
         acc += r.n_tok
     # nothing pinned, nothing leaked: the compat API reports zero releases
-    # and packing added no persistent RDDs (other tests in the shared
-    # session may legitimately hold their own)
+    # and packing added no persistent RDDs (<=, not ==: the shared
+    # session's ContextCleaner may evict OTHER tests' unreferenced caches
+    # while this test runs)
     assert pl.release_pack_caches() == 0
     assert (
         spark.sparkContext._jsc.getPersistentRDDs().size()
-        == n_persistent_before
+        <= n_persistent_before
     )
 
 
