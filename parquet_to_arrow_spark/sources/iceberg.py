@@ -149,45 +149,66 @@ def _build_scratch_once(table: str, builder) -> None:
     file elects one builder; it runs ``builder()`` against the final path
     (Iceberg metadata records absolute paths — staging dirs cannot be
     renamed into place) and then drops a ``_complete`` marker; losers wait
-    for the marker. A lock older than 10 minutes is presumed crashed and
-    stolen together with the half-built table."""
+    for the marker, re-contending whenever the lock frees without one (a
+    failed or stolen build). The lock carries an owner token: a builder
+    whose lock was STOLEN after the 10-minute staleness window (slow box)
+    must not unlink the thief's lock or write the marker over the thief's
+    rebuild — only the current owner finishes the build."""
     import shutil
     import time as _time
+    import uuid as _uuid
 
     marker = os.path.join(table, "_complete")
-    if os.path.exists(marker):
-        return
     lock = table + ".lock"
+    token = f"{os.getpid()}-{_uuid.uuid4().hex}"
+    deadline = _time.time() + 900
+
+    def _owns() -> bool:
+        try:
+            with open(lock) as f:
+                return f.read() == token
+        except OSError:
+            return False
+
     while True:
+        if os.path.exists(marker):
+            return
+        if _time.time() > deadline:
+            raise TimeoutError(f"scratch build of {table} never completed")
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
         except FileExistsError:
             try:
                 stale = _time.time() - os.path.getmtime(lock) > 600
             except OSError:
-                continue  # lock vanished between exists and stat; retry
+                continue  # lock vanished between exists and stat; re-contend
             if stale:
+                # presumed-crashed builder: drop its partial table AND its
+                # lock, then re-contend for a fresh build
                 shutil.rmtree(table, ignore_errors=True)
                 try:
                     os.unlink(lock)
                 except FileNotFoundError:
                     pass
                 continue
-            for _ in range(1200):
-                if os.path.exists(marker):
-                    return
-                _time.sleep(0.5)
-            raise TimeoutError(f"scratch build of {table} never completed")
+            _time.sleep(0.5)
+            continue
+        os.write(fd, token.encode())
+        os.close(fd)
+        break
     try:
         if not os.path.exists(marker):
             shutil.rmtree(table, ignore_errors=True)  # crashed partial build
             builder()
-            with open(marker, "w") as f:
-                f.write("ok")
+            if _owns():  # stolen mid-build: the thief's rebuild wins
+                with open(marker, "w") as f:
+                    f.write("ok")
     finally:
-        os.close(fd)
-        os.unlink(lock)
+        if _owns():
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
 
 def _files_meta_table(spark: SparkSession, sf_dir: str) -> str:
@@ -311,6 +332,10 @@ def with_bucket_column(
     out_col = out_col or f"{col}_bucket"
     dtype = dict(df.dtypes)[col]
     if dtype in ("bigint", "int"):
+        # the UDF is fed coalesce(col, 0) and nulls are masked back JVM-side
+        # below: a long batch CONTAINING a null reaches pandas as float64,
+        # which silently rounds values above 2^53 before they are hashed —
+        # a null-free input stays int64 and keeps full precision
 
         @pandas_udf("int")
         def b(s: pd.Series) -> pd.Series:
@@ -354,6 +379,13 @@ def with_bucket_column(
 
     else:
         raise NotImplementedError(f"bucket transform over spark type {dtype}")
+    if dtype in ("bigint", "int"):
+        return df.withColumn(
+            out_col,
+            F.when(F.col(col).isNull(), F.lit(None).cast("int")).otherwise(
+                b(F.coalesce(F.col(col), F.lit(0)))
+            ),
+        )
     return df.withColumn(out_col, b(F.col(col)))
 
 
@@ -1251,10 +1283,12 @@ def compact_files(
         total = sum(f.file_size for f in fs)
         n_out = max(1, math.ceil(total / target_bytes))
         df = spark.read.schema(ddl).parquet(*[f.path for f in fs])
-        if sid != default_sid:
+        migration = sid != default_sid
+        if migration:
             # migration group: re-attach ITS spec's identity literals (the
-            # hive layout stripped them from these data files), then write
-            # through the CURRENT layout
+            # hive layout stripped them from these data files) BEFORE the
+            # shared clustering below, then write through the CURRENT
+            # layout — one compaction pass migrates AND clusters
             own_names = [name for name, _ in iceberg_meta._partition_fields(meta, sid)]
             val_by_name = dict(zip(own_names, key))
             for sp in iceberg_meta._partition_specs(meta, sid):
@@ -1266,14 +1300,9 @@ def compact_files(
                         iceberg_meta._ICEBERG_TO_SPARK[sp["value_type"]]
                     ),
                 )
-            if sort_by and sort_by in df.columns:
-                df = df.repartitionByRange(n_out, sort_by).sortWithinPartitions(sort_by)
-            else:
-                df = df.coalesce(n_out)
-            _write_rewrite(df, os.path.join(rw_dir, f"mig-{gi}"), meta)
-            n_small += len(fs)
-            n_out_total += n_out
-            continue
+        # clustering applies identically to current-spec and migration
+        # groups: a zorder/sort request must not silently degrade to
+        # coalesce on exactly the migrated files
         if zorder:
             srcs = _z_src_exprs(zorder, cur_schema)
             bounds = _zorder_bounds(zorder, fs, cur_schema, df, srcs)
@@ -1287,6 +1316,11 @@ def compact_files(
             df = df.repartitionByRange(n_out, sort_by).sortWithinPartitions(sort_by)
         else:
             df = df.coalesce(n_out)
+        if migration:
+            _write_rewrite(df, os.path.join(rw_dir, f"mig-{gi}"), meta)
+            n_small += len(fs)
+            n_out_total += n_out
+            continue
         # drop partition columns from the data files (hive layout) and land
         # the group under its partition directory so commit_parquet_dir
         # re-derives the same typed partition values for the replacements

@@ -1865,9 +1865,12 @@ def _pos_delete_frame(spark, pos_dels: list[DataFile]):
                         {"file_path": fp, "pos": pd.Series(poss, dtype="int64")}
                     )
 
-        parts.append(
-            desc.repartition(max(1, len(dvs))).mapInPandas(gen, POS_DELETE_DDL)
-        )
+        # one partition per blob would schedule one TASK per blob — at the
+        # 10^5-DV scale this path exists for, that is hours of pure
+        # dispatch overhead; cap at a few waves of the cluster width
+        # (mapInPandas already iterates many rows per partition)
+        n_parts = max(1, min(len(dvs), spark.sparkContext.defaultParallelism * 4))
+        parts.append(desc.repartition(n_parts).mapInPandas(gen, POS_DELETE_DDL))
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
@@ -1938,9 +1941,18 @@ def read_snapshot(
     ddf = None
     if pos_dels:
         ddf = _pos_delete_frame(spark, pos_dels)
-        # a DV entry's weight is its BLOB (content_size), not the shared
-        # Puffin file size — N blobs in one file must not count it N times
-        if sum(f.content_size or f.file_size for f in pos_dels) < (64 << 20):
+        # broadcast by the DECODED anti-join frame's size, not on-disk
+        # bytes: a DV blob is 100-400x smaller than the (file_path, pos)
+        # rows it expands into (a bitmap container packs 65536 rows into
+        # 8 KiB), so content_size would force-broadcast a multi-GB frame;
+        # record_count x ~96 bytes (pos + repeated path string) estimates
+        # the expanded rows for DVs, while parquet delete files keep the
+        # file-size heuristic (on-disk ~ decoded there)
+        est = sum(
+            f.record_count * 96 if f.referenced_data_file else f.file_size
+            for f in pos_dels
+        )
+        if est < (64 << 20):
             ddf = F.broadcast(ddf)
 
     # equality deletes: one frame per distinct key-column set, each delete
@@ -2067,12 +2079,30 @@ def read_snapshot(
         # key to manifests whose spec lacks it (kept conservatively), so
         # re-apply identity-column filters on the data — Catalyst pushes
         # them to the scans / constant-folds them on literal-attached
-        # groups, and derived transform keys (no table column) stay
-        # metadata-only as in Iceberg
+        # groups. A DERIVED-transform key (doc_id_bucket, ts_day, ... — no
+        # table column to re-filter on) that is absent from some live
+        # file's spec would silently turn exact pruning into a superset
+        # read: reject loudly instead (filter on the source column, or
+        # compact_files to migrate the old layout first)
+        live_sids = {f.spec_id for f in files}
         for k, v in partition_filter.items():
             if k in out.columns:
                 out = out.filter(
                     F.col(k).isNull() if v is None else F.col(k) == F.lit(v)
+                )
+                continue
+            missing = [
+                sid
+                for sid in sorted(live_sids)
+                if k not in {s["name"] for s in _partition_specs(meta, sid)}
+            ]
+            if missing:
+                raise ValueError(
+                    f"partition_filter key {k!r} is a derived transform "
+                    f"absent from live spec(s) {missing} after partition "
+                    "spec evolution — pruning would silently return a "
+                    "superset; filter on the source column instead, or "
+                    "compact_files to migrate old-layout files"
                 )
     return out
 

@@ -27,9 +27,10 @@ Implemented from the PUBLIC specs only:
   4-byte LE), then container count (4-byte LE), the descriptive header
   (per container: uint16 key, uint16 cardinality-1), the offset header
   (4-byte LE byte offsets from stream start), then container payloads —
-  sorted uint16 arrays below 4096 values, 8 KiB bitmaps at or above. The
-  READER additionally understands the run-container cookie (12347) so
-  vectors written by other engines still decode.
+  sorted uint16 arrays up to 4096 values (the spec's DEFAULT_MAX_SIZE),
+  8 KiB bitmaps strictly above. The READER additionally understands the
+  run-container cookie (12347) so vectors written by other engines still
+  decode.
 
 Why bitmaps instead of (file_path, pos) parquet: a position-delete parquet
 row costs ~10-20 bytes per deleted row and repeats the file path; a DV
@@ -55,7 +56,9 @@ DV_BLOB_TYPE = "deletion-vector-v1"
 
 _SERIAL_COOKIE_NO_RUN = 12346
 _SERIAL_COOKIE_RUN = 12347
-_ARRAY_MAX = 4096  # containers at/above this cardinality serialize as bitmaps
+_ARRAY_MAX = 4096  # spec DEFAULT_MAX_SIZE: arrays hold UP TO 4096 values,
+# strictly more converts to a bitmap (both encodings are exactly 8192 bytes
+# AT 4096, so an off-by-one here corrupts silently against other engines)
 
 
 # ------------------------------------------------------------ roaring 32/64
@@ -78,7 +81,7 @@ def _roaring32_bytes(values) -> bytes:
     for k in keys:
         lows = lo16[hi16 == k]
         out += struct.pack("<HH", k, len(lows) - 1)
-        if len(lows) < _ARRAY_MAX:
+        if len(lows) <= _ARRAY_MAX:
             payloads.append(lows.tobytes())  # sorted uint16 LE array
         else:
             bm = np.zeros(1024, dtype=np.uint64)
@@ -138,7 +141,7 @@ def _read_roaring32(buf: bytes, pos: int):
                 start, length = struct.unpack_from("<HH", buf, pos)
                 pos += 4
                 values.extend(base + start + j for j in range(length + 1))
-        elif card >= _ARRAY_MAX:
+        elif card > _ARRAY_MAX:
             bm = np.frombuffer(buf, dtype=np.uint64, count=1024, offset=pos)
             pos += 8192
             idx = np.flatnonzero(

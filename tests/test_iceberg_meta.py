@@ -3131,3 +3131,164 @@ class TestDeletionVectors:
         assert (
             sorted(r["doc_id"] for r in read_table(spark, table).collect()) == got
         )
+
+
+class TestReviewRound5b:
+    """Round-5 self-review findings (code-review pass over the round diff)."""
+
+    def test_bucket_precision_above_2_53_with_nulls(self, spark):
+        """A long batch CONTAINING a null used to reach pandas as float64,
+        silently rounding keys above 2^53 before hashing — the row would
+        land in the wrong bucket and a bucket-pruned read would miss it.
+        The UDF input is now null-free (coalesce, nulls masked JVM-side)."""
+        from parquet_to_arrow_spark.sources.iceberg import with_bucket_column
+
+        big = [2**60 + 1, 2**60 + 3, 2**53 + 1, 9_223_372_036_854_775_806]
+        rows = [(v,) for v in big] + [(None,)]
+        got = {
+            r["k"]: r["k_bucket"]
+            for r in with_bucket_column(
+                spark.createDataFrame(rows, "k long").coalesce(1), "k", 1024
+            ).collect()
+        }
+        assert got[None] is None
+        for v in big:
+            assert got[v] == ice.bucket_of(v, "long", 1024), v
+
+    def test_roaring_4096_container_is_array(self):
+        """RoaringFormatSpec: containers hold UP TO 4096 values as arrays;
+        strictly more converts to a bitmap. Both encodings are exactly
+        8192 bytes AT 4096, so an off-by-one corrupts interop silently —
+        pin the writer's payload bytes and the reader's symmetric cut."""
+        import struct
+
+        import numpy as np
+
+        from parquet_to_arrow_spark.sources import puffin as pf
+
+        vals = list(range(0, 8192, 2))  # 4096 values in one 16-bit container
+        raw = pf._roaring32_bytes(vals)
+        # header: cookie + count + (key, card-1) + 1 offset = 16 bytes
+        payload = raw[16:]
+        assert len(payload) == 8192
+        # ARRAY encoding: the sorted uint16 values themselves — a bitmap
+        # of the same values would start with bytes 0x55... pattern instead
+        assert payload == np.asarray(vals, dtype=np.uint16).tobytes()
+        got, _ = pf._read_roaring32(raw, 0)
+        assert got == vals
+        # 4097 values: now a bitmap container
+        vals2 = vals + [8193]
+        raw2 = pf._roaring32_bytes(vals2)
+        assert len(raw2[16:]) == 8192  # bitmap, not 2*4097 array bytes
+        got2, _ = pf._read_roaring32(raw2, 0)
+        assert got2 == sorted(vals2)
+
+    def test_derived_filter_key_rejected_after_evolution(self, spark, tmp_path):
+        """partition_filter on a derived-transform key that old-spec files
+        cannot prune must raise, not silently return a superset."""
+        df = spark.createDataFrame(
+            [(i, f"t{i}", ["en", "de"][i % 2]) for i in range(8)],
+            "doc_id long, text string, lang string",
+        )
+        d0 = str(tmp_path / "w0")
+        df.coalesce(1).write.partitionBy("lang").parquet(d0)
+        table = str(tmp_path / "t")
+        ice.commit_parquet_dir(
+            table, d0, spark_schema=df.schema, ts_ms=1, partition_by=["lang"]
+        )
+        from parquet_to_arrow_spark.sources.iceberg import with_bucket_column
+
+        d1 = str(tmp_path / "w1")
+        with_bucket_column(
+            spark.createDataFrame([(100, "x", "fr")], df.schema), "doc_id", 4
+        ).coalesce(1).write.partitionBy("doc_id_bucket").parquet(d1)
+        ice.commit_parquet_dir(
+            table, d1, ts_ms=2, partition_by=["doc_id:bucket[4]"],
+            allow_spec_evolution=True,
+        )
+        with pytest.raises(ValueError, match="derived transform"):
+            ice.read_snapshot(
+                spark, table, partition_filter={"doc_id_bucket": 1}
+            ).collect()
+        # identity keys stay exact through the residual filter
+        got = {
+            r["doc_id"]
+            for r in ice.read_snapshot(
+                spark, table, partition_filter={"lang": "en"}
+            ).collect()
+        }
+        assert got == {0, 2, 4, 6}
+
+    def test_compaction_migration_honors_zorder(self, spark, tmp_path):
+        """A zorder request must cluster MIGRATED files too (it used to
+        silently degrade to coalesce on exactly the old-spec groups)."""
+        from parquet_to_arrow_spark.sources.iceberg import compact_files
+
+        df = spark.createDataFrame(
+            [(i, i % 7, (i * 3) % 11, ["a", "b"][i % 2]) for i in range(1000)],
+            "doc_id long, x long, y long, lang string",
+        )
+        d0 = str(tmp_path / "w0")
+        df.coalesce(1).write.partitionBy("lang").parquet(d0)
+        table = str(tmp_path / "t")
+        ice.commit_parquet_dir(
+            table, d0, spark_schema=df.schema, ts_ms=1, partition_by=["lang"]
+        )
+        d1 = str(tmp_path / "w1")
+        df.limit(10).coalesce(1).write.parquet(d1)
+        ice.commit_parquet_dir(
+            table, d1, ts_ms=2, partition_by=[], allow_spec_evolution=True
+        )
+        before = {
+            (r["doc_id"], r["lang"])
+            for r in ice.read_snapshot(spark, table).collect()
+        }
+        sid = compact_files(spark, table, target_bytes=1 << 30, zorder=["x", "y"])
+        assert sid is not None
+        after = {
+            (r["doc_id"], r["lang"])
+            for r in ice.read_snapshot(spark, table).collect()
+        }
+        assert after == before
+        assert {f.spec_id for f in ice.snapshot_files(table)} == {1}
+
+    def test_scratch_lock_released_on_builder_failure(self, tmp_path):
+        """A failing builder must free the lock so the next contender can
+        rebuild; a successful retry completes normally."""
+        from parquet_to_arrow_spark.sources.iceberg import _build_scratch_once
+
+        table = str(tmp_path / "scratch")
+
+        def bad():
+            raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError, match="boom"):
+            _build_scratch_once(table, bad)
+        assert not os.path.exists(table + ".lock")
+
+        def good():
+            os.makedirs(table, exist_ok=True)
+
+        _build_scratch_once(table, good)
+        assert os.path.exists(os.path.join(table, "_complete"))
+        # idempotent re-entry: marker short-circuits
+        _build_scratch_once(table, bad)  # builder never runs
+
+    def test_scratch_lock_steal_does_not_regress(self, tmp_path):
+        """A stale foreign lock (presumed-crashed builder) is stolen; the
+        marker belongs to the thief and the stale owner's token is gone."""
+        from parquet_to_arrow_spark.sources.iceberg import _build_scratch_once
+
+        table = str(tmp_path / "scratch")
+        lock = table + ".lock"
+        with open(lock, "w") as f:
+            f.write("dead-owner-token")
+        old = 1_000_000.0
+        os.utime(lock, (old, old))  # ancient: steal-eligible
+
+        def good():
+            os.makedirs(table, exist_ok=True)
+
+        _build_scratch_once(table, good)
+        assert os.path.exists(os.path.join(table, "_complete"))
+        assert not os.path.exists(lock)
