@@ -371,14 +371,25 @@ def _packed(
     def __slice_of(*cols):
         import numpy as np
 
-        idv = cols[-1].to_numpy(dtype=object)
+        ids = cols[-1]
+        # numeric keys take the native-dtype path (C-loop comparisons);
+        # strings fall back to object arrays (python compares, still one
+        # vectorized log-P search per row)
+        numeric = pd.api.types.is_integer_dtype(ids) or pd.api.types.is_float_dtype(
+            ids
+        )
+        idv = ids.to_numpy() if numeric else ids.to_numpy(dtype=object)
+
+        def bounds_arr(b):
+            return np.asarray(b) if numeric else np.array(b, dtype=object)
+
         out = np.zeros(len(idv), dtype="int32")
         if len(cols) == 1:
             b = bc.value.get((), [])
             if b:
-                out = np.searchsorted(
-                    np.array(b, dtype=object), idv, side="right"
-                ).astype("int32")
+                out = np.searchsorted(bounds_arr(b), idv, side="right").astype(
+                    "int32"
+                )
         else:
             gdf = pd.DataFrame({i: c for i, c in enumerate(cols[:-1])})
             for key, idxs in gdf.groupby(
@@ -388,7 +399,7 @@ def _packed(
                 b = bc.value.get(k, [])
                 if b:
                     out[idxs] = np.searchsorted(
-                        np.array(b, dtype=object), idv[idxs], side="right"
+                        bounds_arr(b), idv[idxs], side="right"
                     )
         return pd.Series(out)
 

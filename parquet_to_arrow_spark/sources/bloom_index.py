@@ -342,12 +342,19 @@ def bloom_candidate_files_distributed(spark, table_or_path: str, column: str, va
     return joined.filter(F.col("bits").isNull() | might).select("path")
 
 
-def point_lookup(spark, table_or_path: str, column: str, value):
+def point_lookup(spark, table_or_path: str, column: str, value,
+                 distributed: bool = False):
     """Equality lookup through the Bloom index: read only candidate files.
     Falls back to the plain snapshot scan when there is no index, when
     every file was pruned (empty typed frame), or when the snapshot
     carries pending MoR delete files (the anti-join path needs the full
-    read_snapshot plan — correctness over pruning)."""
+    read_snapshot plan — correctness over pruning).
+
+    ``distributed``: resolve candidates through the column-expression
+    membership path (bloom_candidate_files_distributed) instead of the
+    driver-side loop — the >10^5-files regime where parsing every filter
+    blob on the driver is the bottleneck; the candidate list itself is
+    lookup-sized either way."""
     from pyspark.sql import functions as F
 
     meta = iceberg_meta.current_metadata(table_or_path)
@@ -359,7 +366,11 @@ def point_lookup(spark, table_or_path: str, column: str, value):
         return iceberg_meta.read_snapshot(spark, table_or_path).filter(
             F.col(column) == F.lit(value)
         )
-    cands = bloom_candidate_files(table_or_path, column, value)
+    if distributed:
+        cdf = bloom_candidate_files_distributed(spark, table_or_path, column, value)
+        cands = None if cdf is None else [r["path"] for r in cdf.collect()]
+    else:
+        cands = bloom_candidate_files(table_or_path, column, value)
     if cands is None:
         return iceberg_meta.read_snapshot(spark, table_or_path).filter(
             F.col(column) == F.lit(value)

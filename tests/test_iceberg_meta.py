@@ -3292,3 +3292,19 @@ class TestReviewRound5b:
         _build_scratch_once(table, good)
         assert os.path.exists(os.path.join(table, "_complete"))
         assert not os.path.exists(lock)
+
+    def test_point_lookup_distributed_path(self, spark, tmp_path):
+        """point_lookup(distributed=True) routes candidates through the
+        column-expression membership and returns the same exact row."""
+        from parquet_to_arrow_spark.sources import bloom_index as bi
+
+        table = TestBloomIndex._table(self, spark, tmp_path, 4, 100)
+        bi.build_bloom_index(spark, table, "doc_id")
+        key = f"doc-{(5 * 4 + 2) * 2654435761 % 10**9:09d}"
+        got = bi.point_lookup(spark, table, "doc_id", key, distributed=True).collect()
+        assert [r["doc_id"] for r in got] == [key]
+        assert (
+            bi.point_lookup(spark, table, "doc_id", "doc-nope", distributed=True)
+            .count()
+            == 0
+        )

@@ -41,3 +41,38 @@ def test_bpe_apply_is_lossless_for_any_vocab(freqs, n_merges):
 @given(st.dictionaries(words, st.integers(min_value=1, max_value=9), max_size=25))
 def test_bpe_train_is_pure(freqs):
     assert tk.bpe_train(dict(freqs), 12) == tk.bpe_train(dict(freqs), 12)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=2**20),  # dense low range
+            st.integers(min_value=0, max_value=2**63 - 1),  # full 64-bit
+        ),
+        max_size=400,
+    )
+)
+def test_roaring64_roundtrip_any_positions(positions):
+    """Portable 64-bit Roaring + DV blob framing round-trip for arbitrary
+    position sets — container boundaries, multi-key maps, duplicates."""
+    from parquet_to_arrow_spark.sources import puffin as pf
+
+    want = sorted(set(positions))
+    assert pf.read_roaring64(pf.roaring64_bytes(positions)) == want
+    assert pf.read_dv_blob(pf.dv_blob_bytes(positions)) == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=4090, max_value=4102),  # straddle DEFAULT_MAX_SIZE
+    st.integers(min_value=0, max_value=3),
+)
+def test_roaring_array_bitmap_threshold(n, stride_sel):
+    """Cardinalities around 4096 round-trip through whichever container
+    encoding the spec mandates."""
+    from parquet_to_arrow_spark.sources import puffin as pf
+
+    stride = [1, 2, 3, 16][stride_sel]
+    vals = list(range(0, n * stride, stride))[:n]
+    assert pf.read_roaring64(pf.roaring64_bytes(vals)) == vals
