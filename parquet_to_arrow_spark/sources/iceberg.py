@@ -150,10 +150,16 @@ def _build_scratch_once(table: str, builder) -> None:
     (Iceberg metadata records absolute paths — staging dirs cannot be
     renamed into place) and then drops a ``_complete`` marker; losers wait
     for the marker, re-contending whenever the lock frees without one (a
-    failed or stolen build). The lock carries an owner token: a builder
-    whose lock was STOLEN after the 10-minute staleness window (slow box)
-    must not unlink the thief's lock or write the marker over the thief's
-    rebuild — only the current owner finishes the build."""
+    failed build).
+
+    The lock carries an owner token. Stale locks (>10 min — a crashed
+    builder) are stolen via an ATOMIC rename to a thief-unique tombstone:
+    exactly one thief wins the rename, and an inode check detects the
+    one race rename cannot (a fresh lock created between the staleness
+    stat and the rename) and restores it. A builder that discovers its
+    lock was stolen mid-build never writes the marker and REJOINS the
+    waiters instead of returning — its caller must not touch the table
+    while the thief is still rebuilding it."""
     import shutil
     import time as _time
     import uuid as _uuid
@@ -179,36 +185,59 @@ def _build_scratch_once(table: str, builder) -> None:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             try:
-                stale = _time.time() - os.path.getmtime(lock) > 600
+                st = os.stat(lock)
             except OSError:
                 continue  # lock vanished between exists and stat; re-contend
-            if stale:
-                # presumed-crashed builder: drop its partial table AND its
-                # lock, then re-contend for a fresh build
-                shutil.rmtree(table, ignore_errors=True)
+            if _time.time() - st.st_mtime > 600:
+                # presumed-crashed builder: steal atomically — only ONE
+                # thief wins the rename
+                tomb = f"{lock}.stale.{token}"
                 try:
-                    os.unlink(lock)
-                except FileNotFoundError:
-                    pass
-                continue
+                    os.rename(lock, tomb)
+                except OSError:
+                    continue  # another thief won; re-contend
+                try:
+                    fresh = os.stat(tomb).st_ino != st.st_ino
+                except OSError:
+                    continue
+                if fresh:
+                    # we renamed a lock CREATED AFTER our staleness stat —
+                    # give it back (or, if yet another lock appeared, drop
+                    # the tombstone; the displaced owner's _owns() fails
+                    # and it rejoins the waiters below)
+                    try:
+                        os.rename(tomb, lock)
+                    except OSError:
+                        try:
+                            os.unlink(tomb)
+                        except FileNotFoundError:
+                            pass
+                    continue
+                os.unlink(tomb)
+                shutil.rmtree(table, ignore_errors=True)
+                continue  # re-contend for the freed slot
             _time.sleep(0.5)
             continue
         os.write(fd, token.encode())
         os.close(fd)
-        break
-    try:
-        if not os.path.exists(marker):
-            shutil.rmtree(table, ignore_errors=True)  # crashed partial build
-            builder()
-            if _owns():  # stolen mid-build: the thief's rebuild wins
+        try:
+            if not os.path.exists(marker):
+                shutil.rmtree(table, ignore_errors=True)  # crashed partial
+                builder()
+                if not _owns():
+                    # stolen mid-build (slow box): the thief is rebuilding
+                    # the table RIGHT NOW — rejoin the waiters rather than
+                    # letting the caller read a half-rebuilt path
+                    continue
                 with open(marker, "w") as f:
                     f.write("ok")
-    finally:
-        if _owns():
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            return
+        finally:
+            if _owns():
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
 
 
 def _files_meta_table(spark: SparkSession, sf_dir: str) -> str:
@@ -332,17 +361,17 @@ def with_bucket_column(
     out_col = out_col or f"{col}_bucket"
     dtype = dict(df.dtypes)[col]
     if dtype in ("bigint", "int"):
-        # the UDF is fed coalesce(col, 0) and nulls are masked back JVM-side
-        # below: a long batch CONTAINING a null reaches pandas as float64,
-        # which silently rounds values above 2^53 before they are hashed —
-        # a null-free input stays int64 and keeps full precision
+        # the UDF is fed coalesce(col, 0) and nulls are masked back
+        # JVM-side in the returned expression: a long batch CONTAINING a
+        # null reaches pandas as float64, which silently rounds values
+        # above 2^53 before they are hashed — a null-free input stays
+        # int64 and keeps full precision
 
         @pandas_udf("int")
         def b(s: pd.Series) -> pd.Series:
             import numpy as np
 
-            na = s.isna().to_numpy()
-            v = s.fillna(0).to_numpy(dtype="int64").astype(np.uint64)
+            v = s.to_numpy(dtype="int64").astype(np.uint64)
             k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             k2 = (v >> np.uint64(32)).astype(np.uint32)
             h = np.zeros(len(v), dtype=np.uint32)
@@ -360,9 +389,9 @@ def with_bucket_column(
                 h = h ^ (h >> np.uint32(13))
                 h = h * np.uint32(0xC2B2AE35)
                 h = h ^ (h >> np.uint32(16))
-            out = pd.Series((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype("Int32")
-            out[na] = pd.NA
-            return out
+            return pd.Series((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(
+                "int32"
+            )
 
     elif dtype == "string":
 
@@ -377,16 +406,15 @@ def with_bucket_column(
                 na_action="ignore",
             ).astype("Int32")
 
+        return df.withColumn(out_col, b(F.col(col)))
     else:
         raise NotImplementedError(f"bucket transform over spark type {dtype}")
-    if dtype in ("bigint", "int"):
-        return df.withColumn(
-            out_col,
-            F.when(F.col(col).isNull(), F.lit(None).cast("int")).otherwise(
-                b(F.coalesce(F.col(col), F.lit(0)))
-            ),
-        )
-    return df.withColumn(out_col, b(F.col(col)))
+    return df.withColumn(
+        out_col,
+        F.when(F.col(col).isNull(), F.lit(None).cast("int")).otherwise(
+            b(F.coalesce(F.col(col), F.lit(0)))
+        ),
+    )
 
 
 def with_transform_column(df: DataFrame, spec: dict, out_col: str) -> DataFrame:

@@ -30,7 +30,12 @@ Implemented from the PUBLIC specs only:
   sorted uint16 arrays up to 4096 values (the spec's DEFAULT_MAX_SIZE),
   8 KiB bitmaps strictly above. The READER additionally understands the
   run-container cookie (12347) so vectors written by other engines still
-  decode.
+  decode. (Compat note: blobs written by this module BEFORE the 4096
+  boundary fix encoded exactly-4096-cardinality containers as bitmaps;
+  both layouts are 8192 bytes, so such a blob would now mis-decode. No
+  such blob was ever persisted outside ephemeral test/scratch dirs — the
+  writer and the fix shipped in the same round — but a table that somehow
+  carried one should materialize_deletes and re-delete.)
 
 Why bitmaps instead of (file_path, pos) parquet: a position-delete parquet
 row costs ~10-20 bytes per deleted row and repeats the file path; a DV
