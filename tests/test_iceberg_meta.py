@@ -3308,3 +3308,50 @@ class TestReviewRound5b:
             .count()
             == 0
         )
+
+    def test_eq_delete_spans_spec_evolution(self, spark, tmp_path):
+        """An equality delete committed BEFORE spec evolution keeps
+        applying to old-layout files (partition literal re-attached in
+        their scan group) while rows appended AFTER it — under the new
+        spec, with the column physically present — survive by the strict
+        sequence gate."""
+        from parquet_to_arrow_spark.sources.iceberg import (
+            delete_keys_mor,
+            materialize_deletes,
+            read_table,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}", ["en", "de"][i % 2]) for i in range(10)],
+            "doc_id long, text string, lang string",
+        )
+        d0 = str(tmp_path / "w0")
+        df.coalesce(1).write.partitionBy("lang").parquet(d0)
+        table = str(tmp_path / "t")
+        ice.commit_parquet_dir(
+            table, d0, spark_schema=df.schema, ts_ms=1, partition_by=["lang"]
+        )
+        delete_keys_mor(
+            spark, table, spark.createDataFrame([("de",)], "lang string"), "lang"
+        )
+        post = spark.createDataFrame(
+            [(100, "new-de", "de"), (101, "new-en", "en")], df.schema
+        )
+        # evolve to bucket partitioning; the new files keep lang physically
+        d1 = str(tmp_path / "w1")
+        from parquet_to_arrow_spark.sources.iceberg import with_bucket_column
+
+        with_bucket_column(post, "doc_id", 4).coalesce(1).write.partitionBy(
+            "doc_id_bucket"
+        ).parquet(d1)
+        ice.commit_parquet_dir(
+            table, d1, ts_ms=2, partition_by=["doc_id:bucket[4]"],
+            allow_spec_evolution=True,
+        )
+        got = {r["doc_id"]: r["lang"] for r in read_table(spark, table).collect()}
+        # pre-delete 'de' rows (1,3,5,7,9) gone; post-delete 'de' row 100 survives
+        assert got == {0: "en", 2: "en", 4: "en", 6: "en", 8: "en",
+                       100: "de", 101: "en"}
+        assert materialize_deletes(spark, table) is not None
+        got2 = {r["doc_id"]: r["lang"] for r in read_table(spark, table).collect()}
+        assert got2 == got
