@@ -1867,9 +1867,19 @@ def _pos_delete_frame(spark, pos_dels: list[DataFile]):
 
         # one partition per blob would schedule one TASK per blob — at the
         # 10^5-DV scale this path exists for, that is hours of pure
-        # dispatch overhead; cap at a few waves of the cluster width
+        # dispatch overhead (this box charges ~150 ms/task); size the
+        # decode by its OUTPUT instead: ~64 MB of decoded (file_path, pos)
+        # rows per task, capped at a few waves of the cluster width
         # (mapInPandas already iterates many rows per partition)
-        n_parts = max(1, min(len(dvs), spark.sparkContext.defaultParallelism * 4))
+        decoded = sum(f.record_count for f in dvs) * 96
+        n_parts = max(
+            1,
+            min(
+                len(dvs),
+                spark.sparkContext.defaultParallelism * 4,
+                -(-decoded // (64 << 20)),
+            ),
+        )
         parts.append(desc.repartition(n_parts).mapInPandas(gen, POS_DELETE_DDL))
     out = parts[0]
     for df in parts[1:]:
@@ -1941,18 +1951,16 @@ def read_snapshot(
     ddf = None
     if pos_dels:
         ddf = _pos_delete_frame(spark, pos_dels)
-        # broadcast by the DECODED anti-join frame's size, not on-disk
-        # bytes: a DV blob is 100-400x smaller than the (file_path, pos)
-        # rows it expands into (a bitmap container packs 65536 rows into
-        # 8 KiB), so content_size would force-broadcast a multi-GB frame;
-        # record_count x ~96 bytes (pos + repeated path string) estimates
-        # the expanded rows for DVs, while parquet delete files keep the
-        # file-size heuristic (on-disk ~ decoded there)
-        est = sum(
-            f.record_count * 96 if f.referenced_data_file else f.file_size
-            for f in pos_dels
-        )
-        if est < (64 << 20):
+        # broadcast by the DECODED anti-join frame's size — identical rule
+        # for both representations, so the plan does not flip between v2
+        # parquet and DVs for the same delete set. On-disk bytes would be
+        # the wrong scale for DVs (a bitmap container packs 65536 rows
+        # into 8 KiB; blob bytes would force-broadcast a multi-GB decoded
+        # frame); record_count x ~96 bytes (pos + repeated path string)
+        # estimates the expanded rows, 256 MB decoded (~2.8M delete rows)
+        # is the ceiling a 1000-executor fetch comfortably absorbs
+        est = sum(f.record_count for f in pos_dels) * 96
+        if est < (256 << 20):
             ddf = F.broadcast(ddf)
 
     # equality deletes: one frame per distinct key-column set, each delete
