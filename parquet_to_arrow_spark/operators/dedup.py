@@ -160,19 +160,33 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via banded LSH + exact MinHash-similarity
     verification; returns (doc_a, doc_b, est_jaccard).
 
-    Scale shape: the band self-join carries ONLY (band_hash, doc_id) — the
-    K signature columns rejoin on the (much smaller) candidate set
-    afterwards, so the banding shuffle stays narrow at 10^12 rows.
+    Scale shape (round-6 restructure, guide §4.2): candidate pairs are NEVER
+    materialized as rows. The signature array rides on the band rows through
+    the window cap's one exchange; a mapInArrow over the window's
+    (band, tiebreak)-sorted output verifies each bucket as a vectorized
+    numpy block (k x 64 slot matrix -> pairwise match counts) and emits only
+    the >= threshold survivors. The previous plan enumerated every in-bucket
+    pair as a JVM row and re-attached signatures via two shuffle joins — but
+    bucket pairs grow quadratically (measured sf1.0: 24.0M bucket-pairs from
+    50k docs, 3,273 survivors, hottest bucket 3,153 docs), so it shuffled
+    and interpreter-evaluated (zip_with is CodegenFallback) ~7,000x more
+    rows than survive. Pair semantics are unchanged: same capped buckets,
+    same i<j in-bucket pairs, est = matches/64.0 (exact: integer / 2^6 in
+    float64 on both paths), same >= threshold filter, dedup after the filter
+    instead of before (est_jaccard is a pure function of the pair, so the
+    surviving rows are identical). Shuffle cost is N_BANDS x sig_bytes x
+    n_docs regardless of duplication; the verify pass is output-bounded.
 
-    Skew guard: at most ``band_cap`` docs survive per band value before the
-    self-join (deterministic row_number, overflow OBSERVED via
+    Skew guard: at most ``band_cap`` docs survive per band value before
+    verification (deterministic row_number, overflow OBSERVED via
     'minhash_band_overflow' — the cap_buckets pattern from similarity.py).
     A corpus with mass-duplicated boilerplate puts millions of docs into one
     band; without the cap that band's pair count is quadratic. Capped docs
     in an over-full band are exact/near-exact duplicates of the survivors,
     which exact_dedup (or a keep-one pass over the survivors) already
     handles — the cap costs recall only for the pathological band, bounded
-    and measured, instead of an unbounded join.
+    and measured, instead of an unbounded join. The cap also bounds the
+    verify pass's per-group memory (band_cap^2/2 pairs).
     """
     sig = minhash_signatures(spark, sf_dir, docs=docs).cache()
     rows_per_band = N_MINHASH // N_BANDS
@@ -182,8 +196,9 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    bands = sig.select("doc_id", *band_cols).select(
+    bands = sig.select("doc_id", "sig", *band_cols).select(
         "doc_id",
+        "sig",
         F.explode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias("band"),
     )
     w = Window.partitionBy("band").orderBy(F.xxhash64(F.col("doc_id")))
@@ -192,34 +207,100 @@ def minhash_lsh_pairs(
         F.sum((F.col("__rk") > band_cap).cast("long")).alias("overflow_rows"),
         F.count(F.lit(1)).alias("total_rows"),
     )
-    bands = ranked.filter(F.col("__rk") <= band_cap).drop("__rk")
-    left, right = bands.alias("l"), bands.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band")) & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    capped = ranked.filter(F.col("__rk") <= band_cap).select("band", "doc_id", "sig")
+    id_type = dict(capped.dtypes)["doc_id"]
+    thr = float(threshold)
+    k_sig = N_MINHASH
+
+    def verify(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        out_type = None
+        pend_band = None
+        pend_docs: list = []
+        pend_sigs: list = []
+        closed: set = set()
+
+        def run_group(d, S):
+            k = len(d)
+            if k < 2:
+                return None
+            order = np.argsort(d, kind="stable")
+            d, S = d[order], S[order]
+            m = np.zeros((k, k), dtype=np.int16)
+            for s in range(k_sig):
+                col = S[:, s]
+                m += col[:, None] == col[None, :]
+            iu, ju = np.triu_indices(k, 1)
+            est = m[iu, ju] / float(k_sig)
+            keep = est >= thr
+            if not keep.any():
+                return None
+            return d[iu[keep]], d[ju[keep]], est[keep]
+
+        def emit(groups):
+            if not groups:
+                return None
+            da = np.concatenate([g[0] for g in groups])
+            db = np.concatenate([g[1] for g in groups])
+            ee = np.concatenate([g[2] for g in groups])
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(da).cast(out_type),
+                    pa.array(db).cast(out_type),
+                    pa.array(ee, type=pa.float64()),
+                ],
+                names=["doc_a", "doc_b", "est_jaccard"],
+            )
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            out_type = batch.column(1).type
+            band = batch.column(0).to_numpy(zero_copy_only=False)
+            doc = batch.column(1).to_numpy(zero_copy_only=False)
+            flat = batch.column(2).flatten().to_numpy(zero_copy_only=False)
+            sigs = flat.reshape(len(band), k_sig)
+            # group boundaries (rows arrive sorted by band within the task;
+            # the reappearance guard turns a violated assumption into a loud
+            # failure instead of silently split buckets)
+            change = np.flatnonzero(band[1:] != band[:-1])
+            bounds = np.concatenate(([0], change + 1, [len(band)]))
+            groups = []
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                b = int(band[lo])
+                if pend_band is not None and b == pend_band:
+                    pend_docs.append(doc[lo:hi])
+                    pend_sigs.append(sigs[lo:hi])
+                    continue
+                if pend_band is not None:
+                    g = run_group(
+                        np.concatenate(pend_docs), np.concatenate(pend_sigs)
+                    )
+                    if g is not None:
+                        groups.append(g)
+                    closed.add(pend_band)
+                if b in closed:
+                    raise RuntimeError(
+                        "minhash verify: band group not contiguous in task input"
+                    )
+                pend_band = b
+                pend_docs = [doc[lo:hi]]
+                pend_sigs = [sigs[lo:hi]]
+            rb = emit(groups)
+            if rb is not None:
+                yield rb
+        if pend_band is not None:
+            g = run_group(np.concatenate(pend_docs), np.concatenate(pend_sigs))
+            rb = emit([g] if g is not None else [])
+            if rb is not None:
+                yield rb
+
+    pairs = capped.mapInArrow(
+        verify, f"doc_a {id_type}, doc_b {id_type}, est_jaccard double"
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("sig_a"),
-            F.col("sig_b"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("est_jaccard", matches / F.lit(float(N_MINHASH)))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
-    )
+    return pairs.dropDuplicates(["doc_a", "doc_b"])
 
 
 def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.3, max_df: int = 64) -> DataFrame:
@@ -257,41 +338,85 @@ def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.3, max_df: int = 64)
 
 
 def simhash64(spark, sf_dir) -> DataFrame:
-    """64-bit SimHash per doc: word-level hashes, per-bit majority vote,
-    computed with shiftright/bitwise aggs — no Python in the loop.
+    """64-bit SimHash per doc: word-level md5 hashes, per-bit majority vote.
 
     The word hash is the two 32-bit halves of md5(word) (bits 0-31 from hex
     chars 9-16, bits 32-63 from chars 1-8): md5 is available in every SQL
     engine, so the whole operator has an exact DuckDB oracle twin (xxhash64
-    does not exist in DuckDB and would leave this rows-only-checked). md5 is
-    ~3x slower per word than xxhash64 but the explode dominates this
-    pipeline, not the hash."""
-    docs = _spread(_docs(spark, sf_dir))
-    words = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
-    words = (
-        words.filter(F.length("w") > 0)
-        .withColumn("hx", F.md5(F.col("w")))
-        .withColumn("hi", F.conv(F.substring("hx", 1, 8), 16, 10).cast("long"))
-        .withColumn("lo", F.conv(F.substring("hx", 9, 8), 16, 10).cast("long"))
-    )
-    # Per-bit majority WITHOUT 64 scalar aggregate columns (that plan's
-    # whole-stage codegen alone cost seconds — the same pathology the
-    # MinHash one-array signature fixed): each word emits its 64 ±1 votes
-    # as one array, posexplode + two thin aggregations do the rest.
-    # Shuffle volume is docs×64 tiny rows after map-side partial agg.
-    votes = words.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 63), i -> CASE WHEN"
-                " (shiftright(CASE WHEN i < 32 THEN lo ELSE hi END, i % 32) & 1) = 1"
-                " THEN 1 ELSE -1 END)"
+    does not exist in DuckDB and would leave this rows-only-checked).
+
+    Round-6 restructure (guide §4.2): the previous JVM pipeline emitted 64
+    ±1-vote rows PER WORD (posexplode) and reduced them with two hash
+    aggregations — at sf1.0 that is ~210M exploded rows shuffled into a
+    (doc, bit) aggregate for 50k output rows. Now a zero-shuffle mapInArrow
+    computes the whole vote matrix vectorized per batch: words split with
+    pyarrow (C speed), md5 evaluated ONCE PER DISTINCT WORD per batch
+    (dictionary_encode collapses the ~10x word repetition), bit unpack +
+    per-doc majority as numpy matrix ops. Semantics are bit-identical: same
+    single-space split, same empty-token filter (docs with no words emit no
+    row), same md5 halves, ties (s==0) -> 0, bit 63 sign via uint64 view.
+    Shuffle volume: ZERO (was: words x 64 partial-agg rows)."""
+    docs = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << shifts
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            doc_id = batch.column(0)
+            words = pc.split_pattern(batch.column(1), " ")
+            flat = words.flatten()
+            # per-doc word counts (null text -> 0 words, like explode(null))
+            wlen = pc.list_value_length(words)
+            wlen = pc.fill_null(wlen, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+            nonempty = pc.not_equal(pc.utf8_length(flat), 0)
+            mask = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+            # counts of surviving words per doc (safe for zero-word docs)
+            cs = np.zeros(len(mask) + 1, dtype=np.int64)
+            np.cumsum(mask, out=cs[1:])
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(wlen, out=off[1:])
+            counts = cs[off[1:]] - cs[off[:-1]]
+            kept = flat.filter(nonempty)
+            if len(kept) == 0:
+                continue
+            denc = pc.dictionary_encode(kept)
+            if isinstance(denc, pa.ChunkedArray):  # pragma: no cover
+                denc = denc.combine_chunks()
+            vocab = denc.dictionary.to_pylist()
+            idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            w64 = np.empty(len(vocab), dtype=np.uint64)
+            for i, w in enumerate(vocab):
+                d = hashlib.md5(w.encode("utf-8")).digest()
+                w64[i] = (int.from_bytes(d[:4], "big") << 32) | int.from_bytes(
+                    d[4:8], "big"
+                )
+            # hi half occupies bits 32-63, lo half bits 0-31 (bit i of this
+            # uint64 == the JVM pipeline's vote source for simhash bit i)
+            occ = w64[idx]
+            bits = ((occ[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            have = counts > 0
+            # doc i's surviving words are rows [cs[off[i]], cs[off[i]]+counts[i])
+            starts = cs[off[:-1]][have]
+            ones = np.add.reduceat(bits, starts, axis=0)
+            # majority: bit set iff ones > words/2  (s = 2*ones - words > 0)
+            maj = (2 * ones) > counts[have][:, None]
+            sim = (maj.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            ).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [doc_id.filter(pa.array(have)), pa.array(sim, type=pa.int64())],
+                names=["doc_id", "simhash"],
             )
-        ).alias("pos", "v"),
-    )
-    bitsum = votes.groupBy("doc_id", "pos").agg(F.sum("v").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
-        F.expr(
-            "bit_or(shiftleft(CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT), pos))"
-        ).alias("simhash")
-    )
+
+    id_type = dict(docs.dtypes)["doc_id"]
+    return docs.mapInArrow(run, f"doc_id {id_type}, simhash long")

@@ -25,14 +25,35 @@ from ..column import (
 )
 
 
-def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the scan produced
+    fewer splits than cores: parquet's openCostInBytes floor packs a small
+    single-file table into 1-7 splits, which serializes the expensive
+    per-batch codec work downstream (measured sf1.0: the documents FSST
+    round-trip ran on 2 of 32 cores). The shuffled bytes are the small
+    scan itself; no-op at scale where inputs already have >= cores splits.
+    Only used by queries whose OUTPUT is partitioning-independent (identity
+    round-trips) — codec_metrics* keep the scan's natural chunking."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def tokenize_documents(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """documents -> the engine's input shape
     (doc_id string, tokens array<int32>, n_tok int32, source string)
     via deterministic byte-level tokenization (UTF-8 code units), fully
-    vectorized on Arrow buffers."""
+    vectorized on Arrow buffers. ``spread=True`` rebalances a few-split scan
+    across the session's cores first (see _spread) — only for callers whose
+    results don't depend on chunk boundaries."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text", "source"
     )
+    if spread:
+        docs = _spread(docs)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -62,8 +83,13 @@ def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def roundtrip_documents_text(spark, sf_dir) -> DataFrame:
     """text column through the string codec stack (dict/FSST/flat) and back;
-    oracle = identity SELECT."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    oracle = identity SELECT. Spread across cores: FSST encode is the
+    costliest per-byte kernel in the engine and the documents scan packs
+    into ~2 splits (guide §2.5 input-skew fix; identity output is
+    partitioning-independent)."""
+    docs = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -104,7 +130,7 @@ def roundtrip_tokenized_documents(spark, sf_dir) -> DataFrame:
     from ..decode import decode_chunks_df
     from ..encode import encode_tokens_df
 
-    tokens = tokenize_documents(spark, sf_dir)
+    tokens = tokenize_documents(spark, sf_dir, spread=True)
     decoded = decode_chunks_df(encode_tokens_df(tokens))
     return decoded.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -120,6 +146,10 @@ def roundtrip_orders_table(spark, sf_dir) -> DataFrame:
     GENERIC table codec (values/validity model) and back; identity oracle."""
     from ..table_codec import decode_table_df, encode_table_df
 
+    # NOT spread: measured sf1.0 — repartitioning the 9-column row shuffle
+    # (strings+timestamps) costs more than the extra codec parallelism wins
+    # (2.2-3.0 s spread vs 1.9 s on the scan's natural 7 splits); the
+    # table codec kernels are cheap relative to the row shuffle, unlike FSST
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in orders.schema.fields)
     return decode_table_df(encode_table_df(orders), ddl)
