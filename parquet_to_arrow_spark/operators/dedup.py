@@ -228,16 +228,71 @@ def minhash_lsh_pairs(
                 return None
             order = np.argsort(d, kind="stable")
             d, S = d[order], S[order]
-            m = np.zeros((k, k), dtype=np.int16)
+            if k <= 256:
+                # direct k x k match matrix: cheap for the typical small
+                # bucket, and avoids the class machinery's per-group cost
+                # (there are ~10^5 buckets per sf1.0 run; a few extra numpy
+                # calls per bucket measurably dominate)
+                m = np.zeros((k, k), dtype=np.int16)
+                for s in range(k_sig):
+                    col = S[:, s]
+                    m += col[:, None] == col[None, :]
+                iu, ju = np.triu_indices(k, 1)
+                est = m[iu, ju] / float(k_sig)
+                keep = est >= thr
+                if not keep.any():
+                    return None
+                return d[iu[keep]], d[ju[keep]], est[keep]
+            # Hot bucket: identical signature rows collapse into CLASSES
+            # first — a big bucket in a duplicated corpus holds thousands of
+            # docs but few distinct signatures (sf1.0: 3,153-doc bucket), so
+            # the O(u^2 x 64) match matrix runs on u classes instead of k
+            # docs and doc-level pairs are expanded only for qualifying
+            # class pairs (output-bounded). Exact: byte-equality classes,
+            # same match counts, intra-class matches == 64 by construction.
+            rows = np.ascontiguousarray(S).view(
+                [("", S.dtype)] * k_sig
+            ).ravel()
+            uniq, inv = np.unique(rows, return_inverse=True)
+            u = len(uniq)
+            U = uniq.view(S.dtype).reshape(u, k_sig)
+            m = np.zeros((u, u), dtype=np.int16)
             for s in range(k_sig):
-                col = S[:, s]
+                col = U[:, s]
                 m += col[:, None] == col[None, :]
-            iu, ju = np.triu_indices(k, 1)
-            est = m[iu, ju] / float(k_sig)
-            keep = est >= thr
-            if not keep.any():
+            est_uu = m / float(k_sig)
+            # class member doc ids (ascending within class: d is ascending
+            # and the grouping sort is stable)
+            by_class = np.argsort(inv, kind="stable")
+            counts = np.bincount(inv, minlength=u)
+            starts = np.zeros(u + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            members = [d[by_class[starts[c] : starts[c + 1]]] for c in range(u)]
+            out_a, out_b, out_e = [], [], []
+            if 1.0 >= thr:
+                for c in range(u):
+                    g = counts[c]
+                    if g < 2:
+                        continue
+                    iu, ju = np.triu_indices(g, 1)
+                    out_a.append(members[c][iu])
+                    out_b.append(members[c][ju])
+                    out_e.append(np.full(len(iu), 1.0))
+            qual = est_uu >= thr
+            np.fill_diagonal(qual, False)
+            for c1, c2 in zip(*np.nonzero(np.triu(qual, 1))):
+                A = members[c1][:, None]
+                B = members[c2][None, :]
+                out_a.append(np.minimum(A, B).ravel())
+                out_b.append(np.maximum(A, B).ravel())
+                out_e.append(np.full(counts[c1] * counts[c2], est_uu[c1, c2]))
+            if not out_a:
                 return None
-            return d[iu[keep]], d[ju[keep]], est[keep]
+            return (
+                np.concatenate(out_a),
+                np.concatenate(out_b),
+                np.concatenate(out_e),
+            )
 
         def emit(groups):
             if not groups:

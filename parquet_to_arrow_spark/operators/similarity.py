@@ -106,14 +106,27 @@ def cosine(a, b):
 
 
 def brute_force_topk(spark, sf_dir, n_queries: int = 5, k: int = 10) -> DataFrame:
-    """Exact cosine top-k for the first ``n_queries`` vectors (by vec_id)."""
+    """Exact cosine top-k for the first ``n_queries`` vectors (by vec_id).
+
+    Norms are computed ONCE PER SIDE before the query cross-join instead of
+    inside cosine() per pair: the higher-order aggregates are CodegenFallback
+    (interpreted), so at n_queries x corpus pairs they dominated the query
+    (guide §1.2 per-task work). sim is bit-identical: same _norm expression
+    on the same arrays, same multiply/divide order as cosine()."""
     emb = _emb(spark, sf_dir)
-    queries = emb.orderBy("vec_id").limit(n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+        .withColumn("qn", _norm(F.col("q")))
     )
     scored = (
-        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("q"), F.col("embedding")))
+        emb.withColumn("en", _norm(F.col("embedding")))
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            _dot(F.col("q"), F.col("embedding")) / (F.col("qn") * F.col("en")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
