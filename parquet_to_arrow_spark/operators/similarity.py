@@ -216,22 +216,30 @@ def ann_lsh_topk(
     Work per query is O(B · (bits+1) · target_bucket) — independent of N."""
     n_rows, dim = _corpus_shape(sf_dir)
     bits = n_planes_for(n_rows, target_bucket)
-    sig = lsh_signatures(_emb(spark, sf_dir), dim, bits, n_tables)
-    corpus = _tabled(sig, ["vec_id", "embedding"])
+    # norm once per vector (before the per-table explode and the candidate
+    # join): the interpreted higher-order _norm dominated the verify stage
+    # when evaluated per candidate pair (same fix as brute_force_topk;
+    # sim stays bit-identical)
+    sig = lsh_signatures(_emb(spark, sf_dir), dim, bits, n_tables).withColumn(
+        "__n", _norm(F.col("embedding"))
+    )
+    corpus = _tabled(sig, ["vec_id", "embedding", "__n"])
     corpus = cap_buckets(corpus, cap=4 * target_bucket)
 
     queries = sig.orderBy("vec_id").limit(n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q"),
+        F.col("__n").alias("__qn"),
         "buckets",
     )
     # multi-probe: the query's bucket plus every 1-bit flip of it
     flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(bits)])
     probes = (
-        _tabled(queries, ["query_id", "q"])
+        _tabled(queries, ["query_id", "q", "__qn"])
         .select(
             "query_id",
             "q",
+            "__qn",
             "table",
             F.explode(F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))).alias(
                 "bucket"
@@ -243,7 +251,10 @@ def ann_lsh_topk(
         corpus.join(F.broadcast(probes), ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "vec_id"])  # union across tables/probes
-        .withColumn("sim", cosine(F.col("q"), F.col("embedding")))
+        .withColumn(
+            "sim",
+            _dot(F.col("q"), F.col("embedding")) / (F.col("__qn") * F.col("__n")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
@@ -357,7 +368,13 @@ def ann_ivf_topk(
 
     assigned = emb.withColumn(
         "cells", F.pandas_udf(assign, "array<int>")(F.col("embedding"))
-    ).select("vec_id", "embedding", F.explode("cells").alias("cell"))
+    ).select(
+        "vec_id",
+        "embedding",
+        # norm once per vector, not per candidate pair (see brute_force_topk)
+        _norm(F.col("embedding")).alias("__n"),
+        F.explode("cells").alias("cell"),
+    )
     # query probe lists: tiny (n_queries rows), computed driver-side
     qrows = (
         emb.orderBy("vec_id").limit(n_queries).select("vec_id", "embedding").collect()
@@ -371,12 +388,15 @@ def ann_ivf_topk(
             probes.append((int(r["vec_id"]), int(cell), list(r["embedding"])))
     probe_df = spark.createDataFrame(
         probes, f"query_id long, cell int, q array<float>"
-    )
+    ).withColumn("__qn", _norm(F.col("q")))
     cands = (
         assigned.join(F.broadcast(probe_df), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "vec_id"])
-        .withColumn("sim", cosine(F.col("q"), F.col("embedding")))
+        .withColumn(
+            "sim",
+            _dot(F.col("q"), F.col("embedding")) / (F.col("__qn") * F.col("__n")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
@@ -405,21 +425,36 @@ def embedding_near_dup_pairs(
     with N, so total work is O(N · target_bucket) — linear in the corpus."""
     n_rows, dim = _corpus_shape(sf_dir)
     bits = n_planes_for(n_rows, target_bucket)
-    sig = lsh_signatures(_emb(spark, sf_dir), dim, bits, n_tables)
+    # norm once per vector before the per-table explode and bucket self-join
+    # (see brute_force_topk; sim bit-identical)
+    sig = lsh_signatures(_emb(spark, sf_dir), dim, bits, n_tables).withColumn(
+        "__n", _norm(F.col("embedding"))
+    )
     corpus = cap_buckets(
-        _tabled(sig, ["vec_id", "embedding"]), cap=bucket_cap or 4 * target_bucket
+        _tabled(sig, ["vec_id", "embedding", "__n"]),
+        cap=bucket_cap or 4 * target_bucket,
     )
     a = corpus.select(
-        "table", "bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+        "table",
+        "bucket",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("__n").alias("__na"),
     )
     b = corpus.select(
-        "table", "bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+        "table",
+        "bucket",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("__n").alias("__nb"),
     )
     return (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # a pair may collide in several tables
-        .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "sim", _dot(F.col("ea"), F.col("eb")) / (F.col("__na") * F.col("__nb"))
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
     )

@@ -70,22 +70,28 @@ _ARRAY_MAX = 4096  # spec DEFAULT_MAX_SIZE: arrays hold UP TO 4096 values,
 
 
 def _roaring32_bytes(values) -> bytes:
-    """Serialize a sorted iterable of uint16-range ints (0..2^32-1 within
-    one high-32 key, already masked to their low 32 bits) as a 32-bit
-    portable Roaring bitmap with no run containers."""
+    """Serialize an iterable/array of ints (0..2^32-1 within one high-32
+    key, already masked to their low 32 bits) as a 32-bit portable Roaring
+    bitmap with no run containers. Fully vectorized (round 6): one
+    np.unique, container boundaries from sorted-key change points — no
+    per-key boolean masks, no per-element Python."""
     import numpy as np
 
-    v = np.asarray(sorted(set(values)), dtype=np.uint32)
+    v = np.unique(np.asarray(values, dtype=np.uint32))
     hi16 = (v >> np.uint32(16)).astype(np.uint16)
-    lo16 = (v & np.uint32(0xFFFF)).astype(np.uint16)
-    keys = sorted(set(int(k) for k in hi16))
+    change = np.flatnonzero(hi16[1:] != hi16[:-1])
+    bounds = np.concatenate(
+        ([0], change + 1, [len(v)])
+    ) if len(v) else np.zeros(1, dtype=np.int64)
+    n_keys = len(bounds) - 1
     out = bytearray()
     out += struct.pack("<I", _SERIAL_COOKIE_NO_RUN)
-    out += struct.pack("<I", len(keys))
+    out += struct.pack("<I", n_keys)
     payloads = []
-    for k in keys:
-        lows = lo16[hi16 == k]
-        out += struct.pack("<HH", k, len(lows) - 1)
+    for i in range(n_keys):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        lows = (v[lo:hi] & np.uint32(0xFFFF)).astype(np.uint16)
+        out += struct.pack("<HH", int(hi16[lo]), len(lows) - 1)
         if len(lows) <= _ARRAY_MAX:
             payloads.append(lows.tobytes())  # sorted uint16 LE array
         else:
@@ -97,7 +103,7 @@ def _roaring32_bytes(values) -> bytes:
             )
             payloads.append(bm.tobytes())
     # offset header: byte offsets of each container from stream start
-    off = len(out) + 4 * len(keys)
+    off = len(out) + 4 * n_keys
     for pl in payloads:
         out += struct.pack("<I", off)
         off += len(pl)
@@ -135,17 +141,25 @@ def _read_roaring32(buf: bytes, pos: int):
     # there are >= 4 containers (NO_OFFSET_THRESHOLD)
     if run_bitset is None or n_containers >= 4:
         pos += 4 * n_containers
-    values: list[int] = []
+    # vectorized (round 6): each container yields one uint32 ndarray; no
+    # per-element Python int boxing anywhere on the decode path
+    parts: list = []
     for i, (k, card) in enumerate(keys_cards):
         is_run = bool(run_bitset[i // 8] & (1 << (i % 8))) if run_bitset else False
-        base = k << 16
+        base = np.uint32(k << 16)
         if is_run:
             (n_runs,) = struct.unpack_from("<H", buf, pos)
             pos += 2
-            for _ in range(n_runs):
-                start, length = struct.unpack_from("<HH", buf, pos)
-                pos += 4
-                values.extend(base + start + j for j in range(length + 1))
+            runs = np.frombuffer(buf, dtype=np.uint16, count=2 * n_runs, offset=pos)
+            pos += 4 * n_runs
+            starts = runs[0::2].astype(np.uint32)
+            lens = runs[1::2].astype(np.int64) + 1
+            total = int(lens.sum())
+            offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            within = np.arange(total, dtype=np.uint32)
+            within -= np.repeat(offs[:-1], lens).astype(np.uint32)
+            parts.append(base + np.repeat(starts, lens) + within)
         elif card > _ARRAY_MAX:
             bm = np.frombuffer(buf, dtype=np.uint64, count=1024, offset=pos)
             pos += 8192
@@ -154,42 +168,68 @@ def _read_roaring32(buf: bytes, pos: int):
                     bm.view(np.uint8), bitorder="little"
                 )
             )
-            values.extend(int(base + j) for j in idx)
+            parts.append(base + idx.astype(np.uint32))
         else:
             arr = np.frombuffer(buf, dtype=np.uint16, count=card, offset=pos)
             pos += 2 * card
-            values.extend(int(base + j) for j in arr)
+            parts.append(base + arr.astype(np.uint32))
+    values = (
+        np.concatenate(parts) if parts else np.empty(0, dtype=np.uint32)
+    )
     return values, pos
 
 
 def roaring64_bytes(positions) -> bytes:
     """Serialize 64-bit positions as the portable 64-bit Roaring format:
-    8-byte LE map count, then (4-byte LE high key, 32-bit roaring) pairs."""
-    groups: dict[int, list[int]] = {}
-    for p in positions:
-        p = int(p)
-        if p < 0:
-            raise ValueError("deletion vector positions must be non-negative")
-        groups.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    8-byte LE map count, then (4-byte LE high key, 32-bit roaring) pairs.
+    Vectorized (round 6): one sort/unique over a numpy array and
+    change-point grouping by high-32 key — no per-position dict loop."""
+    import numpy as np
+
+    if isinstance(positions, np.ndarray):
+        p = positions.astype(np.int64, copy=False)
+    else:
+        p = np.asarray(list(positions), dtype=np.int64)
+    if p.size and int(p.min()) < 0:
+        raise ValueError("deletion vector positions must be non-negative")
+    u = np.unique(p.view(np.uint64) if p.dtype == np.int64 else p.astype(np.uint64))
+    hi = (u >> np.uint64(32)).astype(np.uint32)
+    change = np.flatnonzero(hi[1:] != hi[:-1])
+    bounds = (
+        np.concatenate(([0], change + 1, [len(u)]))
+        if len(u)
+        else np.zeros(1, dtype=np.int64)
+    )
     out = bytearray()
-    out += struct.pack("<Q", len(groups))
-    for hi in sorted(groups):
-        out += struct.pack("<I", hi)
-        out += _roaring32_bytes(groups[hi])
+    out += struct.pack("<Q", len(bounds) - 1)
+    for i in range(len(bounds) - 1):
+        lo, hb = int(bounds[i]), int(bounds[i + 1])
+        out += struct.pack("<I", int(hi[lo]))
+        out += _roaring32_bytes(
+            (u[lo:hb] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        )
     return bytes(out)
 
 
-def read_roaring64(buf: bytes) -> list[int]:
-    """Parse a portable 64-bit Roaring bitmap into sorted positions."""
+def read_roaring64(buf: bytes):
+    """Parse a portable 64-bit Roaring bitmap into sorted positions —
+    returned as an int64 numpy array (round 6: vectorized end-to-end; use
+    .tolist() where Python ints are genuinely needed)."""
+    import numpy as np
+
     (n_maps,) = struct.unpack_from("<Q", buf, 0)
     pos = 8
-    values: list[int] = []
+    parts = []
     for _ in range(n_maps):
         (hi,) = struct.unpack_from("<I", buf, pos)
         pos += 4
         lows, pos = _read_roaring32(buf, pos)
-        values.extend((hi << 32) | v for v in lows)
-    return sorted(values)
+        parts.append(
+            (np.uint64(hi) << np.uint64(32)) | lows.astype(np.uint64)
+        )
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(parts)).view(np.int64)
 
 
 # ------------------------------------------------------------ DV blobs
@@ -204,9 +244,9 @@ def dv_blob_bytes(positions) -> bytes:
     return struct.pack(">I", len(body)) + body + struct.pack(">I", zlib.crc32(body))
 
 
-def read_dv_blob(blob: bytes) -> list[int]:
-    """Decode one deletion-vector-v1 blob payload back to sorted positions,
-    verifying the magic and the CRC."""
+def read_dv_blob(blob: bytes):
+    """Decode one deletion-vector-v1 blob payload back to sorted positions
+    (int64 numpy array), verifying the magic and the CRC."""
     (body_len,) = struct.unpack_from(">I", blob, 0)
     body = blob[4 : 4 + body_len]
     if body[:4] != DV_MAGIC:

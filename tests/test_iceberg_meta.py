@@ -2964,7 +2964,7 @@ class TestDeletionVectors:
         # 64-bit wrapper: map count 1 (8B LE) + high key 0 (4B LE) + the 32-bit map
         got64 = pf.roaring64_bytes([1, 3])
         assert got64 == b"\x01" + b"\x00" * 7 + b"\x00\x00\x00\x00" + want
-        assert pf.read_roaring64(got64) == [1, 3]
+        assert pf.read_roaring64(got64).tolist() == [1, 3]
 
     def test_roaring_container_edges(self):
         from parquet_to_arrow_spark.sources import puffin as pf
@@ -2977,13 +2977,13 @@ class TestDeletionVectors:
             [2**32 - 1, 2**32, 2**40 + 7],  # multiple high-32 keys
         ]
         for vals in cases:
-            assert pf.read_roaring64(pf.roaring64_bytes(vals)) == sorted(set(vals))
+            assert pf.read_roaring64(pf.roaring64_bytes(vals)).tolist() == sorted(set(vals))
 
     def test_dv_blob_crc_guard(self):
         from parquet_to_arrow_spark.sources import puffin as pf
 
         blob = pf.dv_blob_bytes([5, 7])
-        assert pf.read_dv_blob(blob) == [5, 7]
+        assert pf.read_dv_blob(blob).tolist() == [5, 7]
         bad = bytearray(blob)
         bad[9] ^= 0x40
         with pytest.raises(ValueError, match="CRC|magic"):
@@ -3175,13 +3175,13 @@ class TestReviewRound5b:
         # of the same values would start with bytes 0x55... pattern instead
         assert payload == np.asarray(vals, dtype=np.uint16).tobytes()
         got, _ = pf._read_roaring32(raw, 0)
-        assert got == vals
+        assert got.tolist() == vals
         # 4097 values: now a bitmap container
         vals2 = vals + [8193]
         raw2 = pf._roaring32_bytes(vals2)
         assert len(raw2[16:]) == 8192  # bitmap, not 2*4097 array bytes
         got2, _ = pf._read_roaring32(raw2, 0)
-        assert got2 == sorted(vals2)
+        assert got2.tolist() == sorted(vals2)
 
     def test_derived_filter_key_rejected_after_evolution(self, spark, tmp_path):
         """partition_filter on a derived-transform key that old-spec files

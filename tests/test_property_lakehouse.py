@@ -59,8 +59,8 @@ def test_roaring64_roundtrip_any_positions(positions):
     from parquet_to_arrow_spark.sources import puffin as pf
 
     want = sorted(set(positions))
-    assert pf.read_roaring64(pf.roaring64_bytes(positions)) == want
-    assert pf.read_dv_blob(pf.dv_blob_bytes(positions)) == want
+    assert pf.read_roaring64(pf.roaring64_bytes(positions)).tolist() == want
+    assert pf.read_dv_blob(pf.dv_blob_bytes(positions)).tolist() == want
 
 
 @settings(max_examples=20, deadline=None)
@@ -75,4 +75,4 @@ def test_roaring_array_bitmap_threshold(n, stride_sel):
 
     stride = [1, 2, 3, 16][stride_sel]
     vals = list(range(0, n * stride, stride))[:n]
-    assert pf.read_roaring64(pf.roaring64_bytes(vals)) == vals
+    assert pf.read_roaring64(pf.roaring64_bytes(vals)).tolist() == vals
