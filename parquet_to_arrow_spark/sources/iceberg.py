@@ -220,6 +220,23 @@ def _build_scratch_once(table: str, builder) -> None:
             continue
         os.write(fd, token.encode())
         os.close(fd)
+        # heartbeat: a LIVE builder refreshes the lock mtime so only a
+        # genuinely crashed builder ever exceeds the 600 s staleness
+        # threshold — without it, a legitimately slow (>10 min) build got
+        # its lock stolen and the thief rmtree'd the table mid-commit
+        import threading as _threading
+
+        _hb_stop = _threading.Event()
+
+        def _hb():
+            while not _hb_stop.wait(60):
+                try:
+                    os.utime(lock)
+                except OSError:
+                    return
+
+        _hb_thread = _threading.Thread(target=_hb, daemon=True)
+        _hb_thread.start()
         try:
             if not os.path.exists(marker):
                 shutil.rmtree(table, ignore_errors=True)  # crashed partial
@@ -233,6 +250,7 @@ def _build_scratch_once(table: str, builder) -> None:
                     f.write("ok")
             return
         finally:
+            _hb_stop.set()
             if _owns():
                 try:
                     os.unlink(lock)

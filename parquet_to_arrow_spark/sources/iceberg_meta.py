@@ -1515,6 +1515,23 @@ def snapshot_files(
     _, manifests = avro_io.read_container(open(snap["manifest-list"], "rb").read())
     pf = partition_filter or {}
     known_specs = {sp["spec-id"] for sp in meta.get("partition-specs", [])}
+    if pf:
+        # fail LOUD on keys no spec defines: per-manifest key dropping is
+        # the spec-evolution courtesy (files under an older spec are kept
+        # conservatively and re-filtered downstream), but a key absent from
+        # EVERY spec — a typo or a non-partition column — would silently
+        # return the FULL table (fail-open), and delete_where-style callers
+        # scope destructive operations with this filter
+        all_names: set = set()
+        for sid in known_specs:
+            all_names |= {f["name"] for f in _partition_specs(meta, sid)}
+        unknown = sorted(set(pf) - all_names)
+        if unknown:
+            raise ValueError(
+                f"partition_filter key(s) {unknown} are not defined by any "
+                f"partition spec of {table_dir} (spec fields: "
+                f"{sorted(all_names)})"
+            )
     spec_names: dict[int, set] = {}
     out: list[DataFile] = []
     for mf in manifests:

@@ -3355,3 +3355,34 @@ class TestReviewRound5b:
         assert materialize_deletes(spark, table) is not None
         got2 = {r["doc_id"]: r["lang"] for r in read_table(spark, table).collect()}
         assert got2 == got
+
+
+class TestRound6Fixes:
+    def test_unknown_partition_filter_key_raises(self, spark, tmp_path):
+        """A partition_filter key no spec defines must raise loudly:
+        silently dropping it would return the FULL table (fail-open) to
+        callers like delete_where that scope destructive work with it."""
+        df = spark.createDataFrame(
+            [(i, f"t{i}", ["en", "de"][i % 2]) for i in range(6)],
+            "doc_id long, text string, lang string",
+        )
+        d0 = str(tmp_path / "w0")
+        df.coalesce(1).write.partitionBy("lang").parquet(d0)
+        table = str(tmp_path / "t")
+        ice.commit_parquet_dir(
+            table, d0, spark_schema=df.schema, ts_ms=1, partition_by=["lang"]
+        )
+        with pytest.raises(ValueError, match="not defined by any"):
+            ice.snapshot_files(table, partition_filter={"lagn": "en"})
+        with pytest.raises(ValueError, match="not defined by any"):
+            ice.read_snapshot(
+                spark, table, partition_filter={"doc_id": 3}
+            ).collect()
+        # valid keys still prune
+        got = {
+            r["doc_id"]
+            for r in ice.read_snapshot(
+                spark, table, partition_filter={"lang": "en"}
+            ).collect()
+        }
+        assert got == {0, 2, 4}
