@@ -190,15 +190,30 @@ def minhash_lsh_pairs(
     """
     sig = minhash_signatures(spark, sf_dir, docs=docs).cache()
     rows_per_band = N_MINHASH // N_BANDS
+    # The signature crosses the band shuffle AND the Python boundary as ONE
+    # 512-byte binary blob, not array<long>: Spark's row<->Arrow bridge
+    # converts array elements one at a time (the engine's core invariant —
+    # see sources/io.py), and at N_BANDS x n_docs x 64 elements that
+    # per-element walk dominated the verify stage. The blob is the 64
+    # big-endian int64 slots; banding hashes 32-byte SLICES of it, so the
+    # bucket invariant is unchanged (equal 4-slot slices <=> equal bytes =>
+    # equal band hash). The pack runs once per doc (interpreted fold over
+    # 64 doc-sized elements), not once per band row.
+    sigbin = F.expr(
+        "aggregate(sig, cast('' as binary), "
+        "(acc, x) -> concat(acc, unhex(lpad(hex(x), 16, '0'))))"
+    )
+    packed = sig.select("doc_id", sigbin.alias("sigbin"))
     band_cols = [
         F.xxhash64(
-            F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b)
+            F.expr(f"substring(sigbin, {b * rows_per_band * 8 + 1}, {rows_per_band * 8})"),
+            F.lit(b),
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    bands = sig.select("doc_id", "sig", *band_cols).select(
+    bands = packed.select("doc_id", "sigbin", *band_cols).select(
         "doc_id",
-        "sig",
+        F.col("sigbin").alias("sig"),
         F.explode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias("band"),
     )
     w = Window.partitionBy("band").orderBy(F.xxhash64(F.col("doc_id")))
@@ -213,46 +228,32 @@ def minhash_lsh_pairs(
     k_sig = N_MINHASH
 
     def verify(batches):
+        """Buffer the task's rows (the band-window just sorted them, so the
+        partition already fit in one task), then verify buckets VECTORIZED
+        BY SIZE CLASS: all size-k buckets stack into one (g, k, 64) tensor
+        and the 64-slot match loop runs once per DISTINCT SIZE — not once
+        per bucket. The per-bucket form cost ~200 us of numpy-call overhead
+        x ~10^5 buckets (21.9 s single-thread at sf1.0, the whole stage);
+        the class form is ~60 tensor passes total. Buckets above
+        _BIG_GROUP docs take the duplicate-collapse path (byte-identical
+        signature rows merge into classes; doc pairs expand only for
+        qualifying class pairs, output-bounded)."""
         import numpy as np
         import pyarrow as pa
 
+        _BIG_GROUP = 256
+        bands_l: list = []
+        docs_l: list = []
+        sigs_l: list = []
         out_type = None
-        pend_band = None
-        pend_docs: list = []
-        pend_sigs: list = []
-        closed: set = set()
 
-        def run_group(d, S):
-            k = len(d)
-            if k < 2:
-                return None
+        def run_big(d, S):
+            # duplicate-collapse for hot buckets (sf1.0: a 3,153-doc bucket
+            # holds few DISTINCT signatures): match matrix over u classes,
+            # intra-class pairs have matches == 64 by construction
             order = np.argsort(d, kind="stable")
             d, S = d[order], S[order]
-            if k <= 256:
-                # direct k x k match matrix: cheap for the typical small
-                # bucket, and avoids the class machinery's per-group cost
-                # (there are ~10^5 buckets per sf1.0 run; a few extra numpy
-                # calls per bucket measurably dominate)
-                m = np.zeros((k, k), dtype=np.int16)
-                for s in range(k_sig):
-                    col = S[:, s]
-                    m += col[:, None] == col[None, :]
-                iu, ju = np.triu_indices(k, 1)
-                est = m[iu, ju] / float(k_sig)
-                keep = est >= thr
-                if not keep.any():
-                    return None
-                return d[iu[keep]], d[ju[keep]], est[keep]
-            # Hot bucket: identical signature rows collapse into CLASSES
-            # first — a big bucket in a duplicated corpus holds thousands of
-            # docs but few distinct signatures (sf1.0: 3,153-doc bucket), so
-            # the O(u^2 x 64) match matrix runs on u classes instead of k
-            # docs and doc-level pairs are expanded only for qualifying
-            # class pairs (output-bounded). Exact: byte-equality classes,
-            # same match counts, intra-class matches == 64 by construction.
-            rows = np.ascontiguousarray(S).view(
-                [("", S.dtype)] * k_sig
-            ).ravel()
+            rows = np.ascontiguousarray(S).view([("", S.dtype)] * k_sig).ravel()
             uniq, inv = np.unique(rows, return_inverse=True)
             u = len(uniq)
             U = uniq.view(S.dtype).reshape(u, k_sig)
@@ -261,96 +262,112 @@ def minhash_lsh_pairs(
                 col = U[:, s]
                 m += col[:, None] == col[None, :]
             est_uu = m / float(k_sig)
-            # class member doc ids (ascending within class: d is ascending
-            # and the grouping sort is stable)
             by_class = np.argsort(inv, kind="stable")
             counts = np.bincount(inv, minlength=u)
             starts = np.zeros(u + 1, dtype=np.int64)
             np.cumsum(counts, out=starts[1:])
             members = [d[by_class[starts[c] : starts[c + 1]]] for c in range(u)]
-            out_a, out_b, out_e = [], [], []
+            out = []
             if 1.0 >= thr:
                 for c in range(u):
                     g = counts[c]
                     if g < 2:
                         continue
                     iu, ju = np.triu_indices(g, 1)
-                    out_a.append(members[c][iu])
-                    out_b.append(members[c][ju])
-                    out_e.append(np.full(len(iu), 1.0))
+                    out.append(
+                        (members[c][iu], members[c][ju], np.full(len(iu), 1.0))
+                    )
             qual = est_uu >= thr
             np.fill_diagonal(qual, False)
             for c1, c2 in zip(*np.nonzero(np.triu(qual, 1))):
                 A = members[c1][:, None]
                 B = members[c2][None, :]
-                out_a.append(np.minimum(A, B).ravel())
-                out_b.append(np.maximum(A, B).ravel())
-                out_e.append(np.full(counts[c1] * counts[c2], est_uu[c1, c2]))
-            if not out_a:
-                return None
-            return (
-                np.concatenate(out_a),
-                np.concatenate(out_b),
-                np.concatenate(out_e),
-            )
-
-        def emit(groups):
-            if not groups:
-                return None
-            da = np.concatenate([g[0] for g in groups])
-            db = np.concatenate([g[1] for g in groups])
-            ee = np.concatenate([g[2] for g in groups])
-            return pa.RecordBatch.from_arrays(
-                [
-                    pa.array(da).cast(out_type),
-                    pa.array(db).cast(out_type),
-                    pa.array(ee, type=pa.float64()),
-                ],
-                names=["doc_a", "doc_b", "est_jaccard"],
-            )
+                out.append(
+                    (
+                        np.minimum(A, B).ravel(),
+                        np.maximum(A, B).ravel(),
+                        np.full(counts[c1] * counts[c2], est_uu[c1, c2]),
+                    )
+                )
+            return out
 
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             out_type = batch.column(1).type
-            band = batch.column(0).to_numpy(zero_copy_only=False)
-            doc = batch.column(1).to_numpy(zero_copy_only=False)
-            flat = batch.column(2).flatten().to_numpy(zero_copy_only=False)
-            sigs = flat.reshape(len(band), k_sig)
-            # group boundaries (rows arrive sorted by band within the task;
-            # the reappearance guard turns a violated assumption into a loud
-            # failure instead of silently split buckets)
-            change = np.flatnonzero(band[1:] != band[:-1])
-            bounds = np.concatenate(([0], change + 1, [len(band)]))
-            groups = []
-            for lo, hi in zip(bounds[:-1], bounds[1:]):
-                b = int(band[lo])
-                if pend_band is not None and b == pend_band:
-                    pend_docs.append(doc[lo:hi])
-                    pend_sigs.append(sigs[lo:hi])
-                    continue
-                if pend_band is not None:
-                    g = run_group(
-                        np.concatenate(pend_docs), np.concatenate(pend_sigs)
+            bands_l.append(batch.column(0).to_numpy(zero_copy_only=False))
+            docs_l.append(batch.column(1).to_numpy(zero_copy_only=False))
+            # sig is one 512-byte blob per row (64 big-endian int64 slots);
+            # only slot EQUALITY matters downstream, which is byte-order-
+            # invariant — view the contiguous Arrow data buffer directly
+            sb = batch.column(2).cast(pa.large_binary())
+            bufs = sb.buffers()
+            off = np.frombuffer(
+                bufs[1], dtype=np.int64, count=len(sb) + 1, offset=sb.offset * 8
+            )
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            sigs_l.append(
+                data[off[0] : off[-1]].view(">i8").reshape(batch.num_rows, k_sig)
+            )
+        if not bands_l:
+            return
+        band = np.concatenate(bands_l)
+        doc = np.concatenate(docs_l)
+        # ONE byteswap pass to native int64: numpy ufuncs on a big-endian
+        # view re-swap on every operation, which re-serialized the whole
+        # match loop (slot values change representation, not identity —
+        # only equality is consumed downstream)
+        sigs = np.concatenate(sigs_l).astype(np.int64)
+        # independent of the window's output order: group by band ourselves
+        order = np.argsort(band, kind="stable")
+        band, doc, sigs = band[order], doc[order], sigs[order]
+        change = np.flatnonzero(band[1:] != band[:-1])
+        bounds = np.concatenate(([0], change + 1, [len(band)]))
+        sizes = np.diff(bounds)
+        out = []
+        for k in np.unique(sizes):
+            k = int(k)
+            if k < 2:
+                continue
+            gsel = np.flatnonzero(sizes == k)
+            if k > _BIG_GROUP:
+                for gi in gsel:
+                    lo = bounds[gi]
+                    out.extend(run_big(doc[lo : lo + k], sigs[lo : lo + k]))
+                continue
+            # all size-k buckets as one (g, k, 64) tensor
+            idx = (bounds[gsel][:, None] + np.arange(k)[None, :]).ravel()
+            D = doc[idx].reshape(len(gsel), k)
+            G = sigs[idx].reshape(len(gsel), k, k_sig)
+            ds = np.argsort(D, axis=1, kind="stable")
+            D = np.take_along_axis(D, ds, axis=1)
+            G = np.take_along_axis(G, ds[:, :, None], axis=1)
+            m = np.zeros((len(gsel), k, k), dtype=np.int16)
+            for s in range(k_sig):
+                col = G[:, :, s]
+                m += col[:, :, None] == col[:, None, :]
+            iu, ju = np.triu_indices(k, 1)
+            est = m[:, iu, ju] / float(k_sig)
+            keep = est >= thr
+            if keep.any():
+                out.append(
+                    (
+                        np.broadcast_to(D[:, iu], keep.shape)[keep],
+                        np.broadcast_to(D[:, ju], keep.shape)[keep],
+                        est[keep],
                     )
-                    if g is not None:
-                        groups.append(g)
-                    closed.add(pend_band)
-                if b in closed:
-                    raise RuntimeError(
-                        "minhash verify: band group not contiguous in task input"
-                    )
-                pend_band = b
-                pend_docs = [doc[lo:hi]]
-                pend_sigs = [sigs[lo:hi]]
-            rb = emit(groups)
-            if rb is not None:
-                yield rb
-        if pend_band is not None:
-            g = run_group(np.concatenate(pend_docs), np.concatenate(pend_sigs))
-            rb = emit([g] if g is not None else [])
-            if rb is not None:
-                yield rb
+                )
+        if out:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate([g[0] for g in out])).cast(out_type),
+                    pa.array(np.concatenate([g[1] for g in out])).cast(out_type),
+                    pa.array(
+                        np.concatenate([g[2] for g in out]), type=pa.float64()
+                    ),
+                ],
+                names=["doc_a", "doc_b", "est_jaccard"],
+            )
 
     pairs = capped.mapInArrow(
         verify, f"doc_a {id_type}, doc_b {id_type}, est_jaccard double"

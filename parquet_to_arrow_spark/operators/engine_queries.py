@@ -105,22 +105,49 @@ def roundtrip_documents_text(spark, sf_dir) -> DataFrame:
 
 def roundtrip_lineitem_ints(spark, sf_dir) -> DataFrame:
     """Four int64/int32 lineitem columns through the int codec stack
-    (selector chooses per chunk) and back; oracle = identity SELECT."""
+    (selector chooses per chunk) and back; oracle = identity SELECT.
+
+    Scan shape (round 6): (file, row-group) splits read with pyarrow INSIDE
+    the workers — the engine's own fast-path pattern (sources/io.py) — so
+    the input crosses the JVM->Python boundary zero times; only the decoded
+    result crosses back. The Spark-scan + mapInArrow form paid the double
+    Arrow conversion, which dominated the query (identity mapInArrow alone:
+    1.75 s vs 0.3 s scan noop at sf1.0); this shape measures 2.05 -> 1.43 s
+    with identical output values."""
+    import pyarrow.parquet as pq
+
+    from ..sources.io import list_parquet_files, open_parquet
+
     cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*cols)
+    ddl = "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int"
+    splits = [
+        (f, rg)
+        for f in list_parquet_files(f"{sf_dir}/lineitem.parquet")
+        for rg in range(pq.ParquetFile(f).metadata.num_row_groups)
+    ]
+    if not splits:
+        return spark.createDataFrame([], ddl)
+    sdf = spark.createDataFrame(splits, "path string, rg int").repartition(
+        len(splits)
+    )
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            arrays = []
-            for i in range(batch.num_columns):
-                col = batch.column(i)
-                vals = col.to_numpy(zero_copy_only=False)
-                enc = encode_int_array(vals)
-                out = decode_int_array(enc["codec"], enc["meta"], enc["payload"], len(vals))
-                arrays.append(pa.array(out, type=col.type))
-            yield pa.RecordBatch.from_arrays(arrays, names=cols)
+        for b in batches:
+            for path, rg in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                tbl = open_parquet(path).read_row_group(rg, columns=cols)
+                for batch in tbl.to_batches(max_chunksize=8192):
+                    arrays = []
+                    for i in range(batch.num_columns):
+                        col = batch.column(i)
+                        vals = col.to_numpy(zero_copy_only=False)
+                        enc = encode_int_array(vals)
+                        out = decode_int_array(
+                            enc["codec"], enc["meta"], enc["payload"], len(vals)
+                        )
+                        arrays.append(pa.array(out, type=col.type))
+                    yield pa.RecordBatch.from_arrays(arrays, names=cols)
 
-    return li.mapInArrow(run, "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int")
+    return sdf.mapInArrow(run, ddl)
 
 
 def roundtrip_tokenized_documents(spark, sf_dir) -> DataFrame:
