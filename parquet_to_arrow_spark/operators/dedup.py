@@ -318,9 +318,13 @@ def minhash_lsh_pairs(
         # match loop (slot values change representation, not identity —
         # only equality is consumed downstream)
         sigs = np.concatenate(sigs_l).astype(np.int64)
-        # independent of the window's output order: group by band ourselves
-        order = np.argsort(band, kind="stable")
-        band, doc, sigs = band[order], doc[order], sigs[order]
+        # the window delivers rows sorted by band; verify that with one
+        # cheap pass and re-sort ONLY if the assumption ever breaks (the
+        # unconditional argsort + three full-array gathers measurably cost
+        # more than the whole match loop)
+        if len(band) > 1 and not np.all(band[1:] >= band[:-1]):
+            order = np.argsort(band, kind="stable")
+            band, doc, sigs = band[order], doc[order], sigs[order]
         change = np.flatnonzero(band[1:] != band[:-1])
         bounds = np.concatenate(([0], change + 1, [len(band)]))
         sizes = np.diff(bounds)
