@@ -339,28 +339,40 @@ def minhash_lsh_pairs(
                     lo = bounds[gi]
                     out.extend(run_big(doc[lo : lo + k], sigs[lo : lo + k]))
                 continue
-            # all size-k buckets as one (g, k, 64) tensor
+            # all size-k buckets as one (g, k, 64) tensor, processed in
+            # chunks whose int8 match accumulator fits in cache: the slot
+            # loop sweeps the accumulator 64 times, so an out-of-cache m
+            # turns into ~12 GB of memory traffic on this membound box
+            # (counts <= 64 fit int8; slot-major transpose makes each
+            # sweep's reads contiguous)
             idx = (bounds[gsel][:, None] + np.arange(k)[None, :]).ravel()
             D = doc[idx].reshape(len(gsel), k)
             G = sigs[idx].reshape(len(gsel), k, k_sig)
             ds = np.argsort(D, axis=1, kind="stable")
             D = np.take_along_axis(D, ds, axis=1)
-            G = np.take_along_axis(G, ds[:, :, None], axis=1)
-            m = np.zeros((len(gsel), k, k), dtype=np.int16)
-            for s in range(k_sig):
-                col = G[:, :, s]
-                m += col[:, :, None] == col[:, None, :]
+            G = np.ascontiguousarray(
+                np.take_along_axis(G, ds[:, :, None], axis=1).transpose(0, 2, 1)
+            )  # (g, 64, k) slot-major
             iu, ju = np.triu_indices(k, 1)
-            est = m[:, iu, ju] / float(k_sig)
-            keep = est >= thr
-            if keep.any():
-                out.append(
-                    (
-                        np.broadcast_to(D[:, iu], keep.shape)[keep],
-                        np.broadcast_to(D[:, ju], keep.shape)[keep],
-                        est[keep],
+            chunk = max(1, (1 << 20) // (k * k))
+            for c0 in range(0, len(gsel), chunk):
+                Gc = G[c0 : c0 + chunk]
+                gc = len(Gc)
+                m = np.zeros((gc, k, k), dtype=np.int8)
+                for s in range(k_sig):
+                    col = Gc[:, s, :]
+                    m += col[:, :, None] == col[:, None, :]
+                est = m[:, iu, ju] / float(k_sig)
+                keep = est >= thr
+                if keep.any():
+                    Dc = D[c0 : c0 + chunk]
+                    out.append(
+                        (
+                            np.broadcast_to(Dc[:, iu], keep.shape)[keep],
+                            np.broadcast_to(Dc[:, ju], keep.shape)[keep],
+                            est[keep],
+                        )
                     )
-                )
         if out:
             yield pa.RecordBatch.from_arrays(
                 [
